@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship hotels_count analog on sf0.001.
+``queries()``   — every implemented operator from SURVEY.md §2 plus the
+                  training-data-pipeline extensions (dedup / similarity /
+                  text analysis), each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()``— DuckDB-equivalent SQL per query (omitted only for the
+                  genuinely non-SQL-expressible LSH variants, whose exact
+                  counterparts ARE oracle-checked and bound them).
 """
 
 from __future__ import annotations
@@ -13,26 +15,76 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from m12_kafkastreams_python_azure_spark.operators import analytics as A
+from m12_kafkastreams_python_azure_spark.operators import dedup as D
+from m12_kafkastreams_python_azure_spark.operators import similarity as S
+from m12_kafkastreams_python_azure_spark.operators import textops as T
+from m12_kafkastreams_python_azure_spark.session import tune_for_session
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_for_session(spark)
+    return A.q_hotels_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference surface (SURVEY.md §2)
+        "mask_field": A.q_mask_field,                       # S2
+        "json_projection": A.q_json_projection,             # S3/K1 schema-on-read
+        "null_filter": A.q_null_filter,                     # F1
+        "stay_enrich": A.q_stay_enrich,                     # F3-F5
+        "hotels_count": A.q_hotels_count,                   # K2-K4 flagship
+        # general analytics breadth
+        "pricing_summary": A.q_pricing_summary,
+        "top_revenue_orders": A.q_top_revenue_orders,
+        "region_revenue": A.q_region_revenue,
+        "top_customers": A.q_top_customers,
+        "window_top_orders": A.q_window_top_orders,
+        "events_daily": A.q_events_daily,
+        "customers_without_orders": A.q_customers_without_orders,
+        "rollup_returnflag": A.q_rollup_returnflag,
+        # training-data pipeline: text analysis
+        "text_quality": T.q_text_quality,
+        "lang_id": T.q_lang_id,
+        "doc_fingerprint": T.q_doc_fingerprint,
+        # training-data pipeline: dedup
+        "dedup_exact": D.q_dedup_exact,
+        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
+        "minhash_near_dup": D.q_minhash_near_dup,           # rows-only (LSH)
+        "simhash_near_dup": D.q_simhash_near_dup,           # rows-only (LSH)
+        # training-data pipeline: similarity search
+        "ann_topk": S.q_ann_topk,
+        "embedding_near_dup": S.q_embedding_near_dup,
+        "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mask_field": A.ORACLE_MASK_FIELD,
+        "json_projection": A.ORACLE_JSON_PROJECTION,
+        "null_filter": A.ORACLE_NULL_FILTER,
+        "stay_enrich": A.ORACLE_STAY_ENRICH,
+        "hotels_count": A.ORACLE_HOTELS_COUNT,
+        "pricing_summary": A.ORACLE_PRICING_SUMMARY,
+        "top_revenue_orders": A.ORACLE_TOP_REVENUE_ORDERS,
+        "region_revenue": A.ORACLE_REGION_REVENUE,
+        "top_customers": A.ORACLE_TOP_CUSTOMERS,
+        "window_top_orders": A.ORACLE_WINDOW_TOP_ORDERS,
+        "events_daily": A.ORACLE_EVENTS_DAILY,
+        "customers_without_orders": A.ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+        "rollup_returnflag": A.ORACLE_ROLLUP_RETURNFLAG,
+        "text_quality": T.ORACLE_TEXT_QUALITY,
+        "lang_id": T.ORACLE_LANG_ID,
+        "doc_fingerprint": T.ORACLE_DOC_FINGERPRINT,
+        "dedup_exact": D.ORACLE_DEDUP_EXACT,
+        "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
+        "ann_topk": S.ORACLE_ANN_TOPK,
+        "embedding_near_dup": S.ORACLE_EMBEDDING_NEAR_DUP,
+        # minhash_near_dup / simhash_near_dup / ann_lsh: intentionally no
+        # oracle — LSH banding is not SQL-expressible; their exact
+        # counterparts (ngram_jaccard_pairs, embedding_near_dup, ann_topk)
+        # are oracle-checked.
+    }

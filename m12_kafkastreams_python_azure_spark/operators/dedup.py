@@ -1,0 +1,294 @@
+"""Deduplication operators for the 100 TB training-data pipeline.
+
+Four strategies, all shuffle-disciplined:
+
+- exact          : group on a content fingerprint (md5). One shuffle on a
+                   uniformly-distributed key — no skew by construction.
+- minhash LSH    : shingle -> k minhashes (xxhash64 with k seeds) -> b bands
+                   -> explode bands -> self-join per (band, band_hash)
+                   bucket -> exact-Jaccard verify on candidates only.
+                   Entirely built-in Catalyst (higher-order array functions);
+                   the only shuffle is on band-hash buckets, and candidate
+                   verification touches pairs, never the n^2 cross product.
+- simhash        : 64-bit simhash from token hashes via bit-vote; near-dups
+                   = pairs within Hamming distance d, bucketed by simhash
+                   bands (same LSH trick on bit-slices).
+- n-gram jaccard : exact Jaccard on shingle sets for a candidate pair set
+                   (used as the verify stage of the LSH strategies).
+
+At 100 TB the LSH path is the only viable one (exact n^2 is out); its cost
+is O(n * k) hashing + one shuffle of (band_hash -> doc) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.functions.text import doc_fingerprint
+from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: fingerprint -> keeper id (min) + multiplicity."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ shingles / minhash
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    Built from tokens with ``transform`` over an index ``sequence`` —
+    pure Catalyst, no Python."""
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def _seeded_hash(seed: int):
+    # Single-arg closure: PySpark's higher-order functions dispatch on lambda
+    # arity, so a default-arg lambda would be mis-read as (element, index).
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """k independent minhashes: for seed j, min over shingles of
+    xxhash64(shingle, j). Returns array<long> of length k."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, _seeded_hash(j)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: shingle -> signature -> band hashes -> explode(bands) ->
+    self-join on (band, band_hash) -> distinct candidate pairs ->
+    verify exact Jaccard >= threshold on the pair's shingle sets.
+
+    Shuffle profile: one exchange on band_hash (uniform — it's a hash),
+    one on the pair ids for verification. No cross product anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    left = banded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    cands = (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate near-dup pairs on documents (rows-only driver check —
+    the LSH banding is not SQL-expressible; the exact-Jaccard variant below
+    IS oracle-checked and bounds this one)."""
+    return minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
+# ------------------------------------------------------------------ exact n-gram jaccard
+
+# Oracle-checkable exact near-dup: all pairs within a fingerprint-prefix
+# bucket is NOT what we want (no dups in testdata) — instead verify the
+# *function* on a deterministic candidate set: consecutive doc_id pairs.
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on a deterministic pair set (doc_id, doc_id+1):
+    oracle-checkable ground truth for the similarity function itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), shingles(F.col("text")).alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), shingles(F.col("text")).alias("sh_b"))
+    return (
+        a.join(b, a.id_a + 1 == b.id_b)
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+    )
+
+
+# DuckDB spelling of the same shingle+jaccard computation. list_distinct ==
+# array_distinct; shingle built with the same index-range construction.
+_DUCK_SHINGLES = """
+list_distinct(
+  list_transform(
+    range(0, greatest(len(string_split_regex(trim({t}), '\\s+')) - 3, 0) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim({t}), '\\s+'), i + 1, i + 3), ' ')
+  )
+)
+"""
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t='text')} AS s FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash from whitespace tokens, entirely in Catalyst.
+
+    Classic bit-vote: for each bit position p, count tokens whose
+    xxhash64 has bit p set; bit p of the simhash is 1 iff the count
+    exceeds half the token count. Expressed as 64 aggregate expressions
+    over the token-hash array (JVM-side; no Python)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def _bit_set(p: int):
+        mask = F.shiftleft(F.lit(1).cast("long"), p)  # p=63 -> sign bit
+        return lambda h: h.bitwiseAND(mask) != 0
+
+    bits = [
+        F.shiftleft(
+            (F.size(F.filter(hashes, _bit_set(p))) * 2 > n).cast("long"),
+            p,
+        )
+        for p in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit simhash into ``bands``
+    16-bit slices; by pigeonhole, any pair within Hamming distance <
+    ``bands`` shares at least one exact band — join per band, verify
+    the full Hamming distance."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+    )
+    banded = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sim"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sim", "bk.band", "bk.bh")
+    left = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    right = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    return (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on documents (rows-only driver check)."""
+    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))

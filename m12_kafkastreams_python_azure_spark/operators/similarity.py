@@ -1,0 +1,176 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+- Brute-force top-k cosine: the correctness baseline. Query set is broadcast
+  (it is small by definition); candidates stream through partition-local —
+  the only shuffle is the final per-query top-k (a window over query_id, k
+  rows per query survive the partial ranking).
+- Random-hyperplane LSH bucketing: the 100 TB scale path — sign-bit
+  signature over h fixed pseudo-random hyperplanes buckets candidates, so
+  each query only scans its bucket (recall/latency trade via h).
+- Embedding near-dup pairs: all pairs with cosine >= threshold via a
+  deterministic self-join; the LSH-bucketed variant bounds the pair
+  explosion at scale.
+
+All vector math is Catalyst higher-order functions in double precision,
+left-fold in array order — bit-identical to DuckDB's list functions, so the
+oracle comparison is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+)
+from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+
+def ann_bruteforce_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded).
+
+    queries must be small (broadcast); candidates may be arbitrarily large.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_similarity(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_bruteforce_topk(emb, queries, k=5)
+
+
+ORACLE_ANN_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim_raw
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim_raw, 6) AS sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.8 (id_a < id_b). Exact — the
+    oracle-checked ground truth that the LSH variant approximates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.8)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.8
+"""
+
+
+# ------------------------------------------------------------------ LSH-bucketed ANN
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane via a simple LCG —
+    no numpy dependency in the plan, reproducible across engines/runs."""
+    state = (plane_idx * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
+    out = []
+    for _ in range(dim):
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        out.append((state / 0x7FFFFFFF) - 1.0)  # ~U(-1, 1)
+    return out
+
+
+def lsh_bucket(vec_col: F.Column, dim: int = 64, num_planes: int = 8) -> F.Column:
+    """Sign-bit LSH bucket id (0..2^num_planes-1) from fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        sign = (dot_product(vec_col, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(sign, p)
+    return bucket
+
+
+def ann_lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates bucketed by sign-LSH; each query scans
+    only its own bucket. At 100 TB: one shuffle on bucket id (256-64k
+    buckets), per-bucket work is |bucket| x |queries-in-bucket|."""
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_similarity(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only driver check — approximate by design;
+    recall vs the exact baseline is asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)

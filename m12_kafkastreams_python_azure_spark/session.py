@@ -1,0 +1,64 @@
+"""SparkSession builder tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) but every
+config choice is made for a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting).
+- ``spark.sql.shuffle.partitions`` sized for the local test scale; on a real
+  cluster AQE's coalescing makes the static number mostly irrelevant as long
+  as it is an upper bound (set it to 2-3x total cores there).
+- Arrow enabled so any Pandas-UDF path is batch-columnar, never per-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "m12-spark-engine",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime-settable engine configs to an externally-created session.
+
+    The driver harness hands us a SparkSession it built itself; static configs
+    (driver memory, master) are fixed by then, but the SQL configs that matter
+    for plan quality are runtime-settable.
+    """
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+    if shuffle_partitions:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # config locked by the hosting harness — keep going
+    return spark

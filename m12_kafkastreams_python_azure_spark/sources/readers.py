@@ -1,0 +1,128 @@
+"""Sources and ingest transforms (operators S1-S3 + mask S2).
+
+The reference ingests Avro files from object storage via a Kafka Connect
+source connector with a field-mask SMT, into a Kafka topic (reference:
+azure-source-cc.json:4-17). Spark-first translation:
+
+- object-store scan  -> ``spark.read.format("avro").load(path)`` (S1); at
+  100 TB this is a plain distributed columnar scan with partition discovery
+  over the ``partition=N`` directory layout (reference README.md:2003-2019).
+- field mask (SMT)   -> a one-column constant projection (S2) which Catalyst
+  constant-folds into the scan projection.
+- Kafka topic source -> ``readStream.format("kafka")`` + ``from_json`` with a
+  (possibly partial) schema (S3/K1 — schema-on-read projection).
+
+Tests never need a broker: the file-based JSON stream reader below gives the
+same schema-on-read semantics from a directory of JSON files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated parquet table (columnar, pushdown-friendly).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as long (legacy conf) and convert
+    nanos -> micros with exact integer division (truncation — matches how
+    DuckDB casts ns to its us-precision TIMESTAMP).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries run
+    against the same names the DuckDB oracle uses."""
+    for t in TPCH_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def mask_field(df: DataFrame, field: str, replacement: str) -> DataFrame:
+    """Ingest-time field mask (operator S2).
+
+    Equivalent of the Kafka Connect ``MaskField$Value`` SMT that rewrites
+    ``date_time`` to the constant '0000-00-00 00:00:00' (reference:
+    azure-source-cc.json:14-17). A constant projection — Catalyst folds it,
+    so it costs nothing at any scale.
+    """
+    return df.withColumn(field, F.lit(replacement))
+
+
+def read_avro(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Object-store Avro scan (operator S1). Schema optional — Avro files are
+    self-describing; pass one to pin types / prune columns at scan time."""
+    reader = spark.read.format("avro")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    value_schema: StructType,
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka topic source (operator S3): subscribe + JSON-deserialize into a
+    typed streaming DataFrame, exactly the Faust ``value_type`` semantics
+    (reference: src/main.py:35-36,40). Undeclared JSON fields are ignored —
+    same schema-on-read projection as ksql's CREATE STREAM (K1).
+
+    Needs the spark-sql-kafka package on the classpath; tests use
+    ``read_json_stream_from_files`` instead so no broker is required.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return (
+        raw.select(F.col("value").cast("string").alias("json"))
+        .select(F.from_json("json", value_schema).alias("r"))
+        .filter(F.col("r").isNotNull())  # null filter F1 (reference: src/main.py:43-45)
+        .select("r.*")
+    )
+
+
+def read_json_stream_from_files(
+    spark: SparkSession,
+    path: str,
+    value_schema: StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Broker-free stand-in for the Kafka source: stream a directory of JSON
+    files with the same partial-schema projection semantics."""
+    return (
+        spark.readStream.schema(value_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
