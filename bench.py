@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is materialized via a count-style collect (aggregates collect
+fully; wide row sets are counted) after a warm-up of the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from m12_kafkastreams_python_azure_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship reference query + the scan/join/agg/window
+# breadth + the training-data-pipeline operators.
+HEADLINE = [
+    "hotels_count",
+    "stay_enrich",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_top_orders",
+    "events_daily",
+    "dedup_exact",
+    "text_quality",
+    "minhash_near_dup",
+    "ann_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # Warm the JVM + file system cache so timings measure the plans.
+    queries["hotels_count"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        # count() materializes the full plan; for top-k/agg queries the
+        # result is tiny, for wide ones we avoid driver transfer cost.
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,18 +73,22 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _seeded_hash(seed: int):
+def _seeded_rehash(j: int):
     # Single-arg closure: PySpark's higher-order functions dispatch on lambda
     # arity, so a default-arg lambda would be mis-read as (element, index).
-    return lambda s: F.xxhash64(s, F.lit(seed))
+    # xxhash64 over (long, seed) is a cheap JVM intrinsic — no string work,
+    # and no ANSI overflow (unlike an affine h*a+b map).
+    return lambda h: F.xxhash64(h, F.lit(j))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """k independent minhashes: for seed j, min over shingles of
-    xxhash64(shingle, j). Returns array<long> of length k."""
+def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
+    """k minhashes from ONE base-hash array: hash function j re-hashes the
+    base shingle hash with seed j. The expensive string hashing happens once;
+    the k passes are cheap long hashing.
+    Input: array<long> of per-shingle xxhash64 values. Returns array<long>."""
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, _seeded_hash(j)))
+            F.array_min(F.transform(hash_col, _seeded_rehash(j)))
             for j in range(num_hashes)
         ]
     )
@@ -101,11 +105,16 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Defaults (k=16, b=8 => r=2 rows/band) give ~0.97 recall at J=0.6 via
+    1-(1-J^r)^b; precision doesn't matter because every candidate is
+    verified with EXACT Jaccard below. Fewer hashes also keeps the codegen'd
+    signature expression small (cost grows superlinearly with k).
 
     Pipeline: shingle -> signature -> band hashes -> explode(bands) ->
     self-join on (band, band_hash) -> distinct candidate pairs ->
@@ -115,13 +124,30 @@ def minhash_near_dup_pairs(
     one on the pair ids for verification. No cross product anywhere.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # The driver testdata arrives as ONE small parquet file -> one input
+    # partition; the signature computation is the expensive narrow stage, so
+    # spread it across the cluster first. At real scale the input is already
+    # many partitions and this coalesces nothing (cheap round-robin).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(parallelism)  # BEFORE the expensive narrow stage, so
+        # shingling parallelizes even from a single-file scan
+        .select("id", shingles(F.col("t"), shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()  # reused by the signature pass AND the verify joins
+    )
+    # Hash every shingle string exactly once; signatures derive from the
+    # long array (a named column, so it is single-evaluation).
+    sig = (
+        base.withColumn("hb", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+        .withColumn("sig", minhash_signature(F.col("hb"), num_hashes))
+        .select("id", "sig")
+    )
+    # Band rows carry ONLY (id, band, bh): the shingle arrays never ride
+    # through the band shuffle (they're 100x the id's width).
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -138,22 +164,23 @@ def minhash_near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    left = banded.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
+    left = banded.select("band", "bh", F.col("id").alias("id_a"))
+    right = banded.select("band", "bh", F.col("id").alias("id_b"))
     cands = (
         left.join(right, on=["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verify stage touches only surviving candidate pairs.
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cands.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -257,8 +284,11 @@ def simhash_near_dup_pairs(
     the full Hamming distance."""
     width = 64 // bands
     mask = (1 << width) - 1
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(parallelism)
+        .select("id", simhash64(F.col("t")).alias("sim"))
     )
     banded = sigs.select(
         "id",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from m12_kafkastreams_python_azure_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
+    l2_norm,
 )
 from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
@@ -39,16 +40,27 @@ def ann_bruteforce_topk(
 
     queries must be small (broadcast); candidates may be arbitrarily large.
     """
+    # Precompute each side's norm ONCE (the naive form recomputes the query
+    # norm for every (candidate, query) pair — dim x candidates wasted work).
+    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    c = candidates.repartition(parallelism).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine_similarity(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "sim",
+            dot_product(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -88,11 +100,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.8 (id_a < id_b). Exact — the
     oracle-checked ground truth that the LSH variant approximates."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    parallelism = spark.sparkContext.defaultParallelism
+    a = emb.repartition(parallelism).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim", dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("sim") >= 0.8)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
