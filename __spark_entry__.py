@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": A.q_window_top_orders,
         "events_daily": A.q_events_daily,
         "customers_without_orders": A.q_customers_without_orders,
+        "purchase_and_click_users": A.q_purchase_and_click_users,
         "rollup_returnflag": A.q_rollup_returnflag,
         # training-data pipeline: text analysis
         "text_quality": T.q_text_quality,
@@ -75,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
         "window_top_orders": A.ORACLE_WINDOW_TOP_ORDERS,
         "events_daily": A.ORACLE_EVENTS_DAILY,
         "customers_without_orders": A.ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+        "purchase_and_click_users": A.ORACLE_PURCHASE_AND_CLICK_USERS,
         "rollup_returnflag": A.ORACLE_ROLLUP_RETURNFLAG,
         "text_quality": T.ORACLE_TEXT_QUALITY,
         "lang_id": T.ORACLE_LANG_ID,

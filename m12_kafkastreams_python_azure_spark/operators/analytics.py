@@ -350,6 +350,23 @@ SELECT o_custkey AS c_custkey FROM orders
 """
 
 
+def q_purchase_and_click_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT) — users who both purchased and clicked
+    (plans as a left-semi join; non-empty on the testdata, unlike EXCEPT)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    click = ev.filter(F.col("event_type") == "click").select("user_id")
+    return purch.intersect(click)
+
+
+ORACLE_PURCHASE_AND_CLICK_USERS = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+"""
+
+
 def q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets family: ROLLUP over (returnflag, linestatus) with
     subtotal + grand-total rows."""

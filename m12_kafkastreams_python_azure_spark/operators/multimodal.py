@@ -1,0 +1,184 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+Engine-roadmap surface for a 100 TB training-data pipeline. The Spark-side
+plumbing is real and tested — schema, partitioning, Arrow batch shape,
+``mapInPandas`` signatures; only the media *decode* kernels are stubbed
+(the codec libraries are not in this container) behind
+``DETERMINISTIC_FAKE_DECODE``: a reproducible fake that derives "pixels" /
+"samples" from the bytes, or ``NotImplementedError`` when disabled.
+
+Design notes for scale:
+
+- media rows are large (MBs) — keep ``spark.sql.files.maxPartitionBytes``
+  the bound on scan partitions and NEVER collect binaries to the driver.
+- decode/feature-extract runs as ``mapInPandas`` (Arrow batches, one Python
+  worker per core); batch size bounded by ``maxRecordsPerBatch`` so a batch
+  of decoded frames fits executor memory.
+- derived features (embeddings, thumbnails) are small — project early, so
+  the heavy binary column is dropped before any shuffle.
+- every closure shipped to Python workers is SELF-CONTAINED (locals +
+  stdlib/pandas imported inside): no reference to this package, so workers
+  need nothing beyond pyspark+pandas on their path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Flip to False to surface NotImplementedError where real codecs are needed.
+DETERMINISTIC_FAKE_DECODE = True
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),    # opaque encoded bytes
+        StructField("width", IntegerType()),     # typed metadata (nullable)
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", IntegerType()),   # 0..255
+        StructField("phash64", LongType()),        # perceptual-hash stand-in
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract images via mapInPandas (Arrow-batched).
+
+    The binary column enters the Python worker in Arrow batches and is
+    DROPPED in the returned frame — only small features leave, so any
+    downstream shuffle moves features, not media bytes.
+    """
+    fake = DETERMINISTIC_FAKE_DECODE  # captured by value — closure stays self-contained
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        def decode(payload: bytes):
+            # Deterministic stand-in for an image decode. Replace with
+            # PIL/libvips in production.
+            if not fake:
+                raise NotImplementedError("image codec not available in this container")
+            d = hashlib.sha256(payload).digest()
+            return (
+                64 + d[0] % 192,
+                64 + d[1] % 192,
+                d[2],
+                int.from_bytes(d[3:11], "big", signed=True),
+            )
+
+        for pdf in it:
+            decoded = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                    "phash64": [d[3] for d in decoded],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def resize_stub(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: passes bytes through the Arrow boundary and returns a
+    (fake) resized payload + new dims. Shape/typing is what production needs;
+    the kernel is the stub."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    fake = DETERMINISTIC_FAKE_DECODE
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ws, hs, payloads = [], [], []
+            for p in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError("image codec not available")
+                d = hashlib.sha256(p).digest()
+                w, h = 64 + d[0] % 192, 64 + d[1] % 192
+                scale = min(1.0, max_side / max(w, h))
+                ws.append(int(w * scale))
+                hs.append(int(h * scale))
+                payloads.append(bytes(p[: max(1, len(p) // 2)]))  # fake downscale
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads,
+                 "width": ws, "height": hs}
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, out_schema)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video: one output row per sampled frame
+    (explode semantics through mapInPandas)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_phash64", LongType()),
+        ]
+    )
+    fake = DETERMINISTIC_FAKE_DECODE
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for mid, p, nf in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
+                if not fake:
+                    raise NotImplementedError("video codec not available")
+                n = int(nf) if pd.notna(nf) else 0
+                for fi in range(0, n, every_n):
+                    d = hashlib.sha256(bytes(p) + fi.to_bytes(4, "big")).digest()
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hashes.append(int.from_bytes(d[:8], "big", signed=True))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_phash64": hashes}
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "n_frames"
+    ).mapInPandas(batches, out_schema)

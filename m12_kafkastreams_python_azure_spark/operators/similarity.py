@@ -97,7 +97,7 @@ FROM ranked WHERE rank <= 5
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs with cosine >= 0.8 (id_a < id_b). Exact — the
+    """All embedding pairs with cosine >= 0.4 (id_a < id_b). Exact — the
     oracle-checked ground truth that the LSH variant approximates."""
     emb = load_table(spark, sf_dir, "embeddings")
     parallelism = spark.sparkContext.defaultParallelism
@@ -116,7 +116,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sim", dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
-        .filter(F.col("sim") >= 0.8)
+        .filter(F.col("sim") >= 0.4)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
 
@@ -129,7 +129,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.8
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
 """
 
 

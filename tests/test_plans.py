@@ -1,0 +1,56 @@
+"""Plan-shape regression tests: the scale discipline is assertable.
+
+These parse explain("formatted") and fail if a future change silently
+de-optimizes a plan (lost pushdown, lost broadcast, lost column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.operators import analytics as A
+from m12_kafkastreams_python_azure_spark.plans.checks import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+    wholestage_codegen_spans,
+)
+from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = A.q_pricing_summary(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), f"no shipdate pushdown: {pf}"
+
+
+def test_column_pruning(spark, sf_dir):
+    # 2-column projection from the 11-column lineitem must prune the scan
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(li)
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_returnflag" not in s for s in schemas
+    ), schemas
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert has_broadcast_join(A.q_region_revenue(spark, sf_dir))
+    assert has_broadcast_join(A.q_top_revenue_orders(spark, sf_dir))
+
+
+def test_selective_filter_pushdown_in_join(spark, sf_dir):
+    df = A.q_top_revenue_orders(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in pf), f"segment filter not pushed: {pf}"
+
+
+def test_enrichment_stays_jvm_side(spark, sf_dir):
+    # the F3-F5 stack must compile to Catalyst expressions: no Python eval
+    # operators anywhere, and the CASE bucketing visible as a plain Project.
+    # (AQE formatted plans omit WholeStageCodegen markers pre-execution, so
+    # codegen span counting is not assertable here.)
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    s = explain_str(A.q_stay_enrich(spark, sf_dir))
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "CASE WHEN" in s and "datediff" in s
