@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from m12_kafkastreams_python_azure_spark.operators import analytics as A
+from m12_kafkastreams_python_azure_spark.operators import analytics2 as A2
 from m12_kafkastreams_python_azure_spark.operators import dedup as D
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
 from m12_kafkastreams_python_azure_spark.operators import textops as T
@@ -46,6 +47,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": A.q_customers_without_orders,
         "purchase_and_click_users": A.q_purchase_and_click_users,
         "rollup_returnflag": A.q_rollup_returnflag,
+        "priority_orders_exists": A2.q_priority_orders_exists,
+        "orders_no_lineitems_anti": A2.q_orders_no_lineitems_anti,
+        "sessionize_events": A2.q_sessionize_events,
+        "string_functions": A2.q_string_functions,
+        "math_functions": A2.q_math_functions,
+        "quantity_percentiles": A2.q_quantity_percentiles,
+        "date_parse_lenient": A2.q_date_parse_lenient,
         # training-data pipeline: text analysis
         "text_quality": T.q_text_quality,
         "lang_id": T.q_lang_id,
@@ -78,6 +86,13 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": A.ORACLE_CUSTOMERS_WITHOUT_ORDERS,
         "purchase_and_click_users": A.ORACLE_PURCHASE_AND_CLICK_USERS,
         "rollup_returnflag": A.ORACLE_ROLLUP_RETURNFLAG,
+        "priority_orders_exists": A2.ORACLE_PRIORITY_ORDERS_EXISTS,
+        "orders_no_lineitems_anti": A2.ORACLE_ORDERS_NO_LINEITEMS_ANTI,
+        "sessionize_events": A2.ORACLE_SESSIONIZE_EVENTS,
+        "string_functions": A2.ORACLE_STRING_FUNCTIONS,
+        "math_functions": A2.ORACLE_MATH_FUNCTIONS,
+        "quantity_percentiles": A2.ORACLE_QUANTITY_PERCENTILES,
+        "date_parse_lenient": A2.ORACLE_DATE_PARSE_LENIENT,
         "text_quality": T.ORACLE_TEXT_QUALITY,
         "lang_id": T.ORACLE_LANG_ID,
         "doc_fingerprint": T.ORACLE_DOC_FINGERPRINT,
