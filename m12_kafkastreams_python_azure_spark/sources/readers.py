@@ -74,13 +74,68 @@ def mask_field(df: DataFrame, field: str, replacement: str) -> DataFrame:
     return df.withColumn(field, F.lit(replacement))
 
 
+#: spark-avro provider class. Avro is a built-in but *external* Spark module
+#: (shipped separately since 2.4): its classes can be on the classpath while
+#: the short name "avro" is unregistered with the DataSource ServiceLoader —
+#: exactly this container's situation — so we address it by class name, which
+#: Spark's lookupDataSource resolves via Class.forName.
+AVRO_FORMAT = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro module classes are on the classpath."""
+    try:
+        # Class.forName throws for a missing class; bare _jvm attribute
+        # access would just hand back an empty JavaPackage.
+        spark._jvm.java.lang.Class.forName(AVRO_FORMAT)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
 def read_avro(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """Object-store Avro scan (operator S1). Schema optional — Avro files are
-    self-describing; pass one to pin types / prune columns at scan time."""
-    reader = spark.read.format("avro")
+    self-describing; pass one to pin types / prune columns at scan time.
+
+    Uses the fully-qualified provider class so it works whether or not the
+    short name "avro" is service-registered. When the module is absent
+    entirely, raises immediately with a clear message instead of an opaque
+    ClassNotFoundException at action time.
+    """
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro module not on the classpath; add "
+            "org.apache.spark:spark-avro_2.13 via spark.jars.packages, or "
+            "ingest via read_ingest_files(..., fmt='json'/'parquet')"
+        )
+    reader = spark.read.format(AVRO_FORMAT)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a DataFrame as Avro files — the shape the reference's source
+    connector consumes from blob storage (azure-source-cc.json:4-13)."""
+    df.write.format(AVRO_FORMAT).mode(mode).save(path)
+
+
+def read_ingest_files(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "json",
+    mask: tuple[str, str] | None = None,
+) -> DataFrame:
+    """S1+S2 in one step: scan an object-store directory (any format Spark
+    has on the classpath) and apply the ingest-time field mask — the Kafka
+    Connect source-connector-with-SMT role. Partition-dir layouts
+    (``partition=N/``, reference README.md:2003-2019) are auto-discovered.
+    """
+    df = spark.read.format(fmt).schema(schema).load(path)
+    if mask is not None:
+        df = mask_field(df, mask[0], mask[1])
+    return df
 
 
 def read_kafka_stream(
