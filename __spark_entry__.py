@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from m12_kafkastreams_python_azure_spark.operators import analytics as A
 from m12_kafkastreams_python_azure_spark.operators import analytics2 as A2
+from m12_kafkastreams_python_azure_spark.operators import analytics3 as A3
 from m12_kafkastreams_python_azure_spark.operators import dedup as D
+from m12_kafkastreams_python_azure_spark.operators import joins as J
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
 from m12_kafkastreams_python_azure_spark.operators import textops as T
 from m12_kafkastreams_python_azure_spark.session import tune_for_session
@@ -54,6 +56,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_functions": A2.q_math_functions,
         "quantity_percentiles": A2.q_quantity_percentiles,
         "date_parse_lenient": A2.q_date_parse_lenient,
+        "token_count": A3.q_token_count,
+        "cube_events": A3.q_cube_events,
+        "window_functions": A3.q_window_functions,
+        "array_functions": A3.q_array_functions,
+        "inactive_customers_except": A3.q_inactive_customers_except,
+        # temporal / range joins
+        "asof_latest_order": J.q_asof_latest_order,
+        "value_band_join": J.q_value_band_join,
+        "event_pairs_10min": J.q_event_pairs_10min,
         # training-data pipeline: text analysis
         "text_quality": T.q_text_quality,
         "lang_id": T.q_lang_id,
@@ -93,6 +104,14 @@ def oracle_sql() -> dict[str, str]:
         "math_functions": A2.ORACLE_MATH_FUNCTIONS,
         "quantity_percentiles": A2.ORACLE_QUANTITY_PERCENTILES,
         "date_parse_lenient": A2.ORACLE_DATE_PARSE_LENIENT,
+        "token_count": A3.ORACLE_TOKEN_COUNT,
+        "cube_events": A3.ORACLE_CUBE_EVENTS,
+        "window_functions": A3.ORACLE_WINDOW_FUNCTIONS,
+        "array_functions": A3.ORACLE_ARRAY_FUNCTIONS,
+        "inactive_customers_except": A3.ORACLE_INACTIVE_CUSTOMERS_EXCEPT,
+        "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
+        "value_band_join": J.ORACLE_VALUE_BAND_JOIN,
+        "event_pairs_10min": J.ORACLE_EVENT_PAIRS_10MIN,
         "text_quality": T.ORACLE_TEXT_QUALITY,
         "lang_id": T.ORACLE_LANG_ID,
         "doc_fingerprint": T.ORACLE_DOC_FINGERPRINT,
