@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from m12_kafkastreams_python_azure_spark.operators import analytics as A
 from m12_kafkastreams_python_azure_spark.operators import analytics2 as A2
 from m12_kafkastreams_python_azure_spark.operators import analytics3 as A3
+from m12_kafkastreams_python_azure_spark.operators import analytics4 as A4
 from m12_kafkastreams_python_azure_spark.operators import dedup as D
 from m12_kafkastreams_python_azure_spark.operators import joins as J
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
@@ -61,6 +62,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_functions": A3.q_window_functions,
         "array_functions": A3.q_array_functions,
         "inactive_customers_except": A3.q_inactive_customers_except,
+        "json_extract": A4.q_json_extract,
+        "pivot_daily": A4.q_pivot_daily,
+        "datetime_functions": A4.q_datetime_functions,
+        "hash_sample": A4.q_hash_sample,
+        "salted_user_counts": A4.q_salted_user_counts,
+        "conditional_functions": A4.q_conditional_functions,
         # temporal / range joins
         "asof_latest_order": J.q_asof_latest_order,
         "value_band_join": J.q_value_band_join,
@@ -109,6 +116,12 @@ def oracle_sql() -> dict[str, str]:
         "window_functions": A3.ORACLE_WINDOW_FUNCTIONS,
         "array_functions": A3.ORACLE_ARRAY_FUNCTIONS,
         "inactive_customers_except": A3.ORACLE_INACTIVE_CUSTOMERS_EXCEPT,
+        "json_extract": A4.ORACLE_JSON_EXTRACT,
+        "pivot_daily": A4.ORACLE_PIVOT_DAILY,
+        "datetime_functions": A4.ORACLE_DATETIME_FUNCTIONS,
+        "hash_sample": A4.ORACLE_HASH_SAMPLE,
+        "salted_user_counts": A4.ORACLE_SALTED_USER_COUNTS,
+        "conditional_functions": A4.ORACLE_CONDITIONAL_FUNCTIONS,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,
         "event_pairs_10min": J.ORACLE_EVENT_PAIRS_10MIN,
