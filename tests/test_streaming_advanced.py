@@ -1,0 +1,170 @@
+"""Advanced streaming tests: stream-stream interval join == batch join,
+applyInPandasWithState running stats == batch groupBy, foreachBatch dedup
+emits each content hash exactly once, rate source produces rows."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.streaming.advanced import (
+    rate_source,
+    start_dedup_stream,
+    user_stats_stateful,
+    view_purchase_join,
+)
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_events(path: str, rows: list[dict], fname: str = "f0.json") -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, fname), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _event(eid, minute, user, etype, value=1.0):
+    return {
+        "event_id": eid,
+        "ts": f"2024-03-01T10:{minute:02d}:00",
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+    }
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("funnel"))
+    rows = [
+        _event(1, 0, 1, "view"),
+        _event(2, 5, 1, "purchase", 30.0),   # 5 min after view 1 -> joins
+        _event(3, 20, 1, "purchase", 40.0),  # 20 min after view 1 -> too late
+        _event(4, 10, 2, "view"),
+        _event(5, 12, 2, "purchase", 50.0),  # joins view 4
+        _event(6, 1, 3, "purchase", 60.0),   # no prior view -> no join
+        _event(7, 30, 2, "view"),            # no later purchase -> no join
+    ]
+    _write_events(d, rows)
+    return d
+
+
+def _read_stream(spark, d):
+    return spark.readStream.schema(EVENTS_SCHEMA).json(d)
+
+
+def test_stream_stream_join_matches_batch(spark, funnel_dir, tmp_path):
+    ev = _read_stream(spark, funnel_dir)
+    joined = view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("funnel")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.table("funnel").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_stateful_user_stats_matches_batch(spark, funnel_dir, tmp_path):
+    ev = _read_stream(spark, funnel_dir)
+    q = (
+        user_stats_stateful(ev)
+        .writeStream.format("memory")
+        .queryName("ustats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # latest row per user = current running state
+        rows = spark.table("ustats").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = (r.n_events, r.value_sum, r.n_types)
+    batch = {
+        r.user_id: (r.n, r.s, r.t)
+        for r in spark.read.schema(EVENTS_SCHEMA)
+        .json(funnel_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert latest == batch
+
+
+def test_foreachbatch_dedup_incremental(spark, tmp_path):
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "docs_ck")
+    docs_schema = "doc_id long, text string"
+    _write_events(
+        src,
+        [{"doc_id": 1, "text": "aaa"}, {"doc_id": 2, "text": "bbb"},
+         {"doc_id": 3, "text": "aaa"}],
+        "b0.json",
+    )
+    docs = spark.readStream.schema(docs_schema).json(src)
+    q = start_dedup_stream(docs, out, ck)
+    try:
+        q.processAllAvailable()
+        first = spark.read.parquet(out)
+        assert first.count() == 2  # aaa (doc 1 wins), bbb
+        assert {r.doc_id for r in first.collect()} == {1, 2}
+        # second batch: one repeat ("bbb") + one new ("ccc")
+        _write_events(
+            src,
+            [{"doc_id": 4, "text": "bbb"}, {"doc_id": 5, "text": "ccc"}],
+            "b1.json",
+        )
+        q.processAllAvailable()
+        final = spark.read.parquet(out)
+        assert {r.doc_id for r in final.collect()} == {1, 2, 5}
+    finally:
+        q.stop()
+
+
+def test_rate_source_produces_rows(spark, tmp_path):
+    q = (
+        rate_source(spark, rows_per_second=50, num_partitions=3)
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckr"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("rate_smoke").count()
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    assert set(spark.table("rate_smoke").columns) == {"timestamp", "value"}
