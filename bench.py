@@ -36,6 +36,13 @@ HEADLINE = [
     "text_quality",
     "minhash_near_dup",
     "ann_topk",
+    "asof_latest_order",
+    "event_pairs_10min",
+    "window_functions",
+    "token_count",
+    "salted_user_counts",
+    "pivot_daily",
+    "json_extract",
 ]
 
 

@@ -100,6 +100,56 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter.cast("double") / union.cast("double")
 
 
+def _bucket_pairs(ids: Column) -> Column:
+    """All ordered (id_a < id_b) pairs inside one LSH bucket, as an array of
+    structs — expanded bucket-locally with higher-order functions instead of
+    a self-join, so the bucket's rows shuffle ONCE (into the groupBy) rather
+    than twice (both join sides). Bucket sizes are small by construction
+    (that's what banding is for), so the local expansion is cheap."""
+    sorted_ids = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda x, i: F.transform(
+                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, t) spread over all cores WITH a materialization barrier.
+
+    A bare ``repartition(n)`` is NOT enough when the input is one small
+    parquet file: Catalyst pushes projections below the round-robin
+    exchange, so any expensive expression layered on top would execute in
+    the single-task scan stage. Persisting the repartitioned raw text pins
+    a 32-partition cut that downstream narrow stages read in parallel.
+    At real scale the scan has thousands of splits and this is a no-op
+    round-robin plus a cheap cache of (id, text).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(parallelism)
+        .persist()
+    )
+
+
+def _parallel_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """Shingle sets computed in parallel (see ``_parallel_text``), cached
+    for reuse by the signature pass and both verify-join sides."""
+    return (
+        _parallel_text(df, text_col, id_col)
+        .select("id", shingles(F.col("t"), shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -124,19 +174,7 @@ def minhash_near_dup_pairs(
     one on the pair ids for verification. No cross product anywhere.
     """
     rows_per_band = num_hashes // bands
-    # The driver testdata arrives as ONE small parquet file -> one input
-    # partition; the signature computation is the expensive narrow stage, so
-    # spread it across the cluster first. At real scale the input is already
-    # many partitions and this coalesces nothing (cheap round-robin).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .repartition(parallelism)  # BEFORE the expensive narrow stage, so
-        # shingling parallelizes even from a single-file scan
-        .select("id", shingles(F.col("t"), shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()  # reused by the signature pass AND the verify joins
-    )
+    base = _parallel_shingles(df, text_col, id_col, shingle_n)
     # Hash every shingle string exactly once; signatures derive from the
     # long array (a named column, so it is single-evaluation).
     sig = (
@@ -166,20 +204,24 @@ def minhash_near_dup_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    left = banded.select("band", "bh", F.col("id").alias("id_a"))
-    right = banded.select("band", "bh", F.col("id").alias("id_b"))
     cands = (
-        left.join(right, on=["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify stage touches only surviving candidate pairs.
+    # Verify stage touches only surviving candidate pairs. Candidates are a
+    # tiny fraction of the corpus — broadcast them, so the shingle table is
+    # streamed in place and its wide arrays NEVER cross a shuffle. (At a
+    # scale where candidates outgrow broadcast, drop the hint and AQE picks
+    # a shuffled join — the code stays correct.)
     a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pair_a = a.join(F.broadcast(cands), "id_a")
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        b.join(F.broadcast(pair_a), "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -271,6 +313,26 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _member_pairs(members: Column) -> Column:
+    """Ordered (id, sim) pairs inside one simhash bucket — same bucket-local
+    expansion as ``_bucket_pairs`` but carrying the signatures along."""
+    m = F.array_sort(members)  # struct sort: by id first
+    return F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sim"].alias("sim_a"),
+                    y["sim"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -284,11 +346,8 @@ def simhash_near_dup_pairs(
     the full Hamming distance."""
     width = 64 // bands
     mask = (1 << width) - 1
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sigs = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .repartition(parallelism)
-        .select("id", simhash64(F.col("t")).alias("sim"))
+    sigs = _parallel_text(df, text_col, id_col).select(
+        "id", simhash64(F.col("t")).alias("sim")
     )
     banded = sigs.select(
         "id",
@@ -307,13 +366,18 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select("id", "sim", "bk.band", "bk.bh")
-    left = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
-    right = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
-    return (
-        left.join(right, on=["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    # Bucket-local pair expansion (one shuffle) instead of a self-join (two);
+    # the signature rides along in the struct so the verify needs no re-join.
+    pairs = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("id", "sim")).alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+    )
+    return (
+        pairs.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
