@@ -20,7 +20,9 @@ from m12_kafkastreams_python_azure_spark.operators import analytics2 as A2
 from m12_kafkastreams_python_azure_spark.operators import analytics3 as A3
 from m12_kafkastreams_python_azure_spark.operators import analytics4 as A4
 from m12_kafkastreams_python_azure_spark.operators import dedup as D
+from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import joins as J
+from m12_kafkastreams_python_azure_spark.operators import vectorops as V
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
 from m12_kafkastreams_python_azure_spark.operators import textops as T
 from m12_kafkastreams_python_azure_spark.session import tune_for_session
@@ -85,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": S.q_ann_topk,
         "embedding_near_dup": S.q_embedding_near_dup,
         "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
+        "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
+        "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
     }
 
 
@@ -132,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "ann_topk": S.ORACLE_ANN_TOPK,
         "embedding_near_dup": S.ORACLE_EMBEDDING_NEAR_DUP,
+        "normalize_embeddings": V.ORACLE_NORMALIZE_EMBEDDINGS,
         # minhash_near_dup / simhash_near_dup / ann_lsh: intentionally no
         # oracle — LSH banding is not SQL-expressible; their exact
         # counterparts (ngram_jaccard_pairs, embedding_near_dup, ann_topk)

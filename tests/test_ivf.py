@@ -1,0 +1,61 @@
+"""IVF ANN tests: the index partitions the corpus completely, and probing
+nprobe lists recovers most of the exact top-k (recall floor)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.operators.ivf import (
+    ann_ivf_topk,
+    build_ivf_index,
+    train_ivf,
+)
+from m12_kafkastreams_python_azure_spark.operators.similarity import (
+    ann_bruteforce_topk,
+)
+from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+
+def test_ivf_index_partitions_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf(emb, k=8, iters=1)
+    assert len(centroids) <= 8 and len(centroids) > 1
+    index = build_ivf_index(emb, centroids)
+    assert index.count() == emb.count()  # every vector in exactly one list
+    n_lists = index.select("centroid_id").distinct().count()
+    assert n_lists == len(centroids)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+    centroids = train_ivf(emb, k=16, iters=2)
+    index = build_ivf_index(emb, centroids)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(index, queries, centroids, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe == k (scan every list) must reproduce the exact answer —
+    the IVF machinery loses nothing; only probe pruning approximates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in ann_bruteforce_topk(emb, queries, k=3).collect()
+    }
+    centroids = train_ivf(emb, k=8, iters=1)
+    index = build_ivf_index(emb, centroids)
+    full = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in ann_ivf_topk(index, queries, centroids, k=3, nprobe=8).collect()
+    }
+    assert full == exact
