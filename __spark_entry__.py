@@ -20,7 +20,9 @@ from m12_kafkastreams_python_azure_spark.operators import analytics2 as A2
 from m12_kafkastreams_python_azure_spark.operators import analytics3 as A3
 from m12_kafkastreams_python_azure_spark.operators import analytics4 as A4
 from m12_kafkastreams_python_azure_spark.operators import dedup as D
+from m12_kafkastreams_python_azure_spark.operators import analytics5 as A5
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
+from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
 from m12_kafkastreams_python_azure_spark.operators import vectorops as V
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
@@ -70,6 +72,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": A4.q_hash_sample,
         "salted_user_counts": A4.q_salted_user_counts,
         "conditional_functions": A4.q_conditional_functions,
+        "stats_battery": A5.q_stats_battery,
+        "above_avg_orders": A5.q_above_avg_orders,
+        "big_orders_having": A5.q_big_orders_having,
+        "union_all_activity": A5.q_union_all_activity,
+        "regexp_battery": A5.q_regexp_battery,
+        "tumbling_hourly": A5.q_tumbling_hourly,
+        # training-data pipeline: multimodal (Arrow/mapInPandas path)
+        "media_features": M.q_media_features,
         # temporal / range joins
         "asof_latest_order": J.q_asof_latest_order,
         "value_band_join": J.q_value_band_join,
@@ -126,6 +136,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": A4.ORACLE_HASH_SAMPLE,
         "salted_user_counts": A4.ORACLE_SALTED_USER_COUNTS,
         "conditional_functions": A4.ORACLE_CONDITIONAL_FUNCTIONS,
+        "stats_battery": A5.ORACLE_STATS_BATTERY,
+        "above_avg_orders": A5.ORACLE_ABOVE_AVG_ORDERS,
+        "big_orders_having": A5.ORACLE_BIG_ORDERS_HAVING,
+        "union_all_activity": A5.ORACLE_UNION_ALL_ACTIVITY,
+        "regexp_battery": A5.ORACLE_REGEXP_BATTERY,
+        "tumbling_hourly": A5.ORACLE_TUMBLING_HOURLY,
+        "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,
         "event_pairs_10min": J.ORACLE_EVENT_PAIRS_10MIN,

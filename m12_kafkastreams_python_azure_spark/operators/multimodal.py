@@ -23,7 +23,7 @@ Design notes for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -105,6 +105,59 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
     )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into the media schema (payload = the UTF-8
+    bytes of the text) — a deterministic binary column for exercising the
+    full multimodal path against real testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/x-fake").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked multimodal query: binary payload -> mapInPandas decode
+    (Arrow batches through a Python worker) -> small typed features. The
+    deterministic fake decode is sha256-derived, which the DuckDB oracle
+    reproduces byte-for-byte from the hex digest — so the whole
+    Python-worker path is value-checked, not just smoke-tested."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return extract_image_features(media).select(
+        "media_id", "width", "height", "mean_luma"
+    )
+
+
+# byte i (1-based) of the hex sha256 digest, as an integer expression
+_HEXB = (
+    "((strpos('0123456789abcdef', substr(hx, {o1}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(hx, {o2}, 1)) - 1))"
+)
+
+
+def _hex_byte(i: int) -> str:
+    return _HEXB.format(o1=2 * i - 1, o2=2 * i)
+
+
+ORACLE_MEDIA_FEATURES = f"""
+WITH h AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+)
+SELECT media_id,
+       CAST(64 + {_hex_byte(1)} % 192 AS INTEGER) AS width,
+       CAST(64 + {_hex_byte(2)} % 192 AS INTEGER) AS height,
+       CAST({_hex_byte(3)} AS INTEGER) AS mean_luma
+FROM h
+"""
 
 
 def resize_stub(media: DataFrame, max_side: int = 256) -> DataFrame:
