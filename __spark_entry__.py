@@ -21,6 +21,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics3 as A3
 from m12_kafkastreams_python_azure_spark.operators import analytics4 as A4
 from m12_kafkastreams_python_azure_spark.operators import dedup as D
 from m12_kafkastreams_python_azure_spark.operators import analytics5 as A5
+from m12_kafkastreams_python_azure_spark.operators import analytics6 as A6
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
@@ -78,6 +79,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_activity": A5.q_union_all_activity,
         "regexp_battery": A5.q_regexp_battery,
         "tumbling_hourly": A5.q_tumbling_hourly,
+        "priority_count_q4": A6.q_priority_count_q4,
+        "forecast_revenue_q6": A6.q_forecast_revenue_q6,
+        "shipmode_priority_q12": A6.q_shipmode_priority_q12,
+        "promo_revenue_q14": A6.q_promo_revenue_q14,
+        "zscore_events": A6.q_zscore_events,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -142,6 +148,11 @@ def oracle_sql() -> dict[str, str]:
         "union_all_activity": A5.ORACLE_UNION_ALL_ACTIVITY,
         "regexp_battery": A5.ORACLE_REGEXP_BATTERY,
         "tumbling_hourly": A5.ORACLE_TUMBLING_HOURLY,
+        "priority_count_q4": A6.ORACLE_PRIORITY_COUNT_Q4,
+        "forecast_revenue_q6": A6.ORACLE_FORECAST_REVENUE_Q6,
+        "shipmode_priority_q12": A6.ORACLE_SHIPMODE_PRIORITY_Q12,
+        "promo_revenue_q14": A6.ORACLE_PROMO_REVENUE_Q14,
+        "zscore_events": A6.ORACLE_ZSCORE_EVENTS,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,
