@@ -22,6 +22,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics4 as A4
 from m12_kafkastreams_python_azure_spark.operators import dedup as D
 from m12_kafkastreams_python_azure_spark.operators import analytics5 as A5
 from m12_kafkastreams_python_azure_spark.operators import analytics6 as A6
+from m12_kafkastreams_python_azure_spark.operators import analytics7 as A7
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
@@ -84,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipmode_priority_q12": A6.q_shipmode_priority_q12,
         "promo_revenue_q14": A6.q_promo_revenue_q14,
         "zscore_events": A6.q_zscore_events,
+        "word_count": A7.q_word_count,
+        "user_event_profile": A7.q_user_event_profile,
+        "date_spine_daily": A7.q_date_spine_daily,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -153,6 +157,9 @@ def oracle_sql() -> dict[str, str]:
         "shipmode_priority_q12": A6.ORACLE_SHIPMODE_PRIORITY_Q12,
         "promo_revenue_q14": A6.ORACLE_PROMO_REVENUE_Q14,
         "zscore_events": A6.ORACLE_ZSCORE_EVENTS,
+        "word_count": A7.ORACLE_WORD_COUNT,
+        "user_event_profile": A7.ORACLE_USER_EVENT_PROFILE,
+        "date_spine_daily": A7.ORACLE_DATE_SPINE_DAILY,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,
