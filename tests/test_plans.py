@@ -54,3 +54,54 @@ def test_enrichment_stays_jvm_side(spark, sf_dir):
     s = explain_str(A.q_stay_enrich(spark, sf_dir))
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "CASE WHEN" in s and "datediff" in s
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from m12_kafkastreams_python_azure_spark.operators import analytics6 as A6
+
+    pf = pushed_filters(A6.q_forecast_revenue_q6(spark, sf_dir))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in pf), f"{col} not pushed: {pf}"
+    schemas = scan_read_schema(A6.q_forecast_revenue_q6(spark, sf_dir))
+    assert all("l_returnflag" not in s for s in schemas), schemas
+
+
+def test_q14_part_broadcasts(spark, sf_dir):
+    from m12_kafkastreams_python_azure_spark.operators import analytics6 as A6
+
+    assert has_broadcast_join(A6.q_promo_revenue_q14(spark, sf_dir))
+
+
+def test_band_join_is_broadcast_nested_loop(spark, sf_dir):
+    from m12_kafkastreams_python_azure_spark.operators import joins as J
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    assert "BroadcastNestedLoopJoin" in explain_str(
+        J.q_value_band_join(spark, sf_dir)
+    )
+
+
+def test_asof_join_single_window_no_join_nodes(spark, sf_dir):
+    # the union-spine as-of must contain a Window and NO join operator at
+    # all — that's the no-explosion guarantee.
+    from m12_kafkastreams_python_azure_spark.operators import joins as J
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    s = explain_str(J.q_asof_latest_order(spark, sf_dir))
+    assert "Window" in s
+    assert "Join" not in s, "as-of should not plan any join"
+
+
+def test_scalar_batteries_no_python_eval(spark, sf_dir):
+    from m12_kafkastreams_python_azure_spark.operators import analytics3 as A3
+    from m12_kafkastreams_python_azure_spark.operators import analytics4 as A4
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    for q in (
+        A3.q_token_count,
+        A3.q_array_functions,
+        A4.q_json_extract,
+        A4.q_datetime_functions,
+    ):
+        s = explain_str(q(spark, sf_dir))
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, q
