@@ -168,3 +168,29 @@ def test_rate_source_produces_rows(spark, tmp_path):
         q.stop()
     assert n > 0
     assert set(spark.table("rate_smoke").columns) == {"timestamp", "value"}
+
+
+def test_stream_static_dimension_join(spark, funnel_dir, tmp_path):
+    """Stream-static join: streaming events enriched against a static
+    dimension DataFrame — no watermark needed, the static side is
+    re-broadcast per micro-batch."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    ev = _read_stream(spark, funnel_dir)
+    enriched = ev.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", F.coalesce("tier", F.lit("none")).alias("tier")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("tiered")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.event_id: r.tier for r in spark.table("tiered").collect()}
+    finally:
+        q.stop()
+    assert got[1] == "gold" and got[4] == "silver" and got[6] == "none"
