@@ -1,0 +1,57 @@
+"""Table-maintenance operators: batch upsert (MERGE-style) and small-file
+compaction over plain parquet directories.
+
+Plain OSS Spark has no transactional MERGE on parquet (that's Delta/Iceberg
+territory); these give the pipeline the two maintenance primitives it
+actually needs, with the same rewrite discipline those formats use under
+the hood:
+
+- **Upsert**: new version of a keyed row replaces the old; implemented as
+  ``target ANTI-JOIN updates  UNION  updates`` written to a new directory —
+  the updates side is usually small, so the anti-join broadcasts it and the
+  big side streams through untouched.
+- **Compaction**: streaming sinks and per-batch appends produce small
+  files; a periodic coalesce-rewrite restores scan efficiency (fewer
+  tasks, bigger row groups). At 100 TB you compact per partition-dir.
+
+Both write to a NEW directory and leave the source intact — the atomic
+swap (rename / pointer flip) belongs to whatever catalog sits above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_col: str,
+    out_dir: str,
+) -> None:
+    """MERGE semantics on parquet: rows in ``updates`` replace target rows
+    with the same key; unmatched update rows are inserts. If several update
+    rows share a key, the caller must have deduplicated (asserted here —
+    silent last-writer-wins hides bugs)."""
+    dup = updates.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"updates contain duplicate {key_col} values")
+    try:
+        target = spark.read.parquet(target_dir)
+        kept = target.join(F.broadcast(updates.select(key_col)), key_col, "left_anti")
+        merged = kept.unionByName(updates)
+    except Exception:
+        merged = updates  # no target yet: pure insert
+    merged.write.mode("overwrite").parquet(out_dir)
+
+
+def compact_parquet(
+    spark: SparkSession, src_dir: str, out_dir: str, target_files: int = 4
+) -> None:
+    """Rewrite a fragmented parquet dir into ``target_files`` files.
+    ``coalesce`` (not repartition) — no shuffle, just fewer write tasks."""
+    spark.read.parquet(src_dir).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(out_dir)

@@ -1,0 +1,52 @@
+"""Table maintenance: MERGE-style upsert and small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from m12_kafkastreams_python_azure_spark.sources.maintenance import (
+    compact_parquet,
+    merge_upsert,
+)
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    t = str(tmp_path / "t0")
+    out = str(tmp_path / "t1")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    ).write.parquet(t)
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], "id long, name string, score double"
+    )
+    merge_upsert(spark, t, updates, "id", out)
+    got = {r.id: (r.name, r.score) for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_rejects_duplicate_keys(spark, tmp_path):
+    t = str(tmp_path / "t0")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(t)
+    dup = spark.createDataFrame([(2, "x"), (2, "y")], "id long, name string")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert(spark, t, dup, "id", str(tmp_path / "t1"))
+
+
+def test_merge_upsert_into_empty_target(spark, tmp_path):
+    out = str(tmp_path / "t1")
+    updates = spark.createDataFrame([(1, "a")], "id long, name string")
+    merge_upsert(spark, str(tmp_path / "missing"), updates, "id", out)
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    spark.range(1000).repartition(16).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 16
+    compact_parquet(spark, src, out, target_files=2)
+    assert len(glob.glob(f"{out}/part-*.parquet")) <= 2
+    assert spark.read.parquet(out).count() == 1000
