@@ -200,6 +200,46 @@ def resize_stub(media: DataFrame, max_side: int = 256) -> DataFrame:
     ).mapInPandas(batches, out_schema)
 
 
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio decode plumbing: payload -> (duration, rms stub). Duration is
+    real arithmetic on the byte length and sample-rate metadata (16-bit
+    mono assumption); the rms is the deterministic fake standing in for a
+    real codec."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("duration_s", IntegerType()),
+            StructField("rms", IntegerType()),
+        ]
+    )
+    fake = DETERMINISTIC_FAKE_DECODE
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, durs, rmss = [], [], []
+            for mid, p, sr in zip(
+                pdf["media_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                if not fake:
+                    raise NotImplementedError("audio codec not available")
+                rate = int(sr) if pd.notna(sr) and sr else 16000
+                n_samples = len(bytes(p)) // 2
+                ids.append(mid)
+                durs.append(n_samples // rate)
+                rmss.append(hashlib.sha256(bytes(p)).digest()[0])
+            yield pd.DataFrame(
+                {"media_id": ids, "duration_s": durs, "rms": rmss}
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", "sample_rate"
+    ).mapInPandas(batches, out_schema)
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video: one output row per sampled frame
     (explode semantics through mapInPandas)."""

@@ -63,3 +63,19 @@ def test_video_frame_sampling(media_df):
     # 30 frames, every 10th -> frames 0, 10, 20
     assert len(out) == n_videos * 3
     assert {r["frame_idx"] for r in out} == {0, 10, 20}
+
+
+def test_audio_features(media_df):
+    from m12_kafkastreams_python_azure_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    out = {r.media_id: r for r in extract_audio_features(media_df).collect()}
+    audio = {
+        r.media_id: r for r in media_df.filter("kind = 'audio'").collect()
+    }
+    assert set(out) == set(audio)
+    for mid, r in out.items():
+        expected_dur = (len(audio[mid].payload) // 2) // 16000
+        assert r.duration_s == expected_dur
+        assert 0 <= r.rms <= 255
