@@ -29,6 +29,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 10 MB default is tuned for small executors; with multi-GB executor
+        # heaps a 64 MB build side is cheap and deletes a both-sides shuffle.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
