@@ -20,6 +20,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics2 as A2
 from m12_kafkastreams_python_azure_spark.operators import analytics3 as A3
 from m12_kafkastreams_python_azure_spark.operators import analytics4 as A4
 from m12_kafkastreams_python_azure_spark.operators import dedup as D
+from m12_kafkastreams_python_azure_spark.operators import graph as G
 from m12_kafkastreams_python_azure_spark.operators import analytics5 as A5
 from m12_kafkastreams_python_azure_spark.operators import analytics6 as A6
 from m12_kafkastreams_python_azure_spark.operators import analytics7 as A7
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "minhash_near_dup": D.q_minhash_near_dup,           # rows-only (LSH)
         "simhash_near_dup": D.q_simhash_near_dup,           # rows-only (LSH)
+        "dedup_clusters": G.q_dedup_clusters,               # iterative CC
         # training-data pipeline: similarity search
         "ann_topk": S.q_ann_topk,
         "embedding_near_dup": S.q_embedding_near_dup,
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": T.ORACLE_DOC_FINGERPRINT,
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
+        "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,
         "ann_topk": S.ORACLE_ANN_TOPK,
         "embedding_near_dup": S.ORACLE_EMBEDDING_NEAR_DUP,
         "normalize_embeddings": V.ORACLE_NORMALIZE_EMBEDDINGS,

@@ -1,0 +1,148 @@
+"""Connected components over near-duplicate pairs — dedup CLUSTERING.
+
+LSH/Jaccard dedup produces PAIRS; production dedup needs transitive
+CLUSTERS (a~b, b~c => {a,b,c} keep one). That is connected components, an
+iterative algorithm Spark has no built-in for (no recursive CTE either) —
+the idiomatic implementation is driver-coordinated label propagation, the
+same loop GraphX/GraphFrames runs:
+
+    label(v) <- min(label(v), min over neighbors' labels); repeat.
+
+Plain propagation needs O(diameter) rounds; we interleave **pointer
+jumping** (label <- label of label) which contracts paths geometrically,
+giving O(log n) rounds on chains — the difference between 5 and 500
+shuffles on a 100 TB pair set. Convergence is checked with a count of
+changed labels per round (one small action per iteration; the per-round
+DataFrames are checkpoint-free because lineage depth is bounded by the
+iteration cap).
+
+The DuckDB oracle spells the same fixpoint as a recursive CTE (transitive
+closure + min), so the whole iterative computation is value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .dedup import jaccard, shingles
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(src, dst) undirected edges -> (id, component) with component = min
+    node id in the component. Nodes are whatever appears in the edge set."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    # localCheckpoint truncates lineage each round — without it the nested
+    # join plan deepens every iteration and the analyzer stack-overflows on
+    # long chains (same reason every iterative Spark algorithm checkpoints).
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    sym = sym.persist()
+    sym.count()
+    for _ in range(max_iter):
+        # propagate: best neighbor label per node
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        prop = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jump: comp <- comp's comp (path halving)
+        l2 = prop.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
+        jumped = (
+            prop.join(l2, prop.comp == l2.jid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(
+                labels.withColumnRenamed("comp", "old"), "id"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Cluster documents whose consecutive-id 3-gram Jaccard clears the
+    threshold (the deterministic pair generator shared with
+    ``q_ngram_jaccard_pairs``), then pick one keeper per cluster
+    (min doc_id) and report cluster sizes."""
+    a = docs.select(F.col(id_col).alias("id_a"), shingles(F.col(text_col)).alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), shingles(F.col(text_col)).alias("sh_b"))
+    pairs = (
+        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= jaccard_threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("comp").alias("keep_doc_id"), "cluster_size")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+# The oracle spells the same fixpoint as a recursive CTE: reach = transitive
+# closure over symmetrized edges; component label = min reachable id.
+# _DUCK_SHINGLES comes from dedup.py (same shingle construction).
+from .dedup import _DUCK_SHINGLES  # noqa: E402
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t='text')} AS s FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.3
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (
+  SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+)
+SELECT comp AS keep_doc_id, count(*) AS cluster_size
+FROM comp GROUP BY comp
+"""

@@ -78,3 +78,39 @@ def test_avro_roundtrip_or_clear_error(spark, tmp_path):
     back = read_avro(spark, str(tmp_path / "av"), EXPEDIA_SCHEMA)
     assert back.count() == 50
     assert back.schema == EXPEDIA_SCHEMA
+
+
+def test_corrupt_json_records_audited(spark, tmp_path):
+    """Data-quality path: malformed JSON rows land in _corrupt_record
+    (PERMISSIVE mode) instead of failing the pipeline — the F1 null-filter
+    generalized to schema-level corruption."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "not-a-number", "name": 3}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # Spark requires materialization before querying _corrupt_record alone
+    )
+    assert df.count() == 4
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 2
+    df.unpersist()
