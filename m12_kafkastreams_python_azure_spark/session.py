@@ -56,6 +56,7 @@ def tune_for_session(spark: SparkSession, shuffle_partitions: int | None = None)
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
     }
     if shuffle_partitions:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

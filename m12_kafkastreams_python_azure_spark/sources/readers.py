@@ -44,6 +44,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos -> micros with exact integer division (truncation — matches how
     DuckDB casts ns to its us-precision TIMESTAMP).
     """
+    # Every query path enters through here, and the hosting harness may hand
+    # us an untuned session — set the runtime-settable confs that affect
+    # correctness (UTC timestamps) and plan quality, idempotently.
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.autoBroadcastJoinThreshold", "64m"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
