@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": T.q_text_quality,
         "lang_id": T.q_lang_id,
         "doc_fingerprint": T.q_doc_fingerprint,
+        "clean_corpus": T.q_clean_corpus,
         # training-data pipeline: dedup
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": T.ORACLE_TEXT_QUALITY,
         "lang_id": T.ORACLE_LANG_ID,
         "doc_fingerprint": T.ORACLE_DOC_FINGERPRINT,
+        "clean_corpus": T.ORACLE_CLEAN_CORPUS,
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

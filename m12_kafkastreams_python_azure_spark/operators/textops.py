@@ -78,3 +78,72 @@ SELECT doc_id,
        substring({T.doc_fingerprint_sql('text')}, 1, 8) AS fp_prefix
 FROM documents
 """
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100000,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """The composed cleaning preset an LLM-data pipeline runs end to end:
+
+    1. normalize text (lowercase, collapse whitespace, trim),
+    2. quality-gate (token count bounds + alphabetic ratio),
+    3. exact-dedup on the normalized fingerprint (keep lowest doc_id).
+
+    All narrow maps plus ONE shuffle (the dedup window on the md5
+    fingerprint — a uniformly distributed key, so no skew at any size).
+    """
+    from pyspark.sql.window import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    cols = T.quality_score_cols(norm)
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        norm.alias("norm_text"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["alpha_ratio"].alias("alpha_ratio"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    )
+    w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    return (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens", F.length("norm_text").alias("norm_len"))
+    )
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_clean_corpus() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s = T.quality_score_sql(norm)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         {norm} AS norm_text,
+         {s['n_tokens']} AS n_tokens,
+         {s['alpha_ratio']} AS alpha_ratio
+  FROM documents
+),
+gated AS (
+  SELECT * FROM staged
+  WHERE n_tokens >= 5 AND n_tokens <= 100000 AND alpha_ratio >= 0.5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, lang, n_tokens, length(norm_text) AS norm_len
+FROM ranked WHERE rn = 1
+"""
+
+
+ORACLE_CLEAN_CORPUS = _oracle_clean_corpus()
