@@ -131,7 +131,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-worker path is value-checked, not just smoke-tested."""
     from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
-    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    # spread the single-file scan so the Python decode workers run on all
+    # cores (mapInPandas sits above the exchange, so a bare repartition is
+    # enough here — no pushdown hazard)
+    par = spark.sparkContext.defaultParallelism
+    media = media_from_documents(docs.repartition(par))
     return extract_image_features(media).select(
         "media_id", "width", "height", "mean_luma"
     )

@@ -98,11 +98,15 @@ def clean_corpus(
     from pyspark.sql.window import Window
 
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
-    cols = T.quality_score_cols(norm)
-    staged = docs.select(
+    # Materialize norm_text FIRST: quality expressions reference it several
+    # times, and Catalyst's project-collapse would otherwise re-inline the
+    # regexp_replace into every one of them (N regex passes per row).
+    normed = docs.select("doc_id", "lang", norm.alias("norm_text")).persist()
+    cols = T.quality_score_cols(F.col("norm_text"))
+    staged = normed.select(
         "doc_id",
         "lang",
-        norm.alias("norm_text"),
+        "norm_text",
         cols["n_tokens"].alias("n_tokens"),
         cols["alpha_ratio"].alias("alpha_ratio"),
     ).filter(
@@ -119,7 +123,9 @@ def clean_corpus(
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return clean_corpus(load_table(spark, sf_dir, "documents"))
+    from m12_kafkastreams_python_azure_spark.sources.readers import parallel_scan
+
+    return clean_corpus(parallel_scan(load_table(spark, sf_dir, "documents")))
 
 
 def _oracle_clean_corpus() -> str:

@@ -75,6 +75,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def parallel_scan(df: DataFrame) -> DataFrame:
+    """Spread a (small-file) scan across all cores WITH a materialization
+    barrier, so expensive narrow expressions layered on top run in parallel.
+    Catalyst pushes projections below a bare round-robin repartition — the
+    persist pins the repartitioned cut. No-op cost at real scale where the
+    scan already has many splits; see verify SKILL.md gotchas."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+
+
 def mask_field(df: DataFrame, field: str, replacement: str) -> DataFrame:
     """Ingest-time field mask (operator S2).
 
