@@ -65,3 +65,29 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout + partition pruning: a day-filtered
+    read must show PartitionFilters in the scan and touch only that
+    partition's files — the file-level pruning that makes 100 TB range
+    scans cheap."""
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("day") == "2024-01-03")
+    plan = explain_str(one_day)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), f"no partition filter: {plan[:800]}"
+    # correctness: partition column round-trips
+    expected = ev.filter(F.col("day") == "2024-01-03").count()
+    assert one_day.count() == expected
+    assert expected > 0
