@@ -24,6 +24,7 @@ from m12_kafkastreams_python_azure_spark.operators import graph as G
 from m12_kafkastreams_python_azure_spark.operators import analytics5 as A5
 from m12_kafkastreams_python_azure_spark.operators import analytics6 as A6
 from m12_kafkastreams_python_azure_spark.operators import analytics7 as A7
+from m12_kafkastreams_python_azure_spark.operators import analytics8 as A8
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
@@ -89,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_count": A7.q_word_count,
         "user_event_profile": A7.q_user_event_profile,
         "date_spine_daily": A7.q_date_spine_daily,
+        "cast_battery": A8.q_cast_battery,
+        "decimal_totals": A8.q_decimal_totals,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -163,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "word_count": A7.ORACLE_WORD_COUNT,
         "user_event_profile": A7.ORACLE_USER_EVENT_PROFILE,
         "date_spine_daily": A7.ORACLE_DATE_SPINE_DAILY,
+        "cast_battery": A8.ORACLE_CAST_BATTERY,
+        "decimal_totals": A8.ORACLE_DECIMAL_TOTALS,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

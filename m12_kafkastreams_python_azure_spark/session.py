@@ -43,6 +43,59 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def cluster_conf(
+    total_cores: int = 8000,
+    executor_mem_gb: int = 32,
+    streaming: bool = False,
+) -> dict[str, str]:
+    """Recommended conf for the 100 TB / ~1000-executor deployment this
+    engine is designed for. Returned as a dict so it can feed
+    ``SparkSession.builder.config(map=...)`` or spark-submit --conf lines.
+
+    Rationale per key:
+    - shuffle.partitions = 2x total cores: upper bound only — AQE coalesces
+      down per stage; too low caps parallelism, too high only costs tiny
+      tasks that AQE merges anyway.
+    - advisoryPartitionSizeInBytes 128m: AQE's target post-shuffle partition
+      ~= one HDFS/objstore block; keeps reducers memory-safe at any input.
+    - maxPartitionBytes 256m: scan splits sized so a 100 TB table yields
+      ~400k map tasks, not millions.
+    - autoBroadcastJoinThreshold 64m: multi-GB executors make a 64 MB build
+      side cheap; deletes both-sides shuffles for every dimension join.
+    - skewJoin thresholds: split any post-shuffle partition 4x over median
+      (hot keys in joins get parallelized instead of strangling one task).
+    - RocksDB state store (streaming): keyed state >> heap at this scale;
+      changelog checkpointing bounds recovery time.
+    """
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "4",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.memory.fraction": "0.7",
+        "spark.shuffle.service.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+    }
+    if streaming:
+        conf.update(
+            {
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"
+                ),
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+            }
+        )
+    return conf
+
+
 def tune_for_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime-settable engine configs to an externally-created session.
 
