@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_spine_daily": A7.q_date_spine_daily,
         "cast_battery": A8.q_cast_battery,
         "decimal_totals": A8.q_decimal_totals,
+        "grouping_sets": A8.q_grouping_sets,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "date_spine_daily": A7.ORACLE_DATE_SPINE_DAILY,
         "cast_battery": A8.ORACLE_CAST_BATTERY,
         "decimal_totals": A8.ORACLE_DECIMAL_TOTALS,
+        "grouping_sets": A8.ORACLE_GROUPING_SETS,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

@@ -62,3 +62,32 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the spark.sql TEXT interface — the engine's SQL
+    entry path (same Catalyst plan as the DataFrame cube/rollup, arbitrary
+    set list). Views are (re)registered from the parquet tables first."""
+    from ..sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS grp_id,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS grp_id,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
