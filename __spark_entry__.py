@@ -25,6 +25,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics5 as A5
 from m12_kafkastreams_python_azure_spark.operators import analytics6 as A6
 from m12_kafkastreams_python_azure_spark.operators import analytics7 as A7
 from m12_kafkastreams_python_azure_spark.operators import analytics8 as A8
+from m12_kafkastreams_python_azure_spark.operators import analytics9 as A9
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
@@ -93,6 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_battery": A8.q_cast_battery,
         "decimal_totals": A8.q_decimal_totals,
         "grouping_sets": A8.q_grouping_sets,
+        "window_frames": A9.q_window_frames,
+        "median_aggregates": A9.q_median_aggregates,
+        "bitwise_aggregates": A9.q_bitwise_aggregates,
+        "array_set_ops": A9.q_array_set_ops,
+        "arrow_byte_stats": A9.q_arrow_byte_stats,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -170,6 +176,11 @@ def oracle_sql() -> dict[str, str]:
         "cast_battery": A8.ORACLE_CAST_BATTERY,
         "decimal_totals": A8.ORACLE_DECIMAL_TOTALS,
         "grouping_sets": A8.ORACLE_GROUPING_SETS,
+        "window_frames": A9.ORACLE_WINDOW_FRAMES,
+        "median_aggregates": A9.ORACLE_MEDIAN_AGGREGATES,
+        "bitwise_aggregates": A9.ORACLE_BITWISE_AGGREGATES,
+        "array_set_ops": A9.ORACLE_ARRAY_SET_OPS,
+        "arrow_byte_stats": A9.ORACLE_ARROW_BYTE_STATS,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

@@ -1,0 +1,159 @@
+"""Ninth query wave: window FRAMES (RANGE vs ROWS, first/last/nth_value),
+median, bitwise aggregates, array set operations, and a ``mapInArrow``
+operator (the lowest-overhead Python path: raw Arrow RecordBatches, no
+pandas materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame semantics battery: ROWS running frame vs whole-partition frame
+    with first/last/nth_value. last_value needs the full-partition frame —
+    the classic frame-default trap, spelled explicitly on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rows3 = order_w.rowsBetween(-2, Window.currentRow)
+    full = order_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(rows3), 6).alias("moving_avg3"),
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
+
+
+ORACLE_WINDOW_FRAMES = """
+SELECT o_orderkey, o_custkey,
+       ROUND(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3,
+       first_value(o_totalprice) OVER w_full AS first_price,
+       last_value(o_totalprice) OVER w_full AS last_price,
+       nth_value(o_totalprice, 2) OVER w_full AS second_price
+FROM orders
+WINDOW w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_median_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + min/max spread per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_quantity"), 6).alias("qty_median"),
+        F.round(F.median("l_extendedprice"), 6).alias("price_median"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+    )
+
+
+ORACLE_MEDIAN_AGGREGATES = """
+SELECT l_linestatus,
+       ROUND(median(l_quantity), 6) AS qty_median,
+       ROUND(median(l_extendedprice), 6) AS price_median,
+       min(l_quantity) AS qty_min,
+       max(l_quantity) AS qty_max
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def q_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates over event ids per user — the flag-set
+    merge pattern (e.g. OR-ing capability bitmasks)."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.col("event_id").bitwiseAND(F.lit(255))
+    return ev.groupBy("user_id").agg(
+        F.bit_and(masked).alias("flags_and"),
+        F.bit_or(masked).alias("flags_or"),
+        F.bit_xor(masked).alias("flags_xor"),
+    )
+
+
+ORACLE_BITWISE_AGGREGATES = """
+SELECT user_id,
+       bit_and(event_id & 255) AS flags_and,
+       bit_or(event_id & 255) AS flags_or,
+       bit_xor(event_id & 255) AS flags_xor
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra between consecutive docs' word sets: union /
+    intersect / except sizes plus the sorted intersection as a CSV string
+    (canonicalized so both engines hash-match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.trim("text"), "\\s+"))
+    a = docs.select(F.col("doc_id").alias("id_a"), words.alias("wa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), words.alias("wb"))
+    j = a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_union("wa", "wb")).alias("n_union"),
+        F.size(F.array_intersect("wa", "wb")).alias("n_intersect"),
+        F.size(F.array_except("wa", "wb")).alias("n_only_a"),
+        F.concat_ws(",", F.array_sort(F.array_intersect("wa", "wb"))).alias(
+            "common_words"
+        ),
+    )
+
+
+ORACLE_ARRAY_SET_OPS = """
+WITH w AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_distinct(list_concat(a.ws, b.ws))) AS n_union,
+       len(list_intersect(a.ws, b.ws)) AS n_intersect,
+       len(list_filter(a.ws, x -> NOT list_contains(b.ws, x))) AS n_only_a,
+       array_to_string(list_sort(list_intersect(a.ws, b.ws)), ',') AS common_words
+FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: UTF-8 byte accounting per language, computed on raw
+    Arrow RecordBatches (no pandas conversion at all) then aggregated
+    JVM-side. The minimal-overhead shape for byte-level Python kernels."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            langs = batch.column("lang")
+            texts = batch.column("text")
+            nbytes = pa.array(
+                [
+                    len(t.as_py().encode("utf-8")) if t.is_valid else 0
+                    for t in texts
+                ],
+                type=pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays([langs, nbytes], ["lang", "nbytes"])
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    par = spark.sparkContext.defaultParallelism
+    sized = docs.repartition(par).mapInArrow(batches, "lang string, nbytes long")
+    return sized.groupBy("lang").agg(
+        F.sum("nbytes").alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORACLE_ARROW_BYTE_STATS = """
+SELECT lang, sum(strlen(text)) AS total_bytes, count(*) AS n_docs
+FROM documents
+GROUP BY lang
+"""
