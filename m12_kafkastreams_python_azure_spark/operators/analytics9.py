@@ -157,3 +157,41 @@ SELECT lang, sum(strlen(text)) AS total_bytes, count(*) AS n_docs
 FROM documents
 GROUP BY lang
 """
+
+
+def q_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: LIKE patterns, split_part, translate, padding,
+    repeat/reverse, left/right slices, replace, contains family."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        p.like("%URGENT%").cast("int").alias("is_urgent_like"),
+        F.split_part(p, F.lit("-"), F.lit(2)).alias("prio_word"),
+        F.translate(p, "-", "_").alias("prio_underscored"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.repeat(F.left(p, F.lit(1)), 2).alias("code_doubled"),
+        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+        F.right(p, F.lit(3)).alias("prio_tail"),
+        F.replace(p, F.lit("HIGH"), F.lit("H")).alias("prio_short"),
+        F.contains(p, F.lit("LOW")).cast("int").alias("has_low"),
+        F.startswith(p, F.lit("1")).cast("int").alias("is_first"),
+        F.endswith(p, F.lit("ED")).cast("int").alias("ends_ed"),
+    )
+
+
+ORACLE_STRING_FUNCTIONS2 = """
+SELECT o_orderkey,
+       CAST(o_orderpriority LIKE '%URGENT%' AS INTEGER) AS is_urgent_like,
+       split_part(o_orderpriority, '-', 2) AS prio_word,
+       translate(o_orderpriority, '-', '_') AS prio_underscored,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+       repeat(left(o_orderpriority, 1), 2) AS code_doubled,
+       reverse(o_orderstatus) AS status_rev,
+       right(o_orderpriority, 3) AS prio_tail,
+       replace(o_orderpriority, 'HIGH', 'H') AS prio_short,
+       CAST(contains(o_orderpriority, 'LOW') AS INTEGER) AS has_low,
+       CAST(starts_with(o_orderpriority, '1') AS INTEGER) AS is_first,
+       CAST(ends_with(o_orderpriority, 'ED') AS INTEGER) AS ends_ed
+FROM orders
+"""
