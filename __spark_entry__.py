@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_set_ops": A9.q_array_set_ops,
         "arrow_byte_stats": A9.q_arrow_byte_stats,
         "string_functions2": A9.q_string_functions2,
+        "cheapest_supplier": A9.q_cheapest_supplier,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "array_set_ops": A9.ORACLE_ARRAY_SET_OPS,
         "arrow_byte_stats": A9.ORACLE_ARROW_BYTE_STATS,
         "string_functions2": A9.ORACLE_STRING_FUNCTIONS2,
+        "cheapest_supplier": A9.ORACLE_CHEAPEST_SUPPLIER,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

@@ -195,3 +195,33 @@ SELECT o_orderkey,
        CAST(ends_with(o_orderpriority, 'ED') AS INTEGER) AS ends_ed
 FROM orders
 """
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin pattern (TPC-H Q2 shape): per part, the supplier with the
+    lowest observed price. Implemented as ONE aggregate — min over a
+    (price, suppkey) struct, which is a deterministic argmin with suppkey
+    tie-break — instead of the naive min-then-join-back double scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.min(F.struct("l_extendedprice", "l_suppkey")).alias("m")
+    return (
+        li.groupBy("l_partkey")
+        .agg(m)
+        .select(
+            "l_partkey",
+            F.col("m.l_extendedprice").alias("min_price"),
+            F.col("m.l_suppkey").alias("best_suppkey"),
+        )
+    )
+
+
+ORACLE_CHEAPEST_SUPPLIER = """
+WITH mp AS (
+  SELECT l_partkey, min(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT mp.l_partkey, mp.min_price, min(l.l_suppkey) AS best_suppkey
+FROM mp JOIN lineitem l
+  ON l.l_partkey = mp.l_partkey AND l.l_extendedprice = mp.min_price
+GROUP BY mp.l_partkey, mp.min_price
+"""
