@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_byte_stats": A9.q_arrow_byte_stats,
         "string_functions2": A9.q_string_functions2,
         "cheapest_supplier": A9.q_cheapest_supplier,
+        "trailing_hour_counts": A9.q_trailing_hour_counts,
+        "word_positions": A9.q_word_positions,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -185,6 +187,8 @@ def oracle_sql() -> dict[str, str]:
         "arrow_byte_stats": A9.ORACLE_ARROW_BYTE_STATS,
         "string_functions2": A9.ORACLE_STRING_FUNCTIONS2,
         "cheapest_supplier": A9.ORACLE_CHEAPEST_SUPPLIER,
+        "trailing_hour_counts": A9.ORACLE_TRAILING_HOUR_COUNTS,
+        "word_positions": A9.ORACLE_WORD_POSITIONS,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

@@ -225,3 +225,57 @@ FROM mp JOIN lineitem l
   ON l.l_partkey = mp.l_partkey AND l.l_extendedprice = mp.min_price
 GROUP BY mp.l_partkey, mp.min_price
 """
+
+
+def q_trailing_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per event, how many events the
+    same user produced in the trailing hour (inclusive). RANGE (value-based)
+    vs ROWS (count-based) is the frame distinction that matters for
+    irregular time series."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(hour_us - 1), Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 6).alias("value_trailing_hour"),
+    )
+
+
+ORACLE_TRAILING_HOUR_COUNTS = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing_hour,
+       ROUND(sum(value) OVER w, 6) AS value_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (explode with ordinality): the first three words of each
+    document with their positions — one output row per (doc, position)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), "\\s+")
+    return (
+        docs.select("doc_id", F.posexplode(F.slice(words, 1, 3)).alias("pos", "word"))
+    )
+
+
+ORACLE_WORD_POSITIONS = """
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+)
+SELECT doc_id, u['pos'] AS pos, u['word'] AS word
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, least(3, len(w)) + 1),
+                               i -> {'pos': i - 1, 'word': w[i]})) AS u
+  FROM ws
+)
+"""

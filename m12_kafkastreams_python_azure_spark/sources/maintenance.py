@@ -55,3 +55,22 @@ def compact_parquet(
     spark.read.parquet(src_dir).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(out_dir)
+
+
+def delete_keys(
+    spark: SparkSession,
+    target_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    out_dir: str,
+) -> int:
+    """Targeted row deletion (the right-to-be-forgotten primitive): rewrite
+    the table without any row whose key appears in ``keys``. The key list
+    broadcasts; the table streams through one anti-join. Returns the number
+    of rows deleted."""
+    target = spark.read.parquet(target_dir)
+    kept = target.join(
+        F.broadcast(keys.select(key_col).distinct()), key_col, "left_anti"
+    )
+    kept.write.mode("overwrite").parquet(out_dir)
+    return target.count() - spark.read.parquet(out_dir).count()

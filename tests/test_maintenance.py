@@ -50,3 +50,17 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     compact_parquet(spark, src, out, target_files=2)
     assert len(glob.glob(f"{out}/part-*.parquet")) <= 2
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_delete_keys_removes_only_listed(spark, tmp_path):
+    from m12_kafkastreams_python_azure_spark.sources.maintenance import delete_keys
+
+    t, out = str(tmp_path / "t"), str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "user_id long, name string"
+    ).write.parquet(t)
+    doomed = spark.createDataFrame([(3,), (7,), (99,)], "user_id long")
+    n = delete_keys(spark, t, doomed, "user_id", out)
+    assert n == 2  # 99 didn't exist
+    left = {r.user_id for r in spark.read.parquet(out).collect()}
+    assert left == set(range(10)) - {3, 7}
