@@ -26,6 +26,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics6 as A6
 from m12_kafkastreams_python_azure_spark.operators import analytics7 as A7
 from m12_kafkastreams_python_azure_spark.operators import analytics8 as A8
 from m12_kafkastreams_python_azure_spark.operators import analytics9 as A9
+from m12_kafkastreams_python_azure_spark.operators import analytics10 as A10
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
@@ -103,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier": A9.q_cheapest_supplier,
         "trailing_hour_counts": A9.q_trailing_hour_counts,
         "word_positions": A9.q_word_positions,
+        "tfidf_top_terms": A10.q_tfidf_top_terms,
+        "dataset_split": A10.q_dataset_split,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -189,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_supplier": A9.ORACLE_CHEAPEST_SUPPLIER,
         "trailing_hour_counts": A9.ORACLE_TRAILING_HOUR_COUNTS,
         "word_positions": A9.ORACLE_WORD_POSITIONS,
+        "tfidf_top_terms": A10.ORACLE_TFIDF_TOP_TERMS,
+        "dataset_split": A10.ORACLE_DATASET_SPLIT,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

@@ -1,0 +1,125 @@
+"""Tenth query wave: TF-IDF term ranking and deterministic hash-based
+dataset splitting — the last two staple text-pipeline operators.
+
+TF-IDF shape at scale: one explode (row count × tokens/doc), one (doc,word)
+aggregate, one small (word) aggregate for document frequencies that
+broadcasts back, one per-doc top-k window. The explode never crosses a
+shuffle with full text — only (doc_id, word) pairs move.
+
+The split uses md5 of the document id — a content-independent, engine-
+portable hash — so the assignment is reproducible everywhere and co-moves
+with the key (all shards of one doc land in one split), which is what
+leakage-free holdouts require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1),
+    ties broken by term for determinism."""
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "word").withColumn(
+        "tfidf",
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "word", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rnk"
+        )
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words WHERE word <> ''
+  GROUP BY doc_id, word
+),
+dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+  FROM scored
+)
+SELECT doc_id, word, tf, df, ROUND(tfidf, 6) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+#: hex-nibble -> int SQL helper (shared trick with the multimodal oracle)
+_NIBBLE = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+
+
+def dataset_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """train/val/test assignment from the first byte of md5(id): content-
+    independent, engine-portable, reproducible, and key-coherent."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+        .cast("int")
+    )
+    t_hi = 256 * train_pct // 100
+    v_hi = 256 * (train_pct + val_pct) // 100
+    return docs.withColumn(
+        "split",
+        F.when(bucket < t_hi, "train")
+        .when(bucket < v_hi, "val")
+        .otherwise("test"),
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_split(docs).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+ORACLE_DATASET_SPLIT = f"""
+WITH b AS (
+  SELECT *, {_NIBBLE.format(i=1)} * 16 + {_NIBBLE.format(i=2)} AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, sum(n_chars) AS chars
+FROM b GROUP BY 1, 2
+"""
