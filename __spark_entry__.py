@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_positions": A9.q_word_positions,
         "tfidf_top_terms": A10.q_tfidf_top_terms,
         "dataset_split": A10.q_dataset_split,
+        "cte_sql": A10.q_cte_sql,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "word_positions": A9.ORACLE_WORD_POSITIONS,
         "tfidf_top_terms": A10.ORACLE_TFIDF_TOP_TERMS,
         "dataset_split": A10.ORACLE_DATASET_SPLIT,
+        "cte_sql": A10.ORACLE_CTE_SQL,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

@@ -123,3 +123,50 @@ SELECT CASE WHEN bucket < 204 THEN 'train'
        lang, count(*) AS n_docs, sum(n_chars) AS chars
 FROM b GROUP BY 1, 2
 """
+
+
+def q_cte_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE query through the spark.sql text interface: monthly
+    revenue, month-over-month delta via a window, top month per year.
+    Demonstrates WITH chains + window-over-aggregate in pure SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH monthly AS (
+          SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders_v GROUP BY year(o_orderdate), month(o_orderdate)
+        ),
+        with_delta AS (
+          SELECT *, round(revenue - lag(revenue) OVER
+                 (PARTITION BY yr ORDER BY mon), 2) AS mom_delta
+          FROM monthly
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY yr ORDER BY revenue DESC, mon) AS rnk
+          FROM with_delta
+        )
+        SELECT yr, mon, revenue, mom_delta
+        FROM ranked WHERE rnk = 1
+        """
+    )
+
+
+ORACLE_CTE_SQL = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+),
+with_delta AS (
+  SELECT *, round(revenue - lag(revenue) OVER
+         (PARTITION BY yr ORDER BY mon), 2) AS mom_delta
+  FROM monthly
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY yr ORDER BY revenue DESC, mon) AS rnk
+  FROM with_delta
+)
+SELECT yr, mon, revenue, mom_delta
+FROM ranked WHERE rnk = 1
+"""
