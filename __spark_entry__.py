@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": A10.q_tfidf_top_terms,
         "dataset_split": A10.q_dataset_split,
         "cte_sql": A10.q_cte_sql,
+        "full_outer_activity": A10.q_full_outer_activity,
+        "unpivot_metrics": A10.q_unpivot_metrics,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -196,6 +198,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": A10.ORACLE_TFIDF_TOP_TERMS,
         "dataset_split": A10.ORACLE_DATASET_SPLIT,
         "cte_sql": A10.ORACLE_CTE_SQL,
+        "full_outer_activity": A10.ORACLE_FULL_OUTER_ACTIVITY,
+        "unpivot_metrics": A10.ORACLE_UNPIVOT_METRICS,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

@@ -170,3 +170,78 @@ ranked AS (
 SELECT yr, mon, revenue, mom_delta
 FROM ranked WHERE rnk = 1
 """
+
+
+def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-customer order counts vs per-user event counts,
+    keys present on either side survive with nulls filled — the
+    reconciliation-report shape."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        orders.join(events, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (F.col("n_orders").isNotNull() & F.col("n_events").isNotNull())
+            .cast("int")
+            .alias("both_sides"),
+        )
+    )
+
+
+ORACLE_FULL_OUTER_ACTIVITY = """
+WITH o AS (
+  SELECT o_custkey AS key, count(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT coalesce(o.key, e.key) AS key,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.n_events, 0) AS n_events,
+       CAST(o.key IS NOT NULL AND e.key IS NOT NULL AS INTEGER) AS both_sides
+FROM o FULL OUTER JOIN e ON o.key = e.key
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): per-status price metrics melted into
+    (metric, value) rows — the inverse of the pivot operator."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.avg("o_totalprice"), 2).alias("price_avg"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["price_min", "price_avg", "price_max"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         round(min(o_totalprice), 2) AS price_min,
+         round(avg(o_totalprice), 2) AS price_avg,
+         round(max(o_totalprice), 2) AS price_max
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'price_min' AS metric, price_min AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'price_avg' AS metric, price_avg AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'price_max' AS metric, price_max AS value FROM wide
+"""
