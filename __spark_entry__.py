@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cte_sql": A10.q_cte_sql,
         "full_outer_activity": A10.q_full_outer_activity,
         "unpivot_metrics": A10.q_unpivot_metrics,
+        "latest_event_per_user": A10.q_latest_event_per_user,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "cte_sql": A10.ORACLE_CTE_SQL,
         "full_outer_activity": A10.ORACLE_FULL_OUTER_ACTIVITY,
         "unpivot_metrics": A10.ORACLE_UNPIVOT_METRICS,
+        "latest_event_per_user": A10.ORACLE_LATEST_EVENT_PER_USER,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

@@ -245,3 +245,38 @@ SELECT o_orderstatus, 'price_avg' AS metric, price_avg AS value FROM wide
 UNION ALL
 SELECT o_orderstatus, 'price_max' AS metric, price_max AS value FROM wide
 """
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key (the CDC/compaction staple): one aggregate with
+    max over a (timestamp, id, payload) struct — deterministic argmax with
+    event_id tie-break, no window sort over the full table."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.max(
+        F.struct(F.unix_micros("ts").alias("us"), "event_id", "event_type", "value")
+    ).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_event_type"),
+            F.col("m.value").alias("last_value"),
+        )
+    )
+
+
+ORACLE_LATEST_EVENT_PER_USER = """
+WITH mx AS (
+  SELECT user_id, max(epoch_us(ts)) AS us FROM events GROUP BY user_id
+),
+tied AS (
+  SELECT e.user_id, max(e.event_id) AS last_event_id
+  FROM events e JOIN mx ON e.user_id = mx.user_id AND epoch_us(e.ts) = mx.us
+  GROUP BY e.user_id
+)
+SELECT t.user_id, t.last_event_id,
+       e.event_type AS last_event_type, e.value AS last_value
+FROM tied t JOIN events e ON e.event_id = t.last_event_id
+"""

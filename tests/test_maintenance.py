@@ -64,3 +64,20 @@ def test_delete_keys_removes_only_listed(spark, tmp_path):
     assert n == 2  # 99 didn't exist
     left = {r.user_id for r in spark.read.parquet(out).collect()}
     assert left == set(range(10)) - {3, 7}
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; mergeSchema unifies
+    and back-fills nulls for the old files — the append-only evolution
+    pattern an ingest pipeline needs."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(d)
+    spark.createDataFrame(
+        [(3, "c", 0.9)], "id long, name string, score double"
+    ).write.mode("append").parquet(d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[3] == 0.9 and rows[1] is None and rows[2] is None
