@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_clusters",
     "media_features",
     "normalize_embeddings",
+    "tfidf_top_terms",
+    "trailing_hour_counts",
+    "latest_event_per_user",
 ]
 
 
