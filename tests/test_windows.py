@@ -139,3 +139,50 @@ def test_session_windows(spark, events_dir, tmp_path):
         dur = (r["session_end"] - r["session_start"]).total_seconds()
         assert dur >= 30 * 60  # at least the gap padding
         assert r["n_events"] >= 1
+
+
+def test_append_mode_emits_only_finalized_windows(spark, tmp_path):
+    """Append-mode windowed aggregation: a window row is emitted exactly
+    once, only after the watermark passes its end — the finalization
+    semantics that make append-mode output safe to treat as immutable."""
+    import json as _json
+    import os as _os
+
+    from m12_kafkastreams_python_azure_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "apsrc")
+    _os.makedirs(src, exist_ok=True)
+
+    def _write(fname, rows):
+        with open(_os.path.join(src, fname), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    def _ev(eid, hhmm, etype="click"):
+        return {"event_id": eid, "ts": f"2024-03-01T{hhmm}:00", "user_id": 1,
+                "event_type": etype, "value": 1.0}
+
+    _write("b0.json", [_ev(1, "10:00"), _ev(2, "10:30"), _ev(3, "10:59")])
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+    agg = tumbling_counts(stream, watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("append_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "apck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark has not passed 11:00 yet -> nothing finalized
+        assert spark.table("append_win").count() == 0
+        # an event far in the future advances the watermark past 11:00
+        _write("b1.json", [_ev(4, "13:00")])
+        q.processAllAvailable()
+        rows = spark.table("append_win").collect()
+    finally:
+        q.stop()
+    finalized = {(str(r.window_start), r.n_events) for r in rows}
+    assert finalized == {("2024-03-01 10:00:00", 3)}
