@@ -89,16 +89,24 @@ def dedup_clusters(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    jaccard_threshold: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    prefix_len: int = 20,
 ) -> DataFrame:
-    """Cluster documents whose consecutive-id 3-gram Jaccard clears the
-    threshold (the deterministic pair generator shared with
-    ``q_ngram_jaccard_pairs``), then pick one keeper per cluster
-    (min doc_id) and report cluster sizes."""
-    a = docs.select(F.col(id_col).alias("id_a"), shingles(F.col(text_col)).alias("sh_a"))
-    b = docs.select(F.col(id_col).alias("id_b"), shingles(F.col(text_col)).alias("sh_b"))
+    """Cluster documents into transitive near-dup groups: candidate pairs
+    from a deterministic prefix-bucket blocking (docs sharing their first
+    ``prefix_len`` chars — an oracle-expressible stand-in for LSH banding),
+    verified with exact 3-gram Jaccard, then connected components; one
+    keeper per cluster (min doc_id) with the cluster size."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
+        shingles(F.col(text_col)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("pfx"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("pfx"), F.col("sh").alias("sh_b"))
     pairs = (
-        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        a.join(b, "pfx")
+        .filter(F.col("id_a") < F.col("id_b"))
         .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= jaccard_threshold)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -121,13 +129,15 @@ from .dedup import _DUCK_SHINGLES  # noqa: E402
 
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE sh AS (
-  SELECT doc_id, {_DUCK_SHINGLES.format(t='text')} AS s FROM documents
+  SELECT doc_id, substr(text, 1, 20) AS pfx,
+         {_DUCK_SHINGLES.format(t='text')} AS s
+  FROM documents
 ),
 pairs AS (
   SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+  FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.3
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
 ),
 edges AS (
   SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
