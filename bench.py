@@ -88,6 +88,8 @@ def main() -> None:
         # cache across the suite and skew later queries via memory pressure
         spark.catalog.clearCache()
 
+    streaming_eps = _streaming_throughput(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -99,8 +101,57 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "streaming_events_per_sec": streaming_eps,
     }
     print(json.dumps(out))
+
+
+def _streaming_throughput(spark) -> float:
+    """Events/s through the flagship-shaped streaming aggregation: the
+    events table replayed through a file-source update-mode keyed count
+    (state store + shuffle, the reference's analyze-stage profile). The
+    reference's producer ran at 1 rec/s (producer-app-data.yaml:36)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        n = ev.count()
+        src = f"{work}/src"
+        ev.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
+            4
+        ).write.json(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .json(src)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("user_id").alias("u"),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("bench_stream")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ck")
+            .start()
+        )
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        elapsed = time.perf_counter() - t0
+        q.stop()
+        return round(n / elapsed, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
