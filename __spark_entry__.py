@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_activity": A10.q_full_outer_activity,
         "unpivot_metrics": A10.q_unpivot_metrics,
         "latest_event_per_user": A10.q_latest_event_per_user,
+        "hopping_hourly": A10.q_hopping_hourly,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_activity": A10.ORACLE_FULL_OUTER_ACTIVITY,
         "unpivot_metrics": A10.ORACLE_UNPIVOT_METRICS,
         "latest_event_per_user": A10.ORACLE_LATEST_EVENT_PER_USER,
+        "hopping_hourly": A10.ORACLE_HOPPING_HOURLY,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

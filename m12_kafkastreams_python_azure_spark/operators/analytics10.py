@@ -280,3 +280,37 @@ SELECT t.user_id, t.last_event_id,
        e.event_type AS last_event_type, e.value AS last_value
 FROM tied t JOIN events e ON e.event_id = t.last_event_id
 """
+
+
+def q_hopping_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the sliding (hopping) window: 1-hour windows every 15
+    minutes — each event lands in 4 windows (Spark's Expand). Oracle twin
+    of ``streaming.windows.sliding_counts``."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+ORACLE_HOPPING_HOURLY = """
+WITH shifted AS (
+  SELECT event_type,
+         date_trunc('minute', ts)
+           - to_minutes(CAST(extract(minute FROM ts) AS BIGINT) % 15)
+           - to_minutes(45 - s.shift * 15) AS window_start
+  FROM events
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS shift) s
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM shifted
+GROUP BY window_start, event_type
+"""
