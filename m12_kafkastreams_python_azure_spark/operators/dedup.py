@@ -158,6 +158,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -208,6 +209,11 @@ def minhash_near_dup_pairs(
         banded.groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
+        # Mega-buckets are degenerate banding (boilerplate / near-constant
+        # docs): expanding one quadratically would pin a single task. The
+        # standard LSH hygiene is to drop them, like stopwords — a true
+        # pair inside still has b-1 other bands to surface through.
+        .filter(F.size("ids") <= max_bucket)
         .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -339,6 +345,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit simhash into ``bands``
     16-bit slices; by pigeonhole, any pair within Hamming distance <
@@ -372,6 +379,7 @@ def simhash_near_dup_pairs(
         banded.groupBy("band", "bh")
         .agg(F.collect_list(F.struct("id", "sim")).alias("members"))
         .filter(F.size("members") > 1)
+        .filter(F.size("members") <= max_bucket)  # degenerate-bucket guard
         .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
         .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .dropDuplicates(["id_a", "id_b"])
