@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
         "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
         "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
+        "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
     }
 
 
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": S.ORACLE_ANN_TOPK,
         "embedding_near_dup": S.ORACLE_EMBEDDING_NEAR_DUP,
         "normalize_embeddings": V.ORACLE_NORMALIZE_EMBEDDINGS,
+        "geomean_prices": V.ORACLE_GEOMEAN_PRICES,
         # minhash_near_dup / simhash_near_dup / ann_lsh: intentionally no
         # oracle — LSH banding is not SQL-expressible; their exact
         # counterparts (ngram_jaccard_pairs, embedding_near_dup, ann_topk)

@@ -75,3 +75,41 @@ SELECT vec_id,
        ROUND(list_sum(list_transform(e, x -> x / nrm)), 6) AS checksum
 FROM n
 """
+
+
+def _make_geomean_udf():
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        """Grouped-aggregate pandas UDF (Series -> scalar): geometric mean
+        via mean-of-logs, numpy-vectorized per Arrow batch."""
+        a = np.asarray(v, dtype=np.float64)
+        a = a[a > 0]
+        return float(np.exp(np.log(a).mean())) if a.size else 0.0
+
+    return geomean
+
+
+def q_geomean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDF surface: per-status geometric mean of order
+    prices. (The third UDF API shape after scalar pandas_udf and
+    applyInPandas — each Arrow-batched, none row-at-a-time.)"""
+    o = load_table(spark, sf_dir, "orders")
+    geomean = _make_geomean_udf()
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg — run them as two aggregates over the same
+    # shuffle key and join (3 groups; the join is trivial).
+    g = o.groupBy("o_orderstatus").agg(
+        F.round(geomean(F.col("o_totalprice")), 4).alias("geo_mean_price")
+    )
+    n = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    return g.join(n, "o_orderstatus")
+
+
+ORACLE_GEOMEAN_PRICES = """
+SELECT o_orderstatus,
+       ROUND(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,
+       count(*) AS n
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY o_orderstatus
+"""
