@@ -105,3 +105,37 @@ def test_scalar_batteries_no_python_eval(spark, sf_dir):
     ):
         s = explain_str(q(spark, sf_dir))
         assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, q
+
+
+# queries whose plans legitimately contain an Arrow/Python eval node
+ARROW_PATH_QUERIES = {
+    "media_features",      # mapInPandas decode
+    "zscore_events",       # applyInPandas grouped map
+    "normalize_embeddings",# scalar pandas UDF
+    "geomean_prices",      # grouped-agg pandas UDF
+    "arrow_byte_stats",    # mapInArrow
+}
+
+
+def test_no_accidental_python_in_any_query_plan(spark, sf_dir):
+    """Blanket regression gate: every registered query must stay JVM-side
+    unless it is one of the five declared Arrow-path operators. Catches a
+    future change accidentally introducing a row-at-a-time UDF anywhere."""
+    import __spark_entry__ as entrymod
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    offenders = []
+    for name, fn in sorted(entrymod.queries().items()):
+        plan = explain_str(fn(spark, sf_dir))
+        has_python = any(
+            marker in plan
+            for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                           "FlatMapGroupsInPandas", "PythonMapInArrow",
+                           "MapInArrow", "AggregateInPandas",
+                           "ArrowAggregatePython")
+        )
+        if has_python and name not in ARROW_PATH_QUERIES:
+            offenders.append(name)
+        if not has_python and name in ARROW_PATH_QUERIES:
+            offenders.append(f"{name} (expected Arrow node missing)")
+    assert not offenders, f"plan hygiene violations: {offenders}"
