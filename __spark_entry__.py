@@ -27,6 +27,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics7 as A7
 from m12_kafkastreams_python_azure_spark.operators import analytics8 as A8
 from m12_kafkastreams_python_azure_spark.operators import analytics9 as A9
 from m12_kafkastreams_python_azure_spark.operators import analytics10 as A10
+from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": S.q_embedding_near_dup,
         "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
         "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
+        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,  # rows-only (approx)
         "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
         "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
     }
@@ -220,8 +222,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": S.ORACLE_EMBEDDING_NEAR_DUP,
         "normalize_embeddings": V.ORACLE_NORMALIZE_EMBEDDINGS,
         "geomean_prices": V.ORACLE_GEOMEAN_PRICES,
-        # minhash_near_dup / simhash_near_dup / ann_lsh: intentionally no
-        # oracle — LSH banding is not SQL-expressible; their exact
-        # counterparts (ngram_jaccard_pairs, embedding_near_dup, ann_topk)
-        # are oracle-checked.
+        # minhash_near_dup / simhash_near_dup / ann_lsh / ann_ivf /
+        # embedding_near_dup_lsh: intentionally no oracle — LSH banding and
+        # k-means probing are not SQL-expressible; their exact counterparts
+        # (ngram_jaccard_pairs, embedding_near_dup, ann_topk) are
+        # oracle-checked and bound them.
     }

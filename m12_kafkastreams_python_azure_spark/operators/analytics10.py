@@ -120,7 +120,7 @@ WITH b AS (
 SELECT CASE WHEN bucket < 204 THEN 'train'
             WHEN bucket < 230 THEN 'val'
             ELSE 'test' END AS split,
-       lang, count(*) AS n_docs, sum(n_chars) AS chars
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM b GROUP BY 1, 2
 """
 

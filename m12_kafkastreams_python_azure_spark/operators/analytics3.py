@@ -30,10 +30,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd JVM expression — at 100 TB this is a pure map + one small agg
     shuffle keyed on ~tens of languages."""
     docs = load_table(spark, sf_dir, "documents")
+    # The synthetic corpus is punctuation-free, which would make the regex
+    # tokenizer indistinguishable from whitespace split. Tokenize a
+    # deterministic punctuated derivation ("source:text.") instead so the
+    # two counts genuinely differ and regexp_extract_all is exercised.
+    punct = F.concat(F.col("source"), F.lit(":"), F.col("text"), F.lit("."))
     toks = docs.select(
         "lang",
-        F.size(F.split(F.col("text"), "\\s+")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))).alias(
+        F.size(F.split(punct, "\\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(punct, F.lit(TOKEN_RE), F.lit(0))).alias(
             "re_tokens"
         ),
     )
@@ -46,12 +51,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TOKEN_COUNT = """
+WITH punct AS (
+  SELECT lang, source || ':' || text || '.' AS ptext FROM documents
+)
 SELECT lang,
        count(*) AS n_docs,
-       sum(len(string_split_regex(text, '\\s+'))) AS ws_tokens_sum,
-       sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS re_tokens_sum,
-       avg(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS re_tokens_avg
-FROM documents
+       CAST(sum(len(string_split_regex(ptext, '\\s+'))) AS BIGINT) AS ws_tokens_sum,
+       CAST(sum(len(regexp_extract_all(ptext, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS re_tokens_sum,
+       avg(len(regexp_extract_all(ptext, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS re_tokens_avg
+FROM punct
 GROUP BY lang
 """
 

@@ -39,7 +39,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON_EXTRACT = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_avg,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events

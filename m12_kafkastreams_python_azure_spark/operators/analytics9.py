@@ -153,7 +153,7 @@ def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ARROW_BYTE_STATS = """
-SELECT lang, sum(strlen(text)) AS total_bytes, count(*) AS n_docs
+SELECT lang, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, count(*) AS n_docs
 FROM documents
 GROUP BY lang
 """

@@ -1,0 +1,201 @@
+"""Public front doors for near-duplicate detection and ANN search.
+
+The engine keeps exact quadratic variants (all-pairs cosine, crossJoin
+brute-force top-k) because they are the oracle ground truth — but they are
+scale-killers at 100 TB. These front doors make the LSH/IVF paths the
+DEFAULT and reserve the quadratic paths for explicit ``method="exact"``
+(oracle/validation use only). A plan test asserts the default paths never
+contain a CartesianProduct or BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.functions.vectors import l2_norm, dot_product
+from m12_kafkastreams_python_azure_spark.operators import dedup as _dedup
+from m12_kafkastreams_python_azure_spark.operators import ivf as _ivf
+from m12_kafkastreams_python_azure_spark.operators import similarity as _sim
+
+
+# ------------------------------------------------------------- text near-dup
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Near-duplicate text pairs. Default ``minhash`` (MinHash+LSH with
+    exact-Jaccard verify — the 100 TB path: one band-hash shuffle, bucketed
+    pair expansion, no self cross-join). ``simhash`` is the Hamming-distance
+    alternative. There is deliberately NO exact all-pairs text method: at
+    any non-toy scale that is O(n^2); validate the similarity function
+    itself on a bounded pair set instead (``dedup.q_ngram_jaccard_pairs``).
+    """
+    if method == "minhash":
+        return _dedup.minhash_near_dup_pairs(df, text_col, id_col, **kwargs)
+    if method == "simhash":
+        return _dedup.simhash_near_dup_pairs(df, text_col, id_col, **kwargs)
+    raise ValueError(f"unknown text near-dup method: {method!r} (minhash|simhash)")
+
+
+# -------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    method: str = "lsh",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold, id_a < id_b).
+
+    Default ``lsh``: banded sign-LSH candidates + exact-cosine verify — one
+    bucket shuffle, never all-pairs. ``exact`` is the quadratic
+    broadcast-join twin: oracle ground truth ONLY, O(n^2) at scale.
+    """
+    if method == "lsh":
+        return embedding_near_dup_lsh(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs
+        )
+    if method == "exact":
+        return _sim.embedding_near_dup_exact(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    raise ValueError(f"unknown embedding near-dup method: {method!r} (lsh|exact)")
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes_per_band: int = 4,
+    bands: int = 8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs with exact-cosine verification.
+
+    Each band hashes the vector with ``planes_per_band`` independent
+    hyperplanes (sign bits); two vectors are candidates if they collide in
+    ANY band. For cosine s the collision probability per band is
+    (1 - acos(s)/pi)^r, so with r=4, b=8 a 0.9-cosine pair is caught with
+    p ~ 0.998 while a 0.4-cosine pair is ~0.75 (every candidate is then
+    verified exactly, so precision is 1.0 regardless).
+
+    Shuffle profile mirrors the MinHash pipeline: band rows carry only
+    (id, band, bucket) — vectors never ride the band shuffle; candidate
+    pairs are broadcast back onto the (narrow) vector table for the verify.
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .persist()
+    )
+    _dedup._CACHED.append(base)
+
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _sim.lsh_bucket(
+                            F.col("v"),
+                            dim,
+                            planes_per_band,
+                            plane_offset=b * planes_per_band,
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    cands = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .filter(F.size("ids") <= max_bucket)  # degenerate-bucket guard
+        .select(F.explode(_dedup._bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pair_a = a.join(F.broadcast(cands), "id_a")
+    return (
+        b.join(F.broadcast(pair_a), "id_b")
+        .withColumn(
+            "sim",
+            F.round(dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH embedding near-dup (rows-only driver check — the
+    candidate set is approximate by design; every emitted pair is exactly
+    verified, and the exact twin ``embedding_near_dup`` is oracle-checked
+    and bounds this one from above)."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    return embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------ ANN top-k
+
+
+def ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    method: str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Top-k nearest neighbors per query vector.
+
+    ``auto`` (default) routes to the sign-LSH bucketed path — sublinear
+    per-query work, no training step. ``ivf`` trains a k-means coarse
+    quantizer and probes inverted lists (the best layout when the index is
+    built once and queried many times; persist it partitioned by
+    centroid_id). ``exact`` is the crossJoin brute-force baseline — oracle
+    ground truth ONLY; its cost is O(n * |Q|).
+    """
+    if method == "auto" or method == "lsh":
+        return _sim.ann_lsh_topk(
+            candidates, queries, k=k, id_col=id_col, vec_col=vec_col, **kwargs
+        )
+    if method == "ivf":
+        train_k = kwargs.pop("train_k", 16)
+        iters = kwargs.pop("iters", 2)
+        nprobe = kwargs.pop("nprobe", 4)
+        centroids = _ivf.train_ivf(
+            candidates, k=train_k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        index = _ivf.build_ivf_index(candidates, centroids, id_col=id_col, vec_col=vec_col)
+        return _ivf.ann_ivf_topk(
+            index, queries, centroids, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        )
+    if method == "exact":
+        return _sim.ann_bruteforce_topk(
+            candidates, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
+    raise ValueError(f"unknown ANN method: {method!r} (auto|lsh|ivf|exact)")

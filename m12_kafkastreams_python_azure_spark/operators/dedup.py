@@ -118,6 +118,26 @@ def _bucket_pairs(ids: Column) -> Column:
     )
 
 
+#: DataFrames persisted by the helpers below, so the NEXT invocation (or an
+#: explicit ``release_parallel_caches()``) can unpersist them. Without this,
+#: every dedup/simhash/clean_corpus call leaks cached partitions for the
+#: lifetime of the session — across a long query sweep that adds memory
+#: pressure and evicts useful blocks.
+_CACHED: list[DataFrame] = []
+
+
+def release_parallel_caches() -> None:
+    """Unpersist every intermediate cached by the dedup helpers. Safe to
+    call any time: unpersist is a hint-removal, never a correctness change
+    (a still-referenced plan just recomputes)."""
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
 def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, t) spread over all cores WITH a materialization barrier.
 
@@ -129,12 +149,18 @@ def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     At real scale the scan has thousands of splits and this is a no-op
     round-robin plus a cheap cache of (id, text).
     """
+    # Bound cache growth: each new dedup invocation frees the previous
+    # one's intermediates (callers needing tighter control can call
+    # release_parallel_caches() right after their terminal action).
+    release_parallel_caches()
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .repartition(parallelism)
         .persist()
     )
+    _CACHED.append(out)
+    return out
 
 
 def _parallel_shingles(
@@ -142,12 +168,14 @@ def _parallel_shingles(
 ) -> DataFrame:
     """Shingle sets computed in parallel (see ``_parallel_text``), cached
     for reuse by the signature pass and both verify-join sides."""
-    return (
+    out = (
         _parallel_text(df, text_col, id_col)
         .select("id", shingles(F.col("t"), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .persist()
     )
+    _CACHED.append(out)
+    return out
 
 
 def minhash_near_dup_pairs(

@@ -96,29 +96,41 @@ FROM ranked WHERE rank <= 5
 """
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs with cosine >= 0.4 (id_a < id_b). Exact — the
-    oracle-checked ground truth that the LSH variant approximates."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    parallelism = spark.sparkContext.defaultParallelism
-    a = emb.repartition(parallelism).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        l2_norm(F.col("embedding")).alias("na"),
+def embedding_near_dup_exact(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All embedding pairs with cosine >= threshold (id_a < id_b). Exact,
+    QUADRATIC — oracle ground truth only. The public front door
+    (``api.embedding_near_dup``) defaults to the banded-LSH scale path and
+    reaches this only via ``method="exact"``."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = df.repartition(parallelism).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        l2_norm(F.col("embedding")).alias("nb"),
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "sim", dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
-        .filter(F.col("sim") >= 0.4)
+        .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.4 (id_a < id_b). Exact — the
+    oracle-checked ground truth that the LSH variant approximates."""
+    return embedding_near_dup_exact(load_table(spark, sf_dir, "embeddings"))
 
 
 ORACLE_EMBEDDING_NEAR_DUP = """
@@ -147,11 +159,15 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec_col: F.Column, dim: int = 64, num_planes: int = 8) -> F.Column:
-    """Sign-bit LSH bucket id (0..2^num_planes-1) from fixed hyperplanes."""
+def lsh_bucket(
+    vec_col: F.Column, dim: int = 64, num_planes: int = 8, plane_offset: int = 0
+) -> F.Column:
+    """Sign-bit LSH bucket id (0..2^num_planes-1) from fixed hyperplanes.
+    ``plane_offset`` selects an independent plane set, so banded callers
+    (multiple tables) get distinct hash families per band."""
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
         sign = (dot_product(vec_col, plane) > 0).cast("long")
         bucket = bucket + F.shiftleft(sign, p)
     return bucket

@@ -72,7 +72,9 @@ SELECT vec_id,
                                         list_transform(e, x -> x / nrm)))
              ELSE 0.0 END, 6) AS unit_norm,
        ROUND(CASE WHEN nrm > 0 THEN e[1] / nrm ELSE e[1] END, 6) AS first_val,
-       ROUND(list_sum(list_transform(e, x -> x / nrm)), 6) AS checksum
+       ROUND(CASE WHEN nrm > 0
+             THEN list_sum(list_transform(e, x -> x / nrm))
+             ELSE list_sum(e) END, 6) AS checksum
 FROM n
 """
 
@@ -93,7 +95,11 @@ def q_geomean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas GROUPED_AGG UDF surface: per-status geometric mean of order
     prices. (The third UDF API shape after scalar pandas_udf and
     applyInPandas — each Arrow-batched, none row-at-a-time.)"""
-    o = load_table(spark, sf_dir, "orders")
+    # Filter non-positive prices BEFORE both aggregates so group membership
+    # and n match the oracle's WHERE exactly (a group of only non-positive
+    # prices is absent on both sides; TPC-H data never hits this, but the
+    # contract shouldn't depend on that).
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     geomean = _make_geomean_udf()
     # Spark disallows mixing a grouped-agg pandas UDF with built-in
     # aggregates in one agg — run them as two aggregates over the same

@@ -159,6 +159,43 @@ def read_ingest_files(
     return df
 
 
+def kafka_source_options(
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact option set handed to the kafka source — factored out so the
+    broker-less contract test (tests/test_kafka_contract.py) can assert it
+    without the spark-sql-kafka package on the classpath."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def decode_kafka_value(raw: DataFrame, value_schema: StructType) -> DataFrame:
+    """Kafka wire value -> typed rows: cast bytes to string, ``from_json``
+    with the declared (possibly partial) schema, drop undecodable messages
+    (null filter F1, reference: src/main.py:43-45). Undeclared JSON fields
+    are ignored — the same schema-on-read projection as ksql CREATE STREAM
+    (K1). Works on any DataFrame with a ``value`` column, so it is testable
+    against a batch stand-in without a broker.
+
+    Permissive ``from_json`` yields an all-null struct (not a null struct)
+    for malformed input, so the drop-bad-messages contract needs an explicit
+    validity gate: ``try_parse_json`` is null for non-JSON and for null
+    values (tombstones) — both are dropped, mirroring the reference's
+    skip-and-continue."""
+    return (
+        raw.select(F.col("value").cast("string").alias("json"))
+        .filter(F.try_parse_json("json").isNotNull())
+        .select(F.from_json("json", value_schema).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.*")
+    )
+
+
 def read_kafka_stream(
     spark: SparkSession,
     topic: str,
@@ -168,25 +205,17 @@ def read_kafka_stream(
 ) -> DataFrame:
     """Kafka topic source (operator S3): subscribe + JSON-deserialize into a
     typed streaming DataFrame, exactly the Faust ``value_type`` semantics
-    (reference: src/main.py:35-36,40). Undeclared JSON fields are ignored —
-    same schema-on-read projection as ksql's CREATE STREAM (K1).
+    (reference: src/main.py:35-36,40).
 
     Needs the spark-sql-kafka package on the classpath; tests use
-    ``read_json_stream_from_files`` instead so no broker is required.
+    ``read_json_stream_from_files`` instead so no broker is required, and
+    the decode + option contracts are covered broker-free in
+    tests/test_kafka_contract.py.
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return (
-        raw.select(F.col("value").cast("string").alias("json"))
-        .select(F.from_json("json", value_schema).alias("r"))
-        .filter(F.col("r").isNotNull())  # null filter F1 (reference: src/main.py:43-45)
-        .select("r.*")
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(topic, bootstrap_servers, starting_offsets).items():
+        reader = reader.option(k, v)
+    return decode_kafka_value(reader.load(), value_schema)
 
 
 def read_json_stream_from_files(

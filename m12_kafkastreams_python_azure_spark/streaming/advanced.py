@@ -26,6 +26,8 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
+from ..sources.maintenance import _dir_has_data
+
 
 def view_purchase_join(
     views: DataFrame,
@@ -138,6 +140,15 @@ def start_dedup_stream(
     hash that has never been emitted before (anti-join against the output so
     far), append survivors. ``foreachBatch`` gives the batch DataFrame API
     (including the anti-join) inside a streaming query.
+
+    Replay semantics: foreachBatch is at-least-once — after a failure the
+    same batch_id can be re-delivered. The seen-hash anti-join makes the
+    replay idempotent at ROW granularity (already-written hashes are
+    filtered out), which is the contract this operator promises (one row
+    per hash), though a replayed batch may leave behind duplicate FILES of
+    previously-unseen rows only if the crash happened mid-write; an
+    exactly-once upgrade would stage per-batch_id output dirs and commit by
+    rename.
     """
     hash_col = F.sha2(F.col(key_col).cast("string"), 256).alias("__h")
 
@@ -153,11 +164,12 @@ def start_dedup_stream(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
+        # Only a genuinely-absent output dir means "nothing seen yet".
+        # Swallowing every read failure would skip the anti-join and emit
+        # duplicates, silently breaking the one-row-per-hash contract.
+        if _dir_has_data(spark, out_dir):
             seen = spark.read.parquet(out_dir).select("__h").distinct()
             fresh = fresh.join(seen, "__h", "left_anti")
-        except Exception:
-            pass  # first batch: no output yet
         fresh.write.mode("append").parquet(out_dir)
 
     return (

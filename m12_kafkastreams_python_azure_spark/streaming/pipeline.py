@@ -66,6 +66,14 @@ def write_update_to_memory(
     )
 
 
+def encode_kafka_value(df: DataFrame) -> DataFrame:
+    """Sink-side wire encoding: every column JSON-serialized into a single
+    ``value`` column (the Faust agent sink semantics, reference:
+    src/main.py:37,40). Pure DataFrame -> DataFrame so the round-trip
+    contract (decode(encode(df)) == df) is testable without a broker."""
+    return df.select(F.to_json(F.struct("*")).alias("value"))
+
+
 def to_kafka_sink(
     df: DataFrame,
     topic: str,
@@ -75,7 +83,7 @@ def to_kafka_sink(
     """S4: JSON-serialize every column into the Kafka value (the Faust agent
     sink semantics, reference: src/main.py:37,40)."""
     return (
-        df.select(F.to_json(F.struct("*")).alias("value"))
+        encode_kafka_value(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

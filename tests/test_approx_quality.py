@@ -67,6 +67,28 @@ def test_simhash_finds_exact_duplicates(spark):
     assert pairs.get((1, 2)) == 0
 
 
+def test_embedding_lsh_near_dup_bounded_by_exact(spark, sf_dir):
+    """The banded sign-LSH near-dup path: every emitted pair must also be an
+    exact-path pair (verify stage guarantees precision 1.0), and recall on
+    strongly-similar pairs (cosine >= 0.7 — the band collision probability
+    is ~0.95+ there) must clear the floor."""
+    from m12_kafkastreams_python_azure_spark.operators.api import (
+        embedding_near_dup_lsh,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.similarity import (
+        embedding_near_dup_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b): r.sim for r in embedding_near_dup_exact(emb).collect()}
+    found = {(r.id_a, r.id_b) for r in embedding_near_dup_lsh(emb).collect()}
+    assert found <= set(exact), "LSH emitted a pair the exact path did not"
+    strong = {p for p, s in exact.items() if s >= 0.7}
+    if strong:
+        recall = len(strong & found) / len(strong)
+        assert recall >= 0.8, f"strong-pair recall {recall:.2f} over {len(strong)}"
+
+
 def test_hll_within_configured_error(spark, sf_dir):
     """approx_count_distinct at rsd=0.05 lands within 3 standard errors of
     the exact count (deterministic given the fixed dataset)."""

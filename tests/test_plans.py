@@ -107,6 +107,45 @@ def test_scalar_batteries_no_python_eval(spark, sf_dir):
         assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, q
 
 
+def test_default_similarity_front_doors_never_quadratic(spark, sf_dir):
+    """The public API's DEFAULT paths must never plan a cartesian product or
+    broadcast nested-loop join — those are reserved for method="exact"
+    (oracle ground truth). This is the 100 TB guarantee: a user who calls
+    the front door gets the bucketed LSH/IVF plan."""
+    from m12_kafkastreams_python_azure_spark.operators import api
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") < 8)
+    defaults = {
+        "ann_topk(auto)": api.ann_topk(emb, q, k=5),
+        "embedding_near_dup(lsh)": api.embedding_near_dup(emb),
+        "near_dup_pairs(minhash)": api.near_dup_pairs(docs),
+        "near_dup_pairs(simhash)": api.near_dup_pairs(docs, method="simhash"),
+    }
+    for label, df in defaults.items():
+        s = explain_str(df)
+        assert "CartesianProduct" not in s, f"{label} plans a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in s, f"{label} plans a nested-loop join"
+
+
+def test_exact_methods_still_reachable(spark, sf_dir):
+    """method="exact" must route to the quadratic oracle twins (their plans
+    DO contain the nested-loop/cross shape — that is what makes them exact)."""
+    from m12_kafkastreams_python_azure_spark.operators import api
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    s1 = explain_str(api.ann_topk(emb, q, k=5, method="exact"))
+    s2 = explain_str(api.embedding_near_dup(emb, method="exact"))
+    assert "BroadcastNestedLoopJoin" in s1 or "CartesianProduct" in s1
+    assert "BroadcastNestedLoopJoin" in s2 or "CartesianProduct" in s2
+
+
 # queries whose plans legitimately contain an Arrow/Python eval node
 ARROW_PATH_QUERIES = {
     "media_features",      # mapInPandas decode
