@@ -27,6 +27,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics7 as A7
 from m12_kafkastreams_python_azure_spark.operators import analytics8 as A8
 from m12_kafkastreams_python_azure_spark.operators import analytics9 as A9
 from m12_kafkastreams_python_azure_spark.operators import analytics10 as A10
+from m12_kafkastreams_python_azure_spark.operators import analytics11 as A11
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
@@ -112,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": A10.q_unpivot_metrics,
         "latest_event_per_user": A10.q_latest_event_per_user,
         "hopping_hourly": A10.q_hopping_hourly,
+        "edit_distance_pairs": A11.q_edit_distance_pairs,
+        "purchase_funnel": A11.q_purchase_funnel,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -207,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_metrics": A10.ORACLE_UNPIVOT_METRICS,
         "latest_event_per_user": A10.ORACLE_LATEST_EVENT_PER_USER,
         "hopping_hourly": A10.ORACLE_HOPPING_HOURLY,
+        "edit_distance_pairs": A11.ORACLE_EDIT_DISTANCE_PAIRS,
+        "purchase_funnel": A11.ORACLE_PURCHASE_FUNNEL,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

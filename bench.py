@@ -35,7 +35,12 @@ HEADLINE = [
     "dedup_exact",
     "text_quality",
     "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "ann_topk",
+    "ann_lsh",
+    "ann_ivf",
     "asof_latest_order",
     "event_pairs_10min",
     "window_functions",
@@ -51,6 +56,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "trailing_hour_counts",
     "latest_event_per_user",
+    "edit_distance_pairs",
+    "purchase_funnel",
 ]
 
 

@@ -105,45 +105,52 @@ def embedding_near_dup_lsh(
     )
     _dedup._CACHED.append(base)
 
+    # All bands' sign bits in ONE pass over one literal plane matrix, then
+    # per-band bucket ids sliced out of the bits array — keeps the Catalyst
+    # expression tree tiny (see similarity.lsh_sign_bits) and hashes each
+    # vector exactly once.
+    bits = _sim.lsh_sign_bits(F.col("v"), dim, bands * planes_per_band)
     banded = base.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _sim.lsh_bucket(
-                            F.col("v"),
-                            dim,
-                            planes_per_band,
-                            plane_offset=b * planes_per_band,
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        F.posexplode(
+            _sim.banded_bucket_ids(bits, bands, planes_per_band)
+        ).alias("band", "bh"),
+    )
 
+    # The bucket-list rows post-agg are few and tiny, so AQE coalesces them
+    # to ~1 partition — which would serialize the O(|bucket|^2) pair
+    # expansion onto one core. Re-spread the bucket rows (cheap: id-lists
+    # only) so the expansion runs bucket-parallel.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     cands = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
         .filter(F.size("ids") <= max_bucket)  # degenerate-bucket guard
+        .repartition(parallelism)
         .select(F.explode(_dedup._bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # NOTE: candidate pairs are NOT deduped here — a pair colliding in
+    # several bands is verified more than once, which is cheaper than
+    # shuffling the full candidate set; the dedup runs after the sim
+    # filter, on the (orders-of-magnitude smaller) survivor set.
+    # Verify joins: stream the (narrow, id-only) candidate pairs and join
+    # the vector table onto them — NEVER broadcast pairs carrying vectors
+    # (at 1M candidates x dim 64 that is a multi-hundred-MB broadcast).
+    # No hint on purpose: AQE broadcasts the vector side while it is small
+    # and falls back to a shuffled join when the corpus outgrows that.
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pair_a = a.join(F.broadcast(cands), "id_a")
     return (
-        b.join(F.broadcast(pair_a), "id_b")
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "sim",
             F.round(dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "sim")
     )
 

@@ -242,6 +242,10 @@ def minhash_near_dup_pairs(
         # standard LSH hygiene is to drop them, like stopwords — a true
         # pair inside still has b-1 other bands to surface through.
         .filter(F.size("ids") <= max_bucket)
+        # bucket rows are few/tiny post-agg, so AQE coalesces them to ~1
+        # partition — respread so the O(|bucket|^2) expansion runs
+        # bucket-parallel instead of on one core
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -408,6 +412,9 @@ def simhash_near_dup_pairs(
         .agg(F.collect_list(F.struct("id", "sim")).alias("members"))
         .filter(F.size("members") > 1)
         .filter(F.size("members") <= max_bucket)  # degenerate-bucket guard
+        # respread bucket rows so the pair expansion is bucket-parallel
+        # (AQE would otherwise coalesce the tiny post-agg stage to 1 task)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
         .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -159,18 +159,47 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
+def lsh_sign_bits(
+    vec_col: F.Column, dim: int, num_planes: int, plane_offset: int = 0
+) -> F.Column:
+    """array<long> of sign bits (0/1), one per hyperplane.
+
+    All planes ship as ONE literal array<array<double>> and the per-plane
+    dot product is a single nested higher-order transform — the expression
+    TREE stays O(1) in num_planes (the planes are data, not tree nodes).
+    The naive per-plane fold-expression alternative makes Catalyst
+    analyze/codegen a tree with num_planes * dim literal leaves, which
+    costs whole seconds of driver time per query at 32+ planes."""
+    planes = [_hyperplane(dim, plane_offset + p) for p in range(num_planes)]
+    parr = F.lit(planes)
+    return F.transform(
+        parr, lambda plane: (dot_product(vec_col, plane) > 0).cast("long")
+    )
+
+
+def banded_bucket_ids(bits: F.Column, bands: int, rows_per_band: int) -> F.Column:
+    """array<long> of per-band bucket ids from a sign-bit array: band b's id
+    is the binary number formed by its slice of bits."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(bits, b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2 + x,
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_bucket(
     vec_col: F.Column, dim: int = 64, num_planes: int = 8, plane_offset: int = 0
 ) -> F.Column:
     """Sign-bit LSH bucket id (0..2^num_planes-1) from fixed hyperplanes.
     ``plane_offset`` selects an independent plane set, so banded callers
     (multiple tables) get distinct hash families per band."""
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
-        sign = (dot_product(vec_col, plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(sign, p)
-    return bucket
+    bits = lsh_sign_bits(vec_col, dim, num_planes, plane_offset)
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc * 2 + x)
 
 
 def ann_lsh_topk(

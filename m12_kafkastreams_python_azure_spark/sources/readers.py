@@ -141,6 +141,98 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.format(AVRO_FORMAT).mode(mode).save(path)
 
 
+# --------------------------------------------------------------------------
+# Confluent Schema-Registry wire format (Kafka-Avro). The reference deploys a
+# Schema Registry (confluent-platform.yaml:92-99), so topic values are framed
+# as: 1 magic byte 0x00 | 4-byte big-endian schema id | avro-encoded body.
+# The framing is pure Catalyst (binary substring/concat — testable anywhere);
+# the avro body decode delegates to spark-avro's from_avro, which this
+# container has on the classpath but NOT service-registered, so the decode
+# entry point probes usability and raises a clear error instead of an opaque
+# analysis failure.
+# --------------------------------------------------------------------------
+
+CONFLUENT_MAGIC = b"\x00"
+
+
+def confluent_frame(df: DataFrame, schema_id: int, value_col: str = "value") -> DataFrame:
+    """Prepend the 5-byte Confluent header to an avro-encoded value column."""
+    header = CONFLUENT_MAGIC + schema_id.to_bytes(4, "big")
+    return df.withColumn(value_col, F.concat(F.lit(header), F.col(value_col)))
+
+
+def confluent_schema_id(value_col: str = "value") -> F.Column:
+    """Big-endian int schema id from header bytes 2-5 (Catalyst: binary
+    substring -> hex -> base-16 conv; no Python)."""
+    return F.conv(F.hex(F.expr(f"substring({value_col}, 2, 4)")), 16, 10).cast("long")
+
+
+def confluent_body(value_col: str = "value") -> F.Column:
+    """The avro payload after the 5-byte header."""
+    return F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
+
+
+def confluent_unframe(
+    df: DataFrame, value_col: str = "value", expect_schema_id: int | None = None
+) -> DataFrame:
+    """Validate + strip the Confluent header: non-magic rows are dropped
+    (same skip-bad-messages stance as the JSON decode path); optionally pin
+    the schema id. Returns (schema_id, value=avro body)."""
+    out = df.filter(
+        F.expr(f"substring({value_col}, 1, 1)") == F.lit(CONFLUENT_MAGIC)
+    ).select(
+        confluent_schema_id(value_col).alias("schema_id"),
+        confluent_body(value_col).alias(value_col),
+    )
+    if expect_schema_id is not None:
+        out = out.filter(F.col("schema_id") == expect_schema_id)
+    return out
+
+
+def avro_functions_usable(spark: SparkSession) -> bool:
+    """True if spark-avro's from_avro/to_avro SQL expressions are usable.
+    Having AvroFileFormat on the classpath is NOT enough: Spark gates these
+    functions on the data source being service-registered (this container
+    bundles the classes without the registration)."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        probe = spark.range(1).select(to_avro(F.struct("id")).alias("v"))
+        probe.schema  # forces analysis; raises AVRO_NOT_LOADED_* if gated
+        return True
+    except Exception:
+        return False
+
+
+def decode_confluent_avro(
+    raw: DataFrame,
+    avro_schema_json: str,
+    value_col: str = "value",
+    expect_schema_id: int | None = None,
+) -> DataFrame:
+    """Kafka-Avro value decode: unframe the Confluent header, then
+    ``from_avro`` the body with the (registry-fetched) writer schema.
+    Schema-registry HTTP lookup is out of engine scope — pass the schema
+    JSON; at 100 TB the schema is one driver-side fetch per (topic, id),
+    never per record."""
+    spark = raw.sparkSession
+    if not avro_functions_usable(spark):
+        raise RuntimeError(
+            "spark-avro SQL functions are not service-registered in this "
+            "runtime; restart with the spark-avro package "
+            "(spark.jars.packages=org.apache.spark:spark-avro_2.13) to "
+            "decode Kafka-Avro bodies. The Confluent framing itself "
+            "(confluent_unframe) works without it."
+        )
+    from pyspark.sql.avro.functions import from_avro
+
+    unframed = confluent_unframe(raw, value_col, expect_schema_id)
+    return (
+        unframed.select(from_avro(F.col(value_col), avro_schema_json).alias("r"))
+        .select("r.*")
+    )
+
+
 def read_ingest_files(
     spark: SparkSession,
     path: str,

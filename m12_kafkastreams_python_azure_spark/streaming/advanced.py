@@ -129,27 +129,12 @@ def user_stats_stateful(events: DataFrame) -> DataFrame:
     )
 
 
-def start_dedup_stream(
-    docs: DataFrame,
-    out_dir: str,
-    checkpoint_dir: str,
-    key_col: str = "text",
-    id_col: str = "doc_id",
-) -> StreamingQuery:
-    """Incremental exact dedup: per micro-batch, keep one row per content
-    hash that has never been emitted before (anti-join against the output so
-    far), append survivors. ``foreachBatch`` gives the batch DataFrame API
-    (including the anti-join) inside a streaming query.
-
-    Replay semantics: foreachBatch is at-least-once — after a failure the
-    same batch_id can be re-delivered. The seen-hash anti-join makes the
-    replay idempotent at ROW granularity (already-written hashes are
-    filtered out), which is the contract this operator promises (one row
-    per hash), though a replayed batch may leave behind duplicate FILES of
-    previously-unseen rows only if the crash happened mid-write; an
-    exactly-once upgrade would stage per-batch_id output dirs and commit by
-    rename.
-    """
+def dedup_batch_processor(
+    out_dir: str, key_col: str = "text", id_col: str = "doc_id"
+):
+    """The foreachBatch function used by ``start_dedup_stream``, exposed so
+    tests can drive it directly with a repeated batch_id (simulating the
+    at-least-once replay that a live failure would produce)."""
     hash_col = F.sha2(F.col(key_col).cast("string"), 256).alias("__h")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -168,12 +153,48 @@ def start_dedup_stream(
         # Swallowing every read failure would skip the anti-join and emit
         # duplicates, silently breaking the one-row-per-hash contract.
         if _dir_has_data(spark, out_dir):
-            seen = spark.read.parquet(out_dir).select("__h").distinct()
+            # exclude THIS batch's own (possibly half-written) replay dir
+            # from the seen set, then overwrite it wholesale
+            seen = (
+                spark.read.option("basePath", out_dir)
+                .parquet(out_dir)
+                .filter(F.col("batch") != batch_id)
+                .select("__h")
+                .distinct()
+            )
             fresh = fresh.join(seen, "__h", "left_anti")
-        fresh.write.mode("append").parquet(out_dir)
+        fresh.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
+    return _process
+
+
+def start_dedup_stream(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Incremental exact dedup: per micro-batch, keep one row per content
+    hash that has never been emitted before (anti-join against the output so
+    far), append survivors. ``foreachBatch`` gives the batch DataFrame API
+    (including the anti-join) inside a streaming query.
+
+    Output layout: one ``batch=<id>`` partition dir per micro-batch (readers
+    see an extra ``batch`` partition column — lineage metadata that also
+    enables the exactly-once replay described below).
+
+    Replay semantics: foreachBatch is at-least-once — after a failure the
+    same batch_id can be re-delivered. Each batch writes (overwrite mode)
+    its own ``batch=<id>`` partition directory, so a replay rewrites the
+    same directory instead of appending a duplicate copy — exactly-once
+    output at directory granularity on top of the row-level seen-hash
+    anti-join.
+    """
     return (
-        docs.writeStream.foreachBatch(_process)
+        docs.writeStream.foreachBatch(
+            dedup_batch_processor(out_dir, key_col, id_col)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -83,10 +83,14 @@ def test_embedding_lsh_near_dup_bounded_by_exact(spark, sf_dir):
     exact = {(r.id_a, r.id_b): r.sim for r in embedding_near_dup_exact(emb).collect()}
     found = {(r.id_a, r.id_b) for r in embedding_near_dup_lsh(emb).collect()}
     assert found <= set(exact), "LSH emitted a pair the exact path did not"
-    strong = {p for p, s in exact.items() if s >= 0.7}
-    if strong:
-        recall = len(strong & found) / len(strong)
-        assert recall >= 0.8, f"strong-pair recall {recall:.2f} over {len(strong)}"
+    # This synthetic corpus tops out near cosine 0.6 — a deliberately hard
+    # regime for sign-LSH (designed for 0.8+), so the floor reflects the
+    # banding probability there, not near-dup-grade recall. Deterministic
+    # planes + deterministic data -> a stable measured value (0.80 at
+    # sf0.001, 0.77 at sf0.1).
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(set(exact) & found) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} over {len(exact)} exact pairs"
 
 
 def test_hll_within_configured_error(spark, sf_dir):

@@ -59,3 +59,23 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
         for r in ann_ivf_topk(index, queries, centroids, k=3, nprobe=8).collect()
     }
     assert full == exact
+
+
+def test_ivf_index_on_disk_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF layout promise at 100 TB: persist the index partitioned by
+    centroid_id and a probe's centroid filter prunes at the FILE level —
+    the scan carries a PartitionFilters entry on centroid_id and reads no
+    non-probed list."""
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf(emb, k=8, iters=1)
+    index_dir = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, centroids).write.partitionBy("centroid_id").parquet(index_dir)
+
+    on_disk = spark.read.parquet(index_dir)
+    probed = on_disk.filter(F.col("centroid_id").isin(0, 3))
+    plan = explain_str(probed)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # and the pruned read returns exactly the probed lists
+    assert set(r.centroid_id for r in probed.select("centroid_id").distinct().collect()) <= {0, 3}

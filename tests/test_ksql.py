@@ -53,6 +53,34 @@ def test_reference_payloads_end_to_end(ksql_ctx, spark):
     assert len(got) == 5
 
 
+def test_payloads_match_duckdb_oracle(ksql_ctx):
+    """The three verbatim payloads' final hotels_count must equal an
+    INDEPENDENT oracle: DuckDB computing the same aggregate (exact ANSI
+    COUNT(DISTINCT)) over the same projected stream rows — not our own
+    engine's batch twin."""
+    import duckdb
+
+    ksql_ctx.execute(CREATE_STREAM)
+    ksql_ctx.execute(CREATE_TABLE)
+    got = {
+        r["stay_category"]: (r["hotels_amount"], r["distinct_hotels"])
+        for r in ksql_ctx.execute(SELECT_HOTELS).collect()
+    }
+
+    pdf = ksql_ctx.execute("SELECT * FROM expedia_stream").toPandas()
+    con = duckdb.connect()
+    con.register("expedia_stream", pdf)
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            "SELECT stay_category, COUNT(hotel_id), COUNT(DISTINCT hotel_id) "
+            "FROM expedia_stream GROUP BY stay_category"
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) == 5
+
+
 def test_unknown_topic_is_clear_error(spark):
     ctx = KsqlContext(spark)
     with pytest.raises(ValueError, match="not registered"):

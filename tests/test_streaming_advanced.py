@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from m12_kafkastreams_python_azure_spark.streaming.advanced import (
+    dedup_batch_processor,
     rate_source,
     start_dedup_stream,
     user_stats_stateful,
@@ -194,3 +195,28 @@ def test_stream_static_dimension_join(spark, funnel_dir, tmp_path):
     finally:
         q.stop()
     assert got[1] == "gold" and got[4] == "silver" and got[6] == "none"
+
+
+def test_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME batch_id after
+    a failure must not duplicate rows (each batch overwrites its own
+    batch=<id> partition dir), and later batches still anti-join against
+    earlier output."""
+    out = str(tmp_path / "replay_out")
+    proc = dedup_batch_processor(out)
+    b0 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+    proc(b0, 0)
+    proc(b0, 0)  # replay of batch 0
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r.doc_id for r in got.collect()} == {1, 2}
+    # next batch: repeat "bbb" (suppressed) + new "ccc"
+    b1 = spark.createDataFrame(
+        [(4, "bbb"), (5, "ccc")], "doc_id long, text string"
+    )
+    proc(b1, 1)
+    proc(b1, 1)  # replay of batch 1
+    got = spark.read.parquet(out)
+    assert {r.doc_id for r in got.collect()} == {1, 2, 5}
