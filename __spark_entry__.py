@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": D.q_minhash_near_dup,           # rows-only (LSH)
         "simhash_near_dup": D.q_simhash_near_dup,           # rows-only (LSH)
         "dedup_clusters": G.q_dedup_clusters,               # iterative CC
+        "pagerank_parts": G.q_pagerank_parts,               # iterative PageRank
         # training-data pipeline: similarity search
         "ann_topk": S.q_ann_topk,
         "embedding_near_dup": S.q_embedding_near_dup,
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,
+        "pagerank_parts": G.ORACLE_PAGERANK_PARTS,
         "ann_topk": S.ORACLE_ANN_TOPK,
         "embedding_near_dup": S.ORACLE_EMBEDDING_NEAR_DUP,
         "normalize_embeddings": V.ORACLE_NORMALIZE_EMBEDDINGS,

@@ -51,6 +51,7 @@ HEADLINE = [
     "word_count",
     "clean_corpus",
     "dedup_clusters",
+    "pagerank_parts",
     "media_features",
     "normalize_embeddings",
     "tfidf_top_terms",

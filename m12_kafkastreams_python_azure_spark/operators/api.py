@@ -117,17 +117,17 @@ def embedding_near_dup_lsh(
         ).alias("band", "bh"),
     )
 
-    # The bucket-list rows post-agg are few and tiny, so AQE coalesces them
-    # to ~1 partition — which would serialize the O(|bucket|^2) pair
-    # expansion onto one core. Re-spread the bucket rows (cheap: id-lists
-    # only) so the expansion runs bucket-parallel.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # Pre-agg repartition on the bucket key: the groupBy reuses the
+    # exchange (no extra shuffle), and AQE keeps a user-specified
+    # partition count — so the O(|bucket|^2) pair expansion in the
+    # post-agg stage stays bucket-parallel instead of collapsing onto one
+    # task when the shuffled bytes are small.
     cands = (
-        banded.groupBy("band", "bh")
+        banded.repartition(_dedup._expansion_partitions(df), "band", "bh")
+        .groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
         .filter(F.size("ids") <= max_bucket)  # degenerate-bucket guard
-        .repartition(parallelism)
         .select(F.explode(_dedup._bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
     )

@@ -138,6 +138,17 @@ def release_parallel_caches() -> None:
             pass
 
 
+def _expansion_partitions(df: DataFrame) -> int:
+    """Partition count for the bucket-expansion exchange. Scales with the
+    cluster (defaultParallelism // 4 — the expansion is compute-light per
+    bucket, bounded by max_bucket, so it needs fewer slots than a scan)
+    with a floor of 8 so no single task inherits every bucket. Using full
+    defaultParallelism here measurably hurts at small scale: 3 stages x 32
+    near-empty tasks of pure scheduling overhead roughly doubles the
+    operator's wall time at sf0.1."""
+    return max(8, df.sparkSession.sparkContext.defaultParallelism // 4)
+
+
 def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, t) spread over all cores WITH a materialization barrier.
 
@@ -233,8 +244,15 @@ def minhash_near_dup_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
+    # The explicit pre-agg repartition on the bucket key does double duty:
+    # the groupBy reuses the exchange (no extra shuffle — collect_list has
+    # no map-side reduction to lose), and AQE does not coalesce a
+    # user-specified repartition, so the O(|bucket|^2) pair expansion in
+    # the post-agg stage stays bucket-parallel instead of collapsing onto
+    # one task when the shuffled bytes are small.
     cands = (
-        banded.groupBy("band", "bh")
+        banded.repartition(_expansion_partitions(df), "band", "bh")
+        .groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
         # Mega-buckets are degenerate banding (boilerplate / near-constant
@@ -242,10 +260,6 @@ def minhash_near_dup_pairs(
         # standard LSH hygiene is to drop them, like stopwords — a true
         # pair inside still has b-1 other bands to surface through.
         .filter(F.size("ids") <= max_bucket)
-        # bucket rows are few/tiny post-agg, so AQE coalesces them to ~1
-        # partition — respread so the O(|bucket|^2) expansion runs
-        # bucket-parallel instead of on one core
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -408,13 +422,13 @@ def simhash_near_dup_pairs(
     # Bucket-local pair expansion (one shuffle) instead of a self-join (two);
     # the signature rides along in the struct so the verify needs no re-join.
     pairs = (
-        banded.groupBy("band", "bh")
+        # pre-agg repartition on the bucket key: exchange reused by the
+        # groupBy, AQE keeps the partition count -> parallel expansion
+        banded.repartition(_expansion_partitions(df), "band", "bh")
+        .groupBy("band", "bh")
         .agg(F.collect_list(F.struct("id", "sim")).alias("members"))
         .filter(F.size("members") > 1)
         .filter(F.size("members") <= max_bucket)  # degenerate-bucket guard
-        # respread bucket rows so the pair expansion is bucket-parallel
-        # (AQE would otherwise coalesce the tiny post-agg stage to 1 task)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
         .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -156,3 +156,101 @@ comp AS (
 SELECT comp AS keep_doc_id, count(*) AS cluster_size
 FROM comp GROUP BY comp
 """
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (every node must
+    have at least one out-edge — feed a symmetrized edge set for undirected
+    graphs, which also eliminates dangling-mass redistribution).
+
+    Spark shape per iteration: one join (ranks onto edges, rank/degree
+    pre-divided so only a scalar rides the shuffle) + one groupBy(dst) sum —
+    the standard two-shuffle PageRank round. Lineage grows linearly in
+    ``iters``; for large iteration counts callers should localCheckpoint
+    every few rounds (the fixed default of 3 keeps plans small).
+
+    Returns (node, rank) for ALL nodes, rank rounded to 6 decimals.
+    """
+    from .dedup import _CACHED
+
+    # The edge list (and its degree table) is read by EVERY iteration's
+    # join — without a cache the upstream scan/distinct/union would
+    # re-execute once per occurrence in the final plan (~2x per round).
+    # Registered in the shared cache registry so the next operator
+    # invocation (or release_parallel_caches) frees the blocks.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    _CACHED.append(e)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    _CACHED.append(deg)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # one small driver scalar; the iteration stays lazy
+    base = (1.0 - damping) / n
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the bipartite supplier<->part graph from lineitem
+    (symmetrized, so no dangling nodes), 3 iterations — the oracle-checked
+    iterative-algorithm surface beyond connected components. The DuckDB
+    oracle unrolls the same three rounds as chained CTEs; identical
+    damping arithmetic, values rounded to 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = sp.union(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iters=3)
+
+
+ORACLE_PAGERANK_PARTS = """
+WITH e0 AS (
+  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), nn AS (
+  SELECT count(DISTINCT src) AS n FROM edges
+), r0 AS (
+  SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM (SELECT DISTINCT src FROM edges)
+), r1 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / deg.d) AS rank
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / deg.d) AS rank
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+), r3 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / deg.d) AS rank
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+)
+SELECT node, ROUND(rank, 6) AS rank FROM r3
+"""

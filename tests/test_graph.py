@@ -31,3 +31,29 @@ def test_long_chain_converges(spark):
 def test_cycle_and_cross_edges(spark):
     got = _cc(spark, [(5, 6), (6, 7), (7, 5), (7, 8), (2, 8)])
     assert got == {(5, 2), (6, 2), (7, 2), (8, 2), (2, 2)}
+
+
+def test_pagerank_two_node_cycle(spark):
+    """a<->b: perfect symmetry, every iteration preserves rank 0.5/0.5."""
+    from m12_kafkastreams_python_azure_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Symmetrized star (c hub, 3 leaves): the hub must out-rank every leaf
+    and ranks must sum to ~1 (no dangling mass on a symmetrized graph)."""
+    from m12_kafkastreams_python_azure_spark.operators.graph import pagerank
+
+    leaves = ["x", "y", "z"]
+    edges = spark.createDataFrame(
+        [("c", v) for v in leaves] + [(v, "c") for v in leaves],
+        "src string, dst string",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert all(got["c"] > got[v] for v in leaves), got
