@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_hourly": A10.q_hopping_hourly,
         "edit_distance_pairs": A11.q_edit_distance_pairs,
         "purchase_funnel": A11.q_purchase_funnel,
+        "map_functions": A11.q_map_functions,
+        "stratified_sample": A11.q_stratified_sample,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -213,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "hopping_hourly": A10.ORACLE_HOPPING_HOURLY,
         "edit_distance_pairs": A11.ORACLE_EDIT_DISTANCE_PAIRS,
         "purchase_funnel": A11.ORACLE_PURCHASE_FUNNEL,
+        "map_functions": A11.ORACLE_MAP_FUNCTIONS,
+        "stratified_sample": A11.ORACLE_STRATIFIED_SAMPLE,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,

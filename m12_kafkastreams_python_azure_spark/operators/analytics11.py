@@ -106,3 +106,73 @@ SELECT CAST(first_click AS DATE) AS cohort_day,
        ROUND(avg(converted), 6) AS conversion_rate
 FROM conv GROUP BY 1
 """
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type battery over orders: construction (map_from_arrays),
+    element access, cardinality, and key listing — all Catalyst map
+    expressions, reduced to scalar columns so the oracle compare is
+    representation-independent (DuckDB map access returns single-element
+    lists; the oracle unwraps with [1])."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "priority").alias("priority_val"),
+        F.size(m).alias("n_entries"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+    )
+
+
+ORACLE_MAP_FUNCTIONS = """
+WITH m AS (
+  SELECT o_orderkey,
+         MAP(['status', 'priority'], [o_orderstatus, o_orderpriority]) AS mp
+  FROM orders
+)
+SELECT o_orderkey,
+       mp['status'][1] AS status_val,
+       mp['priority'][1] AS priority_val,
+       CAST(cardinality(mp) AS INTEGER) AS n_entries,
+       array_to_string(map_keys(mp), ',') AS keys_csv
+FROM m
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-event-type rates applied via
+    a key-modulo predicate (purchase 100%, click 10%, rest 2%) — fully
+    reproducible across engines and runs, unlike seeded RNG sampling, and
+    it pushes into the scan as an ordinary filter. The rollup counts what
+    survived per stratum."""
+    ev = load_table(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "purchase", 100)
+        .when(F.col("event_type") == "click", 10)
+        .otherwise(2)
+    )
+    return (
+        ev.filter(F.pmod(F.col("event_id"), F.lit(100)) < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT event_type,
+       count(*) AS n_sampled,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_id % 100 < CASE event_type
+                         WHEN 'purchase' THEN 100
+                         WHEN 'click' THEN 10
+                         ELSE 2 END
+GROUP BY event_type
+"""

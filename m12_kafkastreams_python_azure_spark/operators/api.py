@@ -65,6 +65,11 @@ def embedding_near_dup(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs
         )
     if method == "exact":
+        if kwargs:
+            raise TypeError(
+                f"embedding_near_dup(method='exact') takes no extra options; "
+                f"got {sorted(kwargs)}"
+            )
         return _sim.embedding_near_dup_exact(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
@@ -94,6 +99,9 @@ def embedding_near_dup_lsh(
     (id, band, bucket) — vectors never ride the band shuffle; candidate
     pairs are broadcast back onto the (narrow) vector table for the verify.
     """
+    # free the previous invocation's cached intermediates (same bounded-
+    # cache discipline as the text-dedup helpers)
+    _dedup.release_parallel_caches()
     base = (
         df.select(
             F.col(id_col).alias("id"),
@@ -194,6 +202,13 @@ def ann_topk(
         train_k = kwargs.pop("train_k", 16)
         iters = kwargs.pop("iters", 2)
         nprobe = kwargs.pop("nprobe", 4)
+        if kwargs:
+            # silently dropping an option means the caller thinks it took
+            # effect — reject anything the ivf path doesn't understand
+            raise TypeError(
+                f"ann_topk(method='ivf') got unexpected options {sorted(kwargs)} "
+                "(accepted: train_k, iters, nprobe)"
+            )
         centroids = _ivf.train_ivf(
             candidates, k=train_k, iters=iters, id_col=id_col, vec_col=vec_col
         )
@@ -202,6 +217,10 @@ def ann_topk(
             index, queries, centroids, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
         )
     if method == "exact":
+        if kwargs:
+            raise TypeError(
+                f"ann_topk(method='exact') takes no extra options; got {sorted(kwargs)}"
+            )
         return _sim.ann_bruteforce_topk(
             candidates, queries, k=k, id_col=id_col, vec_col=vec_col
         )

@@ -178,15 +178,19 @@ def pagerank(
     ``iters``; for large iteration counts callers should localCheckpoint
     every few rounds (the fixed default of 3 keeps plans small).
 
-    Returns (node, rank) for ALL nodes, rank rounded to 6 decimals.
+    Returns (node, rank) for ALL nodes, rank rounded to 6 decimals. A node
+    with no in-edges keeps the teleport floor (1-d)/N each round; given the
+    out-edge precondition, total mass stays exactly 1.
     """
-    from .dedup import _CACHED
+    from .dedup import _CACHED, release_parallel_caches
 
     # The edge list (and its degree table) is read by EVERY iteration's
     # join — without a cache the upstream scan/distinct/union would
     # re-execute once per occurrence in the final plan (~2x per round).
     # Registered in the shared cache registry so the next operator
-    # invocation (or release_parallel_caches) frees the blocks.
+    # invocation (or release_parallel_caches) frees the blocks; released
+    # on entry so repeated pagerank calls don't accumulate cached blocks.
+    release_parallel_caches()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
     _CACHED.append(e)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
@@ -202,8 +206,17 @@ def pagerank(
             .join(deg, "src")
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
         )
-        ranks = contrib.groupBy("node").agg(
-            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("c_sum"))
+        # LEFT join back onto the full node set: a node that received no
+        # contributions this round keeps the teleport floor instead of
+        # silently vanishing from the rank table (which would also leak
+        # its outgoing mass out of every later round).
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("c_sum"), F.lit(0.0))
+            ).alias("rank"),
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 

@@ -126,8 +126,9 @@ def read_avro(spark: SparkSession, path: str, schema: StructType | None = None) 
     if not avro_available(spark):
         raise RuntimeError(
             "spark-avro module not on the classpath; add "
-            "org.apache.spark:spark-avro_2.13 via spark.jars.packages, or "
-            "ingest via read_ingest_files(..., fmt='json'/'parquet')"
+            "org.apache.spark:spark-avro_2.13:<your-spark-version> via "
+            "spark.jars.packages, or ingest via "
+            "read_ingest_files(..., fmt='json'/'parquet')"
         )
     reader = spark.read.format(AVRO_FORMAT)
     if schema is not None:
@@ -175,11 +176,13 @@ def confluent_body(value_col: str = "value") -> F.Column:
 def confluent_unframe(
     df: DataFrame, value_col: str = "value", expect_schema_id: int | None = None
 ) -> DataFrame:
-    """Validate + strip the Confluent header: non-magic rows are dropped
-    (same skip-bad-messages stance as the JSON decode path); optionally pin
-    the schema id. Returns (schema_id, value=avro body)."""
+    """Validate + strip the Confluent header: non-magic rows AND truncated
+    frames (shorter than the 5-byte header) are dropped — the same
+    skip-bad-messages stance as the JSON decode path; optionally pin the
+    schema id. Returns (schema_id, value=avro body)."""
     out = df.filter(
-        F.expr(f"substring({value_col}, 1, 1)") == F.lit(CONFLUENT_MAGIC)
+        (F.expr(f"length({value_col})") >= 5)
+        & (F.expr(f"substring({value_col}, 1, 1)") == F.lit(CONFLUENT_MAGIC))
     ).select(
         confluent_schema_id(value_col).alias("schema_id"),
         confluent_body(value_col).alias(value_col),
@@ -217,11 +220,14 @@ def decode_confluent_avro(
     never per record."""
     spark = raw.sparkSession
     if not avro_functions_usable(spark):
+        import pyspark
+
         raise RuntimeError(
             "spark-avro SQL functions are not service-registered in this "
-            "runtime; restart with the spark-avro package "
-            "(spark.jars.packages=org.apache.spark:spark-avro_2.13) to "
-            "decode Kafka-Avro bodies. The Confluent framing itself "
+            "runtime; restart with the spark-avro package (e.g. "
+            f"spark.jars.packages=org.apache.spark:spark-avro_2.13:{pyspark.__version__} "
+            "— the version must match your Spark build) to decode "
+            "Kafka-Avro bodies. The Confluent framing itself "
             "(confluent_unframe) works without it."
         )
     from pyspark.sql.avro.functions import from_avro

@@ -75,3 +75,15 @@ def test_decode_body_via_spark_avro(spark):
     )
     back = decode_confluent_avro(framed, schema_json, expect_schema_id=7)
     assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_unframe_drops_truncated_frames(spark):
+    """A frame shorter than the 5-byte header (magic byte present) must be
+    dropped, not passed through with a garbage schema id / empty body."""
+    mixed = spark.createDataFrame(
+        [(b"\x00\x00\x01",), (b"\x00",), (b"\x00\x00\x00\x00\x2aOK",)],
+        "value binary",
+    )
+    out = confluent_unframe(mixed).collect()
+    assert len(out) == 1
+    assert out[0].schema_id == 42 and bytes(out[0].value) == b"OK"

@@ -57,3 +57,18 @@ def test_pagerank_star_center_dominates(spark):
     got = {r.node: r.rank for r in pagerank(edges, iters=10).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-4
     assert all(got["c"] > got[v] for v in leaves), got
+
+
+def test_pagerank_keeps_no_inedge_nodes_and_conserves_mass(spark):
+    """Directed graph meeting the out-edge precondition where node c has NO
+    in-edges: c must still appear (teleport floor (1-d)/N) and total mass
+    must stay 1 — a dropped node would also leak its outgoing mass."""
+    from m12_kafkastreams_python_azure_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert abs(sum(got.values()) - 1.0) < 1e-5, got
+    assert got["c"] == round(0.15 / 3, 6)

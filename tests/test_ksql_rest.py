@@ -1,0 +1,66 @@
+"""The reference's three REST payloads POSTed verbatim over HTTP to the
+engine's ksql-compatible endpoints (reference: ci_cd/Makefile:112-127 drives
+/ksql for the two DDL payloads and /query for the push query)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from m12_kafkastreams_python_azure_spark.ksql import KsqlContext
+from m12_kafkastreams_python_azure_spark.ksql_rest import KsqlRestServer
+from m12_kafkastreams_python_azure_spark.operators.enrich import enrich_expedia
+from m12_kafkastreams_python_azure_spark.schemas import EXPEDIA_SCHEMA
+from tests.fixtures import gen_expedia_rows
+from tests.test_ksql import CREATE_STREAM, CREATE_TABLE, SELECT_HOTELS
+
+
+@pytest.fixture(scope="module")
+def rest(spark):
+    ctx = KsqlContext(spark)
+    raw = spark.createDataFrame(gen_expedia_rows(2000), EXPEDIA_SCHEMA)
+    ctx.register_topic("expedia_ext", enrich_expedia(raw))
+    server = KsqlRestServer(ctx)
+    yield server
+    server.close()
+
+
+def _post(server, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=payload.encode(),
+        headers={"Content-Type": "application/vnd.ksql.v1+json; charset=utf-8"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as err:  # 4xx still carries a JSON body
+        return err.code, json.loads(err.read().decode())
+
+
+def test_reference_rest_flow(rest, spark):
+    status, out = _post(rest, "/ksql", CREATE_STREAM)
+    assert status == 200 and out[0]["status"] == "SUCCESS"
+    assert out[0]["columns"] == ["id", "hotel_id", "stay_category"]
+
+    status, out = _post(rest, "/ksql", CREATE_TABLE)
+    assert status == 200 and out[0]["status"] == "SUCCESS"
+
+    status, rows = _post(rest, "/query", SELECT_HOTELS)
+    assert status == 200
+    got = {r["row"]["columns"][0]: tuple(r["row"]["columns"][1:]) for r in rows}
+    assert len(got) == 5
+    # independent check on one invariant: distinct <= amount per category
+    assert all(d <= a for a, d in got.values())
+
+
+def test_rest_error_is_ksql_shaped(rest):
+    status, out = _post(
+        rest, "/ksql",
+        json.dumps({"ksql": "CREATE STREAM s (id BIGINT) WITH (KAFKA_TOPIC='missing', VALUE_FORMAT='JSON');"}),
+    )
+    assert status == 400
+    assert out["@type"] == "statement_error" and "not registered" in out["message"]

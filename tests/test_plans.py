@@ -178,3 +178,44 @@ def test_no_accidental_python_in_any_query_plan(spark, sf_dir):
         if not has_python and name in ARROW_PATH_QUERIES:
             offenders.append(f"{name} (expected Arrow node missing)")
     assert not offenders, f"plan hygiene violations: {offenders}"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew discipline, demonstrated: one hot key (200k rows vs ~10/key
+    elsewhere) through a sort-merge join; with the skew thresholds scaled
+    down to toy-data sizes, AQE must mark and split the hot partition
+    (skew=true in the FINAL adaptive plan). This is the mechanism that
+    keeps a 100 TB join with a viral key from pinning one executor."""
+    import re
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(0, 990).select((F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v"))
+        )
+        right = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_990
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert re.search(r"skew=true", final), "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
