@@ -84,6 +84,31 @@ def dtype_kinds(df):
     return {c.lower(): df[c].dtype.kind for c in df.columns}
 
 
+def compare_frames(spdf, ddf) -> str | None:
+    """Type-strict compare of a Spark-result DataFrame (toPandas) against a
+    DuckDB-result DataFrame (.df()), both already lower-cased on columns.
+    Returns None on match, else a short failure description. Importable by
+    tests (tests/test_oracle.py) so CI applies the same strictness as the
+    driver's value hash."""
+    if sorted(spdf.columns) != sorted(ddf.columns):
+        return f"cols spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"
+    if len(spdf) != len(ddf):
+        return f"rows spark={len(spdf)} duck={len(ddf)}"
+    sk, dk = dtype_kinds(spdf), dtype_kinds(ddf)
+    tmis = [
+        c for c in sk
+        if {sk[c], dk[c]} == {"i", "f"} and not spdf[c].isna().any() and not ddf[c].isna().any()
+    ]
+    if tmis:
+        return f"TYPE mismatch (int vs float): {[(c, sk[c], dk[c]) for c in tmis]}"
+    _, srows = canon(spdf)
+    _, drows = canon(ddf)
+    bad = [(a, b) for a, b in zip(srows, drows) if a != b]
+    if bad:
+        return f"{len(bad)} value mismatches; first: {bad[:2]}"
+    return None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -115,26 +140,11 @@ def main():
             ddf.columns = [c.lower() for c in ddf.columns]
             con.close()
 
-            if sorted(spdf.columns) != sorted(ddf.columns):
-                out["err"] = f"cols spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"
-            elif len(spdf) != len(ddf):
-                out["err"] = f"rows spark={len(spdf)} duck={len(ddf)}"
+            err = compare_frames(spdf, ddf)
+            if err is None:
+                out["pass"] = True
             else:
-                sk, dk = dtype_kinds(spdf), dtype_kinds(ddf)
-                tmis = [
-                    c for c in sk
-                    if {sk[c], dk[c]} == {"i", "f"} and not spdf[c].isna().any() and not ddf[c].isna().any()
-                ]
-                if tmis:
-                    out["err"] = f"TYPE mismatch (int vs float): {[(c, sk[c], dk[c]) for c in tmis]}"
-                else:
-                    _, srows = canon(spdf)
-                    _, drows = canon(ddf)
-                    bad = [(a, b) for a, b in zip(srows, drows) if a != b]
-                    if bad:
-                        out["err"] = f"{len(bad)} value mismatches; first: {bad[:2]}"
-                    else:
-                        out["pass"] = True
+                out["err"] = err
         except Exception as e:  # noqa: BLE001
             out["err"] = f"{type(e).__name__}: {e}"[:500]
         results[name] = out

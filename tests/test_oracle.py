@@ -8,8 +8,6 @@ Runs at sf0.001 for speed (the driver runs sf0.01); set
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -31,48 +29,27 @@ def _duck(sf_dir: str):
     return con
 
 
-def _norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    if isinstance(v, int):
-        return float(v) if not isinstance(v, bool) else v
-    return v
-
-
-def _canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        vals = list(r)
-        out.append(tuple(_norm(vals[i]) for i in order))
-    return sorted(out, key=repr)
-
-
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_query_matches_oracle(spark, sf_dir, name):
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    """TYPE-STRICT compare through pandas, matching the driver's value-hash
+    path: DuckDB HUGEINT/DECIMAL surface as float64 through `.df()` and
+    must mismatch a Spark int64 (the class of bug that costs a driver
+    hash). Delegates to scripts/oracle_sweep.compare_frames so the CI test
+    and the standalone sweep cannot drift apart."""
+    import os
+    import sys
 
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from oracle_sweep import compare_frames
+
+    spdf = QUERIES[name](spark, sf_dir).toPandas()
+    spdf.columns = [c.lower() for c in spdf.columns]
     con = _duck(sf_dir)
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
-
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
-    )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
-    )
-    s = _canon(spark_rows, spark_cols)
-    d = _canon(duck_rows, duck_cols)
-    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
-    assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
+    ddf = con.execute(ORACLES[name]).df()
+    ddf.columns = [c.lower() for c in ddf.columns]
+    con.close()
+    err = compare_frames(spdf, ddf)
+    assert err is None, f"{name}: {err}"
 
 
 def test_rows_only_queries_run(spark, sf_dir):
