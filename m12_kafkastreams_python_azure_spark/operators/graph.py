@@ -195,7 +195,10 @@ def pagerank(
     _CACHED.append(e)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     _CACHED.append(deg)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # nodes joins into every round (teleport-floor retention) — persist so
+    # the distinct doesn't recompute per plan occurrence
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    _CACHED.append(nodes)
     n = nodes.count()  # one small driver scalar; the iteration stays lazy
     base = (1.0 - damping) / n
 

@@ -84,9 +84,22 @@ def train_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    sample_fraction: float = 1.0,
 ) -> list[tuple[int, list[float]]]:
     """k-means coarse quantizer: seeds = k lowest-id vectors, ``iters``
-    Lloyd rounds. Deterministic end to end."""
+    Lloyd rounds. Deterministic end to end.
+
+    ``sample_fraction`` < 1 trains on a deterministic key-hash sample —
+    the standard IVF practice at corpus scale (centroid quality needs a
+    representative sample, not every vector; the full corpus is only
+    assigned once, by ``build_ivf_index``). The sample predicate is a
+    plain filter, so it pushes into the scan."""
+    if sample_fraction < 1.0:
+        buckets = 1_000_000
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+            < int(buckets * sample_fraction)
+        )
     seeds = (
         df.orderBy(id_col)
         .limit(k)

@@ -79,3 +79,23 @@ def test_ivf_index_on_disk_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200], plan
     # and the pruned read returns exactly the probed lists
     assert set(r.centroid_id for r in probed.select("centroid_id").distinct().collect()) <= {0, 3}
+
+
+def test_ivf_sampled_training_keeps_recall(spark, sf_dir):
+    """Training the quantizer on a 50% key-hash sample (the corpus-scale
+    practice) must still produce an index with recall above the floor —
+    centroids need a representative sample, not every vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+    centroids = train_ivf(emb, k=16, iters=2, sample_fraction=0.5)
+    index = build_ivf_index(emb, centroids)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(index, queries, centroids, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"sampled-training recall {recall:.2f}"
