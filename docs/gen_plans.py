@@ -28,6 +28,15 @@ SECTIONS = [
     ("value_band_join", "Band join — broadcast nested loop",
      "3-row bands dimension broadcasts; the non-equi join is a map-side "
      "lookup."),
+    ("minhash_near_dup", "MinHash+LSH near-dup — bucketed, never quadratic",
+     "One keyed exchange on (band, band-hash) feeds the in-bucket pair "
+     "expansion (higher-order functions, no self-join); candidate pairs "
+     "broadcast onto the shingle table for the exact-Jaccard verify. No "
+     "CartesianProduct anywhere."),
+    ("embedding_near_dup_lsh", "Banded sign-LSH embedding near-dup",
+     "All 32 hyperplanes ship as one literal array-of-arrays (tiny "
+     "expression tree); band buckets derive from a single sign-bit pass; "
+     "verify joins stream the id-only pair list against the vector table."),
 ]
 
 

@@ -98,3 +98,44 @@ def test_simhash_identical_texts_zero_hamming(spark, texts):
     # simhash is a pure function of the text
     for t, s in by_text.items():
         assert len(s) == 1, t
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_pagerank_mass_conserved_on_symmetrized_graphs(spark, edge_list):
+    """On ANY symmetrized edge set (meets the out-edge precondition), the
+    rank vector sums to 1 (±rounding) and every node appears exactly once."""
+    from m12_kafkastreams_python_azure_spark.operators.graph import pagerank
+
+    sym = list({(str(a), str(b)) for a, b in edge_list} | {(str(b), str(a)) for a, b in edge_list})
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    out = pagerank(edges, iters=3).collect()
+    nodes = {n for e in sym for n in e}
+    assert {r.node for r in out} == nodes
+    assert abs(sum(r.rank for r in out) - 1.0) < 1e-4
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_confluent_frame_round_trip_any_payload(spark, payload, schema_id):
+    """frame -> unframe is lossless for arbitrary bodies and schema ids."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        confluent_frame,
+        confluent_unframe,
+    )
+
+    df = spark.createDataFrame([(payload,)], "value binary")
+    out = confluent_unframe(confluent_frame(df, schema_id)).collect()
+    assert len(out) == 1
+    assert out[0].schema_id == schema_id
+    assert bytes(out[0].value or b"") == payload
