@@ -26,7 +26,11 @@ from .operators.aggregate import hotels_count
 from .operators.enrich import enrich_expedia
 from .schemas import EXPEDIA_SCHEMA
 from .sources.readers import mask_field, read_ingest_files, read_json_stream_from_files
-from .streaming.pipeline import expedia_stream_projection, write_update_to_memory
+from .streaming.pipeline import (
+    expedia_stream_projection,
+    hotels_count_streaming,
+    write_update_to_memory,
+)
 
 MASK = ("date_time", "0000-00-00 00:00:00")
 
@@ -56,13 +60,9 @@ def reference_flow_streaming(
     emitted rows are the EMIT CHANGES stream. COUNT_DISTINCT is approximate
     (HLL, ksqlDB's documented semantics); use ``HotelsCountStream`` for the
     exact two-phase variant."""
-    from pyspark.sql import functions as F
-
     raw = read_json_stream_from_files(spark, ingest_dir, EXPEDIA_SCHEMA)
     enriched = enrich_expedia(mask_field(raw, *MASK))
     projected = expedia_stream_projection(enriched)
-    agg = projected.groupBy("stay_category").agg(
-        F.count("hotel_id").alias("hotels_amount"),
-        F.approx_count_distinct("hotel_id", rsd).alias("distinct_hotels"),
+    return write_update_to_memory(
+        hotels_count_streaming(projected, rsd), name, checkpoint_dir
     )
-    return write_update_to_memory(agg, name, checkpoint_dir)

@@ -202,15 +202,21 @@ def ann_topk(
         train_k = kwargs.pop("train_k", 16)
         iters = kwargs.pop("iters", 2)
         nprobe = kwargs.pop("nprobe", 4)
+        sample_fraction = kwargs.pop("sample_fraction", 1.0)
         if kwargs:
             # silently dropping an option means the caller thinks it took
             # effect — reject anything the ivf path doesn't understand
             raise TypeError(
                 f"ann_topk(method='ivf') got unexpected options {sorted(kwargs)} "
-                "(accepted: train_k, iters, nprobe)"
+                "(accepted: train_k, iters, nprobe, sample_fraction)"
             )
         centroids = _ivf.train_ivf(
-            candidates, k=train_k, iters=iters, id_col=id_col, vec_col=vec_col
+            candidates,
+            k=train_k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_fraction=sample_fraction,
         )
         index = _ivf.build_ivf_index(candidates, centroids, id_col=id_col, vec_col=vec_col)
         return _ivf.ann_ivf_topk(

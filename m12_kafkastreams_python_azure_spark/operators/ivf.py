@@ -94,18 +94,27 @@ def train_ivf(
     representative sample, not every vector; the full corpus is only
     assigned once, by ``build_ivf_index``). The sample predicate is a
     plain filter, so it pushes into the scan."""
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
     if sample_fraction < 1.0:
         buckets = 1_000_000
-        df = df.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
-            < int(buckets * sample_fraction)
-        )
+        threshold = int(buckets * sample_fraction)
+        if threshold == 0:
+            raise ValueError(
+                f"sample_fraction={sample_fraction} rounds to an empty sample"
+            )
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)) < threshold)
     seeds = (
         df.orderBy(id_col)
         .limit(k)
         .select(vec_col)
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"need >= k={k} vectors to seed the quantizer, sample has {len(seeds)} "
+            "(raise sample_fraction or lower k)"
+        )
     centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
         centroids = _update(_assign(df, centroids, vec_col), vec_col, dim)

@@ -19,16 +19,18 @@ from tests.fixtures import gen_expedia_rows, write_json_files
 @pytest.fixture(scope="module")
 def ingest_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("ingest"))
-    write_json_files(gen_expedia_rows(4000), d, num_files=1)
+    # 4 files -> 4 micro-batches in the streaming flow (maxFilesPerTrigger=1)
+    write_json_files(gen_expedia_rows(4000), d, num_files=4)
     return d
 
 
-def _expected(spark, ingest_dir):
+def _expected(ingest_dir):
     """Independent oracle: DuckDB computes the full mask->enrich->aggregate
-    flow from the raw JSON file (intended 1-in/1-out semantics)."""
+    flow over the whole ingest directory (intended 1-in/1-out semantics,
+    including the F1 null-id drop)."""
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW raw AS SELECT * FROM read_json_auto('{ingest_dir}/part-0000.json')"
+        f"CREATE VIEW raw AS SELECT * FROM read_json_auto('{ingest_dir}/*.json')"
     )
     rows = con.execute("""
         WITH enriched AS (
@@ -40,7 +42,7 @@ def _expected(spark, ingest_dir):
                       WHEN datediff('day', try_cast(srch_ci AS DATE), try_cast(srch_co AS DATE)) BETWEEN 11 AND 14 THEN 'Standard extended stay'
                       WHEN datediff('day', try_cast(srch_ci AS DATE), try_cast(srch_co AS DATE)) > 14 THEN 'Long stay'
                       ELSE 'Erroneous data' END AS stay_category
-          FROM raw
+          FROM raw WHERE id IS NOT NULL
         )
         SELECT stay_category, count(hotel_id) AS hotels_amount,
                count(DISTINCT hotel_id) AS distinct_hotels
@@ -55,7 +57,7 @@ def test_batch_flow_matches_duckdb_oracle(spark, ingest_dir):
         r.stay_category: (r.hotels_amount, r.distinct_hotels)
         for r in reference_flow_batch(spark, ingest_dir).collect()
     }
-    assert got == _expected(spark, ingest_dir)
+    assert got == _expected(ingest_dir)
     assert len(got) == 5
 
 
@@ -65,10 +67,20 @@ def test_streaming_flow_converges_to_batch(spark, ingest_dir, tmp_path):
     )
     try:
         q.processAllAvailable()
-        # latest row per key from the update stream = current state
-        latest = {}
+        # The update-mode memory sink appends one change row per (key,
+        # trigger) in NO guaranteed order; both counters are monotone
+        # non-decreasing as data accumulates, so max-per-key IS the final
+        # state (same compaction HotelsCountStream.table() uses).
+        latest: dict[str, tuple[int, int]] = {}
         for r in spark.table("flow_hotels").collect():
-            latest[r.stay_category] = (r.hotels_amount, r.distinct_hotels)
+            amount, distinct = latest.get(r.stay_category, (0, 0))
+            latest[r.stay_category] = (
+                max(amount, r.hotels_amount),
+                max(distinct, r.distinct_hotels),
+            )
+        # 4 source files x maxFilesPerTrigger=1 -> multiple triggers: the
+        # change stream must contain more rows than final keys
+        assert spark.table("flow_hotels").count() > len(latest)
     finally:
         q.stop()
     batch = {

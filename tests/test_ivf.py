@@ -99,3 +99,17 @@ def test_ivf_sampled_training_keeps_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"sampled-training recall {recall:.2f}"
+
+
+def test_ivf_training_guards(spark, sf_dir):
+    """Degenerate sampling must fail loudly, never return empty/undersized
+    centroids (which would silently null-tag the whole index)."""
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="sample_fraction"):
+        train_ivf(emb, k=8, sample_fraction=0.0)
+    with _pytest.raises(ValueError, match="empty sample"):
+        train_ivf(emb, k=8, sample_fraction=1e-9)
+    with _pytest.raises(ValueError, match="need >= k"):
+        train_ivf(emb, k=100_000, iters=0)

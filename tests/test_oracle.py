@@ -8,10 +8,18 @@ Runs at sf0.001 for speed (the driver runs sf0.01); set
 
 from __future__ import annotations
 
+import os
+import sys
+
 import duckdb
 import pytest
 
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+)
 import __spark_entry__ as entrymod
+from oracle_sweep import compare_frames
 
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
@@ -36,12 +44,6 @@ def test_query_matches_oracle(spark, sf_dir, name):
     must mismatch a Spark int64 (the class of bug that costs a driver
     hash). Delegates to scripts/oracle_sweep.compare_frames so the CI test
     and the standalone sweep cannot drift apart."""
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
-    from oracle_sweep import compare_frames
-
     spdf = QUERIES[name](spark, sf_dir).toPandas()
     spdf.columns = [c.lower() for c in spdf.columns]
     con = _duck(sf_dir)
