@@ -32,6 +32,7 @@ from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
+from m12_kafkastreams_python_azure_spark.operators import quality as Q
 from m12_kafkastreams_python_azure_spark.operators import vectorops as V
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
 from m12_kafkastreams_python_azure_spark.operators import textops as T
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_funnel": A11.q_purchase_funnel,
         "map_functions": A11.q_map_functions,
         "stratified_sample": A11.q_stratified_sample,
+        "quality_report": Q.q_quality_report,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -217,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_funnel": A11.ORACLE_PURCHASE_FUNNEL,
         "map_functions": A11.ORACLE_MAP_FUNCTIONS,
         "stratified_sample": A11.ORACLE_STRATIFIED_SAMPLE,
+        "quality_report": Q.ORACLE_QUALITY_REPORT,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,
