@@ -32,11 +32,18 @@ def merge_upsert(
     updates: DataFrame,
     key_col: str,
     out_dir: str,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """MERGE semantics on parquet: rows in ``updates`` replace target rows
     with the same key; unmatched update rows are inserts. If several update
     rows share a key, the caller must have deduplicated (asserted here —
-    silent last-writer-wins hides bugs)."""
+    silent last-writer-wins hides bugs).
+
+    ``allow_schema_evolution=True`` is the Delta-style ADDITIVE evolution:
+    columns present on only one side come through as NULLs on the other
+    (``unionByName(allowMissingColumns=True)``) — new columns appear, old
+    ones are never dropped. Default False: any schema drift raises at
+    analysis time, which is the right contract for a pinned-schema table."""
     dup = updates.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(f"updates contain duplicate {key_col} values")
@@ -51,7 +58,9 @@ def merge_upsert(
         # degrading to insert would drop every non-updated target row.
         target = spark.read.parquet(target_dir)
         kept = target.join(F.broadcast(updates.select(key_col)), key_col, "left_anti")
-        merged = kept.unionByName(updates)
+        merged = kept.unionByName(
+            updates, allowMissingColumns=allow_schema_evolution
+        )
     else:
         merged = updates  # no target yet: pure insert
     merged.write.mode("overwrite").parquet(out_dir)

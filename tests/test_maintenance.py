@@ -81,3 +81,24 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[3] == 0.9 and rows[1] is None and rows[2] is None
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """Additive evolution: an update set carrying a NEW column merges with
+    the old target (old rows get NULL for the new column); without the
+    flag, drift raises at analysis time instead of silently degrading."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    target_dir = str(tmp_path / "t")
+    out1 = str(tmp_path / "o1")
+    out2 = str(tmp_path / "o2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(target_dir)
+    updates = spark.createDataFrame([(2, "B", 9.5)], "k long, v string, score double")
+
+    with _pytest.raises(AnalysisException):
+        merge_upsert(spark, target_dir, updates, "k", out1)
+
+    merge_upsert(spark, target_dir, updates, "k", out2, allow_schema_evolution=True)
+    got = {r.k: (r.v, r.score) for r in spark.read.parquet(out2).collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5)}
