@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": M.q_media_features,
         # temporal / range joins
         "asof_latest_order": J.q_asof_latest_order,
+        "asof_next_order": J.q_asof_next_order,
         "value_band_join": J.q_value_band_join,
         "event_pairs_10min": J.q_event_pairs_10min,
         # training-data pipeline: text analysis
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_report": Q.ORACLE_QUALITY_REPORT,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
+        "asof_next_order": J.ORACLE_ASOF_NEXT_ORDER,
         "value_band_join": J.ORACLE_VALUE_BAND_JOIN,
         "event_pairs_10min": J.ORACLE_EVENT_PAIRS_10MIN,
         "text_quality": T.ORACLE_TEXT_QUALITY,

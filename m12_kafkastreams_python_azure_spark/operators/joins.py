@@ -40,11 +40,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` for the same key (inclusive, like DuckDB
     ``ASOF JOIN ... ON l.ts >= r.ts``). Inner semantics: left rows with no
     prior right row are dropped.
+
+    ``direction="forward"`` flips the match to the SMALLEST
+    ``right_ts >= left_ts`` (DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``) —
+    same union-spine, same single Window, just ordered descending.
 
     Right-side values are carried as ONE struct so that NULLs inside a
     matched row are preserved (``last(ignorenulls)`` on individual columns
@@ -77,9 +82,17 @@ def asof_join(
     )
     # Right rows sort before left rows at equal timestamps (__side 0 < 1), so
     # an exactly-simultaneous right row is visible to the left row: inclusive.
+    # Forward mode walks time descending, so "preceding" in window order is
+    # "following" in time — the carried value is the nearest LATER right row.
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc()]
+    elif direction == "forward":
+        order = [F.col("__t").desc(), F.col("__side").asc()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
@@ -132,6 +145,48 @@ SELECT e.event_id, e.user_id,
        o1.o_orderdate AS asof_orderdate
 FROM events e ASOF JOIN o1
   ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+"""
+
+
+def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event gets the NEXT order (smallest
+    o_orderdate >= event ts) of the matching customer — the
+    "what happened after" temporal join (attribution / outcome labeling).
+    Same join-free union-spine plan as the backward variant."""
+    events = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_orderdate"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").alias("next_orderdate"),
+    )
+
+
+ORACLE_ASOF_NEXT_ORDER = """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       o1.o_orderkey AS next_orderkey,
+       o1.o_orderdate AS next_orderdate
+FROM events e ASOF JOIN o1
+  ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate
 """
 
 

@@ -87,9 +87,10 @@ def test_asof_join_single_window_no_join_nodes(spark, sf_dir):
     from m12_kafkastreams_python_azure_spark.operators import joins as J
     from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
 
-    s = explain_str(J.q_asof_latest_order(spark, sf_dir))
-    assert "Window" in s
-    assert "Join" not in s, "as-of should not plan any join"
+    for q in (J.q_asof_latest_order, J.q_asof_next_order):
+        s = explain_str(q(spark, sf_dir))
+        assert "Window" in s
+        assert "Join" not in s, f"{q.__name__}: as-of should not plan any join"
 
 
 def test_scalar_batteries_no_python_eval(spark, sf_dir):
