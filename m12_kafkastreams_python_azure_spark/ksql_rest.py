@@ -56,10 +56,16 @@ class KsqlRestServer:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = self.rfile.read(n).decode()
                     if self.path == "/ksql":
+                        # KsqlContext.execute accepts a payload OR bare SQL;
+                        # mirror its dispatch so a bare-SQL body doesn't
+                        # succeed server-side and then 400 on the reply
+                        stmt = payload.strip()
+                        if stmt.startswith("{"):
+                            stmt = json.loads(stmt)["ksql"]
                         df = outer.ctx.execute(payload)
                         cols = df.columns if df is not None else []
                         self._reply(200, [{
-                            "statementText": json.loads(payload)["ksql"],
+                            "statementText": stmt,
                             "status": "SUCCESS",
                             "columns": cols,
                         }])

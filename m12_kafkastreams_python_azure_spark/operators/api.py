@@ -111,7 +111,7 @@ def embedding_near_dup_lsh(
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .persist()
     )
-    _dedup._CACHED.append(base)
+    _dedup.register_parallel_cache(base)
 
     # All bands' sign bits in ONE pass over one literal plane matrix, then
     # per-band bucket ids sliced out of the bits array — keeps the Catalyst
@@ -131,12 +131,12 @@ def embedding_near_dup_lsh(
     # post-agg stage stays bucket-parallel instead of collapsing onto one
     # task when the shuffled bytes are small.
     cands = (
-        banded.repartition(_dedup._expansion_partitions(df), "band", "bh")
+        banded.repartition(_dedup.expansion_partitions(df), "band", "bh")
         .groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
         .filter(F.size("ids") <= max_bucket)  # degenerate-bucket guard
-        .select(F.explode(_dedup._bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.explode(_dedup.bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
     )
     # NOTE: candidate pairs are NOT deduped here — a pair colliding in
@@ -150,16 +150,20 @@ def embedding_near_dup_lsh(
     # and falls back to a shuffled join when the corpus outgrows that.
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    # Filter on the UNROUNDED cosine (exactly like the exact twin and its
+    # oracle) and round only for output — rounding first would admit
+    # boundary pairs (e.g. 0.3999996 -> 0.4) the exact path excludes,
+    # breaking the "LSH output is a subset of exact output" contract.
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
-            "sim",
-            F.round(dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+            "sim_raw",
+            dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
-        .filter(F.col("sim") >= threshold)
+        .filter(F.col("sim_raw") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "sim")
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
     )
 
 

@@ -100,7 +100,7 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter.cast("double") / union.cast("double")
 
 
-def _bucket_pairs(ids: Column) -> Column:
+def bucket_pairs(ids: Column) -> Column:
     """All ordered (id_a < id_b) pairs inside one LSH bucket, as an array of
     structs — expanded bucket-locally with higher-order functions instead of
     a self-join, so the bucket's rows shuffle ONCE (into the groupBy) rather
@@ -138,7 +138,16 @@ def release_parallel_caches() -> None:
             pass
 
 
-def _expansion_partitions(df: DataFrame) -> int:
+def register_parallel_cache(df: DataFrame) -> DataFrame:
+    """Register an externally-persisted DataFrame in the shared registry so
+    ``release_parallel_caches`` (or the next operator invocation) frees it.
+    Public surface for sibling operators (similarity/graph) — they must not
+    reach into the private list."""
+    _CACHED.append(df)
+    return df
+
+
+def expansion_partitions(df: DataFrame) -> int:
     """Partition count for the bucket-expansion exchange. Scales with the
     cluster (defaultParallelism // 4 — the expansion is compute-light per
     bucket, bounded by max_bucket, so it needs fewer slots than a scan)
@@ -147,6 +156,11 @@ def _expansion_partitions(df: DataFrame) -> int:
     near-empty tasks of pure scheduling overhead roughly doubles the
     operator's wall time at sf0.1."""
     return max(8, df.sparkSession.sparkContext.defaultParallelism // 4)
+
+
+#: Back-compat private aliases (public names above are canonical).
+_expansion_partitions = expansion_partitions
+_bucket_pairs = bucket_pairs
 
 
 def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -251,7 +265,7 @@ def minhash_near_dup_pairs(
     # the post-agg stage stays bucket-parallel instead of collapsing onto
     # one task when the shuffled bytes are small.
     cands = (
-        banded.repartition(_expansion_partitions(df), "band", "bh")
+        banded.repartition(expansion_partitions(df), "band", "bh")
         .groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
@@ -260,7 +274,7 @@ def minhash_near_dup_pairs(
         # standard LSH hygiene is to drop them, like stopwords — a true
         # pair inside still has b-1 other bands to surface through.
         .filter(F.size("ids") <= max_bucket)
-        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -424,7 +438,7 @@ def simhash_near_dup_pairs(
     pairs = (
         # pre-agg repartition on the bucket key: exchange reused by the
         # groupBy, AQE keeps the partition count -> parallel expansion
-        banded.repartition(_expansion_partitions(df), "band", "bh")
+        banded.repartition(expansion_partitions(df), "band", "bh")
         .groupBy("band", "bh")
         .agg(F.collect_list(F.struct("id", "sim")).alias("members"))
         .filter(F.size("members") > 1)

@@ -182,7 +182,7 @@ def pagerank(
     with no in-edges keeps the teleport floor (1-d)/N each round; given the
     out-edge precondition, total mass stays exactly 1.
     """
-    from .dedup import _CACHED, release_parallel_caches
+    from .dedup import register_parallel_cache, release_parallel_caches
 
     # The edge list (and its degree table) is read by EVERY iteration's
     # join — without a cache the upstream scan/distinct/union would
@@ -192,14 +192,18 @@ def pagerank(
     # on entry so repeated pagerank calls don't accumulate cached blocks.
     release_parallel_caches()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
-    _CACHED.append(e)
+    register_parallel_cache(e)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    _CACHED.append(deg)
+    register_parallel_cache(deg)
     # nodes joins into every round (teleport-floor retention) — persist so
     # the distinct doesn't recompute per plan occurrence
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
-    _CACHED.append(nodes)
+    register_parallel_cache(nodes)
     n = nodes.count()  # one small driver scalar; the iteration stays lazy
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge set (an upstream filter produced no edges)"
+        )
     base = (1.0 - damping) / n
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

@@ -20,10 +20,10 @@ swap (rename / pointer flip) belongs to whatever catalog sits above.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .fs import dir_has_data, same_location
 
 
 def merge_upsert(
@@ -47,12 +47,13 @@ def merge_upsert(
     dup = updates.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(f"updates contain duplicate {key_col} values")
-    if os.path.abspath(out_dir) == os.path.abspath(target_dir):
+    if same_location(spark, out_dir, target_dir):
         # The overwrite write reads target_dir lazily mid-write — writing
         # onto the input would corrupt it. A catalog pointer-flip is the
-        # caller's job; we only ever write fresh directories.
+        # caller's job; we only ever write fresh directories. (Scheme-aware
+        # compare: 'file:///x' and '/x' are the same directory.)
         raise ValueError("out_dir must differ from target_dir")
-    if _dir_has_data(spark, target_dir):
+    if dir_has_data(spark, target_dir):
         # Only a genuinely-missing target means "pure insert". Schema
         # mismatches (unionByName) and IO errors must propagate — silently
         # degrading to insert would drop every non-updated target row.
@@ -66,20 +67,9 @@ def merge_upsert(
     merged.write.mode("overwrite").parquet(out_dir)
 
 
-def _dir_has_data(spark: SparkSession, path: str) -> bool:
-    """True if ``path`` exists and contains at least one non-hidden entry.
-    Uses the Hadoop FileSystem API so the same check works on local disk
-    and object stores (abfs/s3) alike."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return False
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if not name.startswith(".") and not name.startswith("_"):
-            return True
-    return False
+#: Back-compat alias — the canonical home is sources.fs (shared with the
+#: streaming dedup; it is generic filesystem logic, not maintenance logic).
+_dir_has_data = dir_has_data
 
 
 def compact_parquet(

@@ -26,7 +26,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
-from ..sources.maintenance import _dir_has_data
+from ..sources.fs import dir_has_data
 
 
 def view_purchase_join(
@@ -152,17 +152,30 @@ def dedup_batch_processor(
         # Only a genuinely-absent output dir means "nothing seen yet".
         # Swallowing every read failure would skip the anti-join and emit
         # duplicates, silently breaking the one-row-per-hash contract.
-        if _dir_has_data(spark, out_dir):
-            # exclude THIS batch's own (possibly half-written) replay dir
-            # from the seen set, then overwrite it wholesale
-            seen = (
-                spark.read.option("basePath", out_dir)
-                .parquet(out_dir)
-                .filter(F.col("batch") != batch_id)
-                .select("__h")
-                .distinct()
-            )
-            fresh = fresh.join(seen, "__h", "left_anti")
+        if dir_has_data(spark, out_dir):
+            from pyspark.errors import AnalysisException
+
+            try:
+                # exclude THIS batch's own (possibly half-written) replay
+                # dir from the seen set, then overwrite it wholesale
+                seen = (
+                    spark.read.option("basePath", out_dir)
+                    .parquet(out_dir)
+                    .filter(F.col("batch") != batch_id)
+                    .select("__h")
+                    .distinct()
+                )
+                fresh = fresh.join(seen, "__h", "left_anti")
+            except AnalysisException as exc:
+                # A crash during the FIRST batch's write can leave only
+                # uncommitted debris (batch=N/_temporary): the dir exists
+                # but holds zero committed parquet files, and the read
+                # fails schema inference. That precise state means
+                # "nothing durably seen yet" — proceed without the
+                # anti-join (the overwrite below replaces the debris).
+                # Every other analysis error still propagates.
+                if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                    raise
         fresh.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return _process

@@ -64,3 +64,15 @@ def test_rest_error_is_ksql_shaped(rest):
     )
     assert status == 400
     assert out["@type"] == "statement_error" and "not registered" in out["message"]
+
+
+def test_bare_sql_body_accepted(rest):
+    """KsqlContext.execute accepts bare SQL; the REST layer must not 400 a
+    statement it actually applied (response/side-effect agreement)."""
+    status, out = _post(
+        rest, "/ksql",
+        "CREATE STREAM bare_s (id BIGINT, hotel_id BIGINT) "
+        "WITH (KAFKA_TOPIC='expedia_ext', VALUE_FORMAT='JSON');",
+    )
+    assert status == 200 and out[0]["status"] == "SUCCESS"
+    assert out[0]["columns"] == ["id", "hotel_id"]

@@ -220,3 +220,19 @@ def test_dedup_batch_replay_is_idempotent(spark, tmp_path):
     proc(b1, 1)  # replay of batch 1
     got = spark.read.parquet(out)
     assert {r.doc_id for r in got.collect()} == {1, 2, 5}
+
+
+def test_dedup_batch_recovers_from_first_batch_crash_debris(spark, tmp_path):
+    """A crash during the FIRST batch's write leaves only uncommitted
+    debris (batch=0/_temporary, no committed parquet). Replay must
+    recover — treat it as nothing-durably-seen and overwrite — instead of
+    failing schema inference forever."""
+    out = str(tmp_path / "crash_out")
+    os.makedirs(os.path.join(out, "batch=0", "_temporary"), exist_ok=True)
+    with open(os.path.join(out, "batch=0", "_temporary", "junk"), "w") as fh:
+        fh.write("partial")
+    proc = dedup_batch_processor(out)
+    b0 = spark.createDataFrame([(1, "aaa"), (2, "bbb")], "doc_id long, text string")
+    proc(b0, 0)  # replay of the crashed batch
+    got = spark.read.parquet(out)
+    assert {r.doc_id for r in got.collect()} == {1, 2}
