@@ -77,6 +77,8 @@ def compact_parquet(
 ) -> None:
     """Rewrite a fragmented parquet dir into ``target_files`` files.
     ``coalesce`` (not repartition) — no shuffle, just fewer write tasks."""
+    if same_location(spark, out_dir, src_dir):
+        raise ValueError("out_dir must differ from src_dir")
     spark.read.parquet(src_dir).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(out_dir)
@@ -93,6 +95,8 @@ def delete_keys(
     the table without any row whose key appears in ``keys``. The key list
     broadcasts; the table streams through one anti-join. Returns the number
     of rows deleted."""
+    if same_location(spark, out_dir, target_dir):
+        raise ValueError("out_dir must differ from target_dir")
     target = spark.read.parquet(target_dir)
     kept = target.join(
         F.broadcast(keys.select(key_col).distinct()), key_col, "left_anti"

@@ -8,6 +8,7 @@ import pytest
 
 from m12_kafkastreams_python_azure_spark.sources.maintenance import (
     compact_parquet,
+    delete_keys,
     merge_upsert,
 )
 
@@ -102,3 +103,22 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     merge_upsert(spark, target_dir, updates, "k", out2, allow_schema_evolution=True)
     got = {r.k: (r.v, r.score) for r in spark.read.parquet(out2).collect()}
     assert got == {1: ("a", None), 2: ("B", 9.5)}
+
+
+def test_self_overwrite_guards(spark, tmp_path):
+    """Every rewrite primitive must refuse out_dir == input dir — including
+    the same directory spelled with and without a file:// scheme."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(d)
+    updates = spark.createDataFrame([(1, "b")], "k long, v string")
+    keys = spark.createDataFrame([(1,)], "k long")
+    for call in (
+        lambda: merge_upsert(spark, d, updates, "k", d),
+        lambda: merge_upsert(spark, "file://" + d, updates, "k", d),
+        lambda: compact_parquet(spark, d, d),
+        lambda: delete_keys(spark, d, keys, "k", "file://" + d),
+    ):
+        with _pytest.raises(ValueError, match="must differ"):
+            call()
