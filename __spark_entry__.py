@@ -28,6 +28,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics8 as A8
 from m12_kafkastreams_python_azure_spark.operators import analytics9 as A9
 from m12_kafkastreams_python_azure_spark.operators import analytics10 as A10
 from m12_kafkastreams_python_azure_spark.operators import analytics11 as A11
+from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
@@ -119,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_functions": A11.q_map_functions,
         "stratified_sample": A11.q_stratified_sample,
         "quality_report": Q.q_quality_report,
+        "orderkey_islands": A12.q_orderkey_islands,
+        "region_revenue_share": A12.q_region_revenue_share,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -221,6 +224,8 @@ def oracle_sql() -> dict[str, str]:
         "map_functions": A11.ORACLE_MAP_FUNCTIONS,
         "stratified_sample": A11.ORACLE_STRATIFIED_SAMPLE,
         "quality_report": Q.ORACLE_QUALITY_REPORT,
+        "orderkey_islands": A12.ORACLE_ORDERKEY_ISLANDS,
+        "region_revenue_share": A12.ORACLE_REGION_REVENUE_SHARE,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "asof_next_order": J.ORACLE_ASOF_NEXT_ORDER,
