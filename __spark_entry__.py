@@ -30,6 +30,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics10 as A10
 from m12_kafkastreams_python_azure_spark.operators import analytics11 as A11
 from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import api as API
+from m12_kafkastreams_python_azure_spark.operators import corpus as C
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
@@ -134,6 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": T.q_lang_id,
         "doc_fingerprint": T.q_doc_fingerprint,
         "clean_corpus": T.q_clean_corpus,
+        # training-data pipeline: corpus hygiene
+        "decontaminate": C.q_decontaminate,
+        "gopher_quality": C.q_gopher_quality,
+        "pii_scrub": C.q_pii_scrub,
+        "bigram_lm_score": C.q_bigram_lm_score,
         # training-data pipeline: dedup
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -235,6 +241,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.ORACLE_LANG_ID,
         "doc_fingerprint": T.ORACLE_DOC_FINGERPRINT,
         "clean_corpus": T.ORACLE_CLEAN_CORPUS,
+        "decontaminate": C.ORACLE_DECONTAMINATE,
+        "gopher_quality": C.ORACLE_GOPHER_QUALITY,
+        "pii_scrub": C.ORACLE_PII_SCRUB,
+        "bigram_lm_score": C.ORACLE_BIGRAM_LM_SCORE,
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

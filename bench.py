@@ -59,6 +59,10 @@ HEADLINE = [
     "latest_event_per_user",
     "edit_distance_pairs",
     "purchase_funnel",
+    "decontaminate",
+    "gopher_quality",
+    "pii_scrub",
+    "bigram_lm_score",
 ]
 
 

@@ -1,0 +1,363 @@
+"""Corpus-hygiene operators for the LLM-training-data pipeline.
+
+Beyond the reference surface (SURVEY.md §2 bottom note): the four
+pre-training data-prep stages every large corpus goes through before
+tokenization, each expressed as pure Catalyst column algebra with an
+adjacent DuckDB oracle spelling.
+
+- ``decontaminate``     — benchmark n-gram overlap (the GPT-3 appendix-C /
+                          FLAN decontamination pattern): flag training docs
+                          sharing any word 5-gram with an eval set.
+- ``gopher_quality``    — Gopher-style repetition rules (Rae et al. 2021
+                          table A1): type-token ratio, top-token fraction,
+                          top-bigram fraction, with pass/fail gates.
+- ``pii_scrub``         — regex PII redaction (emails, phone numbers) with
+                          per-doc redaction counts and a post-scrub digest.
+- ``bigram_lm_score``   — corpus-level bigram language model scoring each
+                          document by mean log2 P(w_i | w_{i-1}) — the
+                          perplexity-style quality signal.
+
+Scale notes (100 TB):
+- decontaminate: the eval side is tiny by construction (benchmarks are
+  thousands of docs, not billions) → its distinct-gram set broadcasts;
+  the training side is a narrow explode + broadcast semi-join — no
+  all-to-all shuffle, one aggregation keyed by doc_id.
+- gopher_quality: explode + two partial-agg shuffles keyed by (doc_id) —
+  uniform key, partial aggregation map-side; no skew.
+- pii_scrub: pure per-row map, zero shuffles.
+- bigram_lm_score: the model tables are vocabulary-sized (V and V²
+  upper-bounded, tiny after agg) → broadcast back against the exploded
+  stream; one doc_id-keyed agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+NGRAM_N = 5
+
+
+def word_ngrams(text: Column, n: int = NGRAM_N) -> Column:
+    """Word n-grams of a text column as array<string> (empty when the doc
+    has fewer than n tokens). Pure Catalyst: split + sequence + transform."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams_sql(expr: str, n: int = NGRAM_N) -> str:
+    """DuckDB spelling of word_ngrams — kept adjacent so oracle and engine
+    cannot drift. DuckDB list slicing is 1-based inclusive: toks[i:i+n-1]
+    yields n elements."""
+    toks = f"string_split_regex(trim({expr}), '\\s+')"
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. Decontamination: train docs sharing any word n-gram with the eval set.
+#    Eval set here = every 97th doc (deterministic synthetic benchmark).
+#    Production decontamination uses 13-grams (GPT-3 appendix C); on this
+#    small-vocabulary synthetic corpus 4-grams give the same sparse-but-
+#    nonzero hit profile (8 flagged docs at sf0.01), so the join/agg path
+#    is actually exercised.
+# --------------------------------------------------------------------------
+
+EVAL_MOD = 97
+DECONTAM_N = 4
+
+
+def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """Flag training documents that share >=1 word n-gram with the eval
+    split. Returns one row per contaminated doc with collision stats.
+
+    The eval gram set is distinct-ed then BROADCAST (real benchmarks are
+    ~10^4-10^6 grams — MBs); the training side never shuffles its raw
+    grams, only the post-join per-doc counts (doc_id key, uniform)."""
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_collisions"))
+    )
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_collisions",
+            "n_grams",
+            F.round(
+                F.col("n_collisions").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("contam_ratio"),
+        )
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({word_ngrams_sql('text', DECONTAM_N)}) AS gram
+  FROM documents
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+train AS (
+  SELECT * FROM grams WHERE doc_id % {EVAL_MOD} != 0
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id
+),
+hits AS (
+  SELECT t.doc_id, count(DISTINCT t.gram) AS n_collisions
+  FROM train t JOIN eval_grams e USING (gram)
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, h.n_collisions, o.n_grams,
+       ROUND(CAST(h.n_collisions AS DOUBLE) / CAST(o.n_grams AS DOUBLE), 6)
+         AS contam_ratio
+FROM hits h JOIN totals o ON h.doc_id = o.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. Gopher-style repetition quality rules.
+# --------------------------------------------------------------------------
+
+TOP_BIGRAM_MAX = 0.18  # Gopher table A1: top-2-gram character fraction cap
+TTR_MIN = 0.20         # distinct-token ratio floor (degenerate repetition)
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signals: type-token ratio, most-frequent-token
+    fraction, most-frequent-bigram fraction, and the combined keep gate.
+
+    Two explode+agg pipelines keyed by doc_id (uniform key, map-side
+    partial agg), joined on doc_id — no skew, no broadcast of big data."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    tok_counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok_c"),
+    )
+    bi = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    bi_counts = bi.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    bi_stats = bi_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_c")
+    )
+    out = tok_stats.join(bi_stats, "doc_id")
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    top_tok = F.col("top_tok_c").cast("double") / F.col("n_tokens").cast("double")
+    top_bi = (
+        F.col("top_bigram_c").cast("double") / F.col("n_bigrams").cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(top_tok, 6).alias("top_token_frac"),
+        F.round(top_bi, 6).alias("top_bigram_frac"),
+        ((ttr >= TTR_MIN) & (top_bi <= TOP_BIGRAM_MAX)).alias("keep"),
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_GOPHER_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+),
+tok_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, max(c) AS top_tok_c
+  FROM tok_counts GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, unnest({word_ngrams_sql('text', 2)}) AS gram FROM documents
+),
+bi_counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY doc_id, gram
+),
+bi_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_c
+  FROM bi_counts GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       ROUND(CAST(top_tok_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS top_token_frac,
+       ROUND(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         AS top_bigram_frac,
+       (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= {TTR_MIN}
+        AND CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            <= {TOP_BIGRAM_MAX}) AS keep
+FROM tok_stats t JOIN bi_stats b ON t.doc_id = b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. PII scrubbing. The synthetic corpus is PII-free, so the query derives a
+#    deterministic dirty twin (doc_id-seeded email + phone appended) and
+#    scrubs THAT — the redaction expressions are what is under test.
+# --------------------------------------------------------------------------
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "dirty") -> DataFrame:
+    """Redact emails then phones; count each. Zero-shuffle per-row map —
+    regexp_replace/regexp_count are codegen'd JVM expressions."""
+    c = F.col(text_col)
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PHONE_RE)).alias("n_phones"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("dirty"),
+    )
+    return pii_scrub(dirty)
+
+
+ORACLE_PII_SCRUB = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, dirty,
+         regexp_replace(dirty, '{EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{PHONE_RE}')) AS INTEGER)
+         AS n_phones,
+       CAST(length(regexp_replace(no_email, '{PHONE_RE}', '<PHONE>', 'g'))
+         AS BIGINT) AS clean_len,
+       md5(regexp_replace(no_email, '{PHONE_RE}', '<PHONE>', 'g'))
+         AS clean_md5
+FROM scrub
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Bigram LM scoring: P(w_i | w_{i-1}) from corpus counts, mean log2 per
+#    doc. The model tables aggregate to vocabulary size (tiny) → broadcast.
+# --------------------------------------------------------------------------
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Score each doc by mean log2 P(w_i | w_{i-1}) under the corpus's own
+    bigram MLE model. Every doc bigram exists in the model by construction
+    (it was counted from the same corpus) so no smoothing is needed.
+
+    Shape: one explode → two tiny aggregations (bigram counts ~V², history
+    counts ~V — both vocabulary-bounded regardless of corpus size) →
+    broadcast joins back → one doc_id-keyed agg. The only full-data
+    shuffle is the final per-doc mean."""
+    bi = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("text"), 2)).alias("gram"),
+    ).withColumn("w1", F.split("gram", " ")[0])
+    bigram_counts = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    hist_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    scored = (
+        bi.join(F.broadcast(bigram_counts), "gram")
+        .join(F.broadcast(hist_counts), "w1")
+        .withColumn(
+            "logp",
+            F.log2(F.col("c_bi").cast("double") / F.col("c_w1").cast("double")),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_log2p"),
+    )
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_BIGRAM_LM_SCORE = f"""
+WITH bi AS (
+  SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
+  FROM (
+    SELECT doc_id, unnest({word_ngrams_sql('text', 2)}) AS gram
+    FROM documents
+  )
+),
+bigram_counts AS (
+  SELECT gram, count(*) AS c_bi FROM bi GROUP BY gram
+),
+hist_counts AS (
+  SELECT w1, count(*) AS c_w1 FROM bi GROUP BY w1
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       ROUND(avg(log2(CAST(c.c_bi AS DOUBLE) / CAST(h.c_w1 AS DOUBLE))), 6)
+         AS avg_log2p
+FROM bi b
+JOIN bigram_counts c USING (gram)
+JOIN hist_counts h USING (w1)
+GROUP BY b.doc_id
+"""
