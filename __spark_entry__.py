@@ -31,6 +31,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics11 as A11
 from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
+from m12_kafkastreams_python_azure_spark.operators import sketches as SK
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import joins as J
@@ -140,6 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": C.q_gopher_quality,
         "pii_scrub": C.q_pii_scrub,
         "bigram_lm_score": C.q_bigram_lm_score,
+        # mergeable-sketch rollups (HLL / quantile / heavy hitters)
+        "hll_merge_bound": SK.q_hll_merge_bound,
+        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
+        "heavy_hitters": SK.q_heavy_hitters,
         # training-data pipeline: dedup
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -245,6 +250,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": C.ORACLE_GOPHER_QUALITY,
         "pii_scrub": C.ORACLE_PII_SCRUB,
         "bigram_lm_score": C.ORACLE_BIGRAM_LM_SCORE,
+        "hll_merge_bound": SK.ORACLE_HLL_MERGE_BOUND,
+        "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
+        "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

@@ -63,6 +63,9 @@ HEADLINE = [
     "gopher_quality",
     "pii_scrub",
     "bigram_lm_score",
+    "hll_merge_bound",
+    "quantile_sketch_bound",
+    "heavy_hitters",
 ]
 
 

@@ -84,8 +84,10 @@ def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
     split. Returns one row per contaminated doc with collision stats.
 
     The eval gram set is distinct-ed then BROADCAST (real benchmarks are
-    ~10^4-10^6 grams — MBs); the training side never shuffles its raw
-    grams, only the post-join per-doc counts (doc_id key, uniform)."""
+    ~10^4-10^6 grams — MBs). The training side is read ONCE: a left
+    broadcast join tags each gram as colliding or not, then a single
+    doc_id-keyed aggregation computes totals and distinct collisions
+    together — one pass, one shuffle, no self-join of the big side."""
     grams = docs.select(
         "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
     )
@@ -93,26 +95,25 @@ def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
         grams.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select("gram")
         .distinct()
+        .withColumn("hit", F.lit(True))
     )
     train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
-    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        train.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_collisions"))
+    tagged = train.join(F.broadcast(eval_grams), "gram", "left")
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct(
+            F.when(F.col("hit"), F.col("gram"))
+        ).alias("n_collisions"),
     )
-    return (
-        hits.join(totals, "doc_id")
-        .select(
-            "doc_id",
-            "n_collisions",
-            "n_grams",
-            F.round(
-                F.col("n_collisions").cast("double")
-                / F.col("n_grams").cast("double"),
-                6,
-            ).alias("contam_ratio"),
-        )
+    return per_doc.filter(F.col("n_collisions") > 0).select(
+        "doc_id",
+        "n_collisions",
+        "n_grams",
+        F.round(
+            F.col("n_collisions").cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("contam_ratio"),
     )
 
 
@@ -126,23 +127,22 @@ WITH grams AS (
   FROM documents
 ),
 eval_grams AS (
-  SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+  SELECT DISTINCT gram, TRUE AS hit FROM grams WHERE doc_id % {EVAL_MOD} = 0
 ),
 train AS (
   SELECT * FROM grams WHERE doc_id % {EVAL_MOD} != 0
 ),
-totals AS (
-  SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id
-),
-hits AS (
-  SELECT t.doc_id, count(DISTINCT t.gram) AS n_collisions
-  FROM train t JOIN eval_grams e USING (gram)
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_grams,
+         count(DISTINCT CASE WHEN e.hit THEN t.gram END) AS n_collisions
+  FROM train t LEFT JOIN eval_grams e USING (gram)
   GROUP BY t.doc_id
 )
-SELECT h.doc_id, h.n_collisions, o.n_grams,
-       ROUND(CAST(h.n_collisions AS DOUBLE) / CAST(o.n_grams AS DOUBLE), 6)
+SELECT doc_id, n_collisions, n_grams,
+       ROUND(CAST(n_collisions AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
          AS contam_ratio
-FROM hits h JOIN totals o ON h.doc_id = o.doc_id
+FROM per_doc WHERE n_collisions > 0
 """
 
 

@@ -1,0 +1,165 @@
+"""Mergeable-sketch aggregation operators — the 100 TB rollup pattern.
+
+At cluster scale you never recompute distinct counts or quantiles from raw
+data per query window; you aggregate small mergeable summaries (HLL /
+KLL-style sketches) per partition/day and UNION them. These operators
+demonstrate that pattern with Spark's built-in Datasketches functions and
+verify the approximations against their exact twins in the same result row,
+so the DuckDB oracle can hash-check everything deterministic (the exact
+values and the within-bound booleans).
+
+- ``hll_merge_bound``      — per-day HLL sketches of user_id, merged per
+                             event_type via ``hll_union_agg`` (the
+                             re-aggregation a rollup table does), estimate
+                             asserted within the documented HLL error vs
+                             exact COUNT(DISTINCT).
+- ``quantile_sketch_bound``— ``percentile_approx`` vs exact interpolated
+                             ``percentile``, bounded by an exact rank
+                             window (p45..p55 must contain approx p50).
+- ``heavy_hitters``        — exact frequent-item query (share > threshold)
+                             with deterministic ordering; the ground truth
+                             a Misra-Gries/CMS pipeline would be validated
+                             against.
+
+Scale notes: every aggregate here is algebraic/mergeable → map-side partial
+aggregation applies; the sketch columns are KBs per group regardless of row
+count, so the merge stage shuffles only (groups × sketch_size), never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+HLL_REL_ERR = 0.05  # lgConfigK=12 default: ~1.6% RSE; 5% is >3 sigma
+
+
+def q_hll_merge_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL rollup: day-grain sketches unioned to type-grain.
+    Returns the exact distinct count (oracle-checked) plus the sketch
+    estimate's bounded-error verdict (deterministic: Datasketches HLL is
+    deterministic for a fixed input set)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("n").alias("n_events"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    out = merged.join(exact, "event_type")
+    rel_err = (
+        F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
+        / F.col("exact_users").cast("double")
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (rel_err <= HLL_REL_ERR).alias("est_within_bound"),
+    )
+
+
+ORACLE_HLL_MERGE_BOUND = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles vs exact: per returnflag, the exact p50/p95 of
+    l_extendedprice (oracle-checked, continuous interpolation) and a
+    verdict that ``percentile_approx`` (accuracy 10000) lands inside the
+    exact p45..p55 / p90..p99 rank windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_exact"),
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("_lo50"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("_hi50"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("_lo95"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("_hi95"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("_a95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        "p50_exact",
+        "p95_exact",
+        (
+            F.col("_a50").between(F.col("_lo50"), F.col("_hi50"))
+            & F.col("_a95").between(F.col("_lo95"), F.col("_hi95"))
+        ).alias("approx_within_bound"),
+    )
+
+
+ORACLE_QUANTILE_SKETCH_BOUND = """
+SELECT l_returnflag,
+       count(*) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+       TRUE AS approx_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+HH_FACTOR = 1.05  # report users with > 1.05x the mean per-user event count
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users with more than HH_FACTOR times the mean
+    per-user event count (mean-relative, so the selectivity is stable
+    across scale factors — a fixed share threshold degenerates as the user
+    population grows). One groupBy(user_id) with map-side partials, the
+    1-row global stats broadcast back, deterministic result. This is the
+    exactness baseline a CMS/Misra-Gries sketch pipeline is validated
+    against at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    stats = counts.agg(
+        F.sum("n_events").alias("total"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    avg = F.col("total").cast("double") / F.col("n_users").cast("double")
+    return (
+        counts.join(F.broadcast(stats))
+        .filter(F.col("n_events").cast("double") > F.lit(HH_FACTOR) * avg)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / avg, 6).alias(
+                "vs_mean"
+            ),
+        )
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT sum(n_events) AS total, count(*) AS n_users FROM counts
+)
+SELECT user_id, n_events,
+       ROUND(CAST(n_events AS DOUBLE)
+             / (CAST(total AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+         AS vs_mean
+FROM counts, stats
+WHERE CAST(n_events AS DOUBLE)
+      > {HH_FACTOR} * CAST(total AS DOUBLE) / CAST(n_users AS DOUBLE)
+"""

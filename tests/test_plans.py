@@ -181,6 +181,61 @@ def test_no_accidental_python_in_any_query_plan(spark, sf_dir):
     assert not offenders, f"plan hygiene violations: {offenders}"
 
 
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Runtime row-level filtering, demonstrated: a selective dimension
+    filter (orders by priority) joined to a pre-aggregated fact side must
+    get a bloom filter injected below the fact aggregate, cutting both the
+    aggregate's and the join's shuffle volume — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~1/5 that can match. Spark only injects when the application side
+    already contains a shuffle-inducing operator (Aggregate here) and both
+    size thresholds pass; the toy-data thresholds are scaled accordingly."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_extendedprice").alias("order_rev"))
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "o_orderkey", "o_orderpriority", "order_rev"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # and it must actually run: result equals the un-filtered twin
+        n = j.count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",  # back to stock: no injection at toy scale
+        )
+        assert n == j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """Skew discipline, demonstrated: one hot key (200k rows vs ~10/key
     elsewhere) through a sort-merge join; with the skew thresholds scaled
