@@ -18,7 +18,24 @@ accepts each payload's SQL string (ksql dialect) and maps it onto Spark SQL:
   EMIT CHANGES suffix is stripped (a pull query over the current state —
   each batch evaluation IS the latest changelog snapshot).
 
-Only the dialect subset the reference uses is translated; anything else
+Beyond the reference's three statements, the dialect subset a typical ksql
+deployment uses is also translated (widening drop-in compatibility):
+
+- ``WINDOW TUMBLING (SIZE n UNIT)`` / ``WINDOW HOPPING (SIZE n UNIT,
+  ADVANCE BY m UNIT)`` / ``WINDOW SESSION (n UNIT)`` in CTAS/CSAS
+  -> Spark ``window(rowtime, ...)`` / ``session_window(rowtime, ...)``
+  group keys. The stream's event-time column comes from the ksql
+  ``WITH (TIMESTAMP='col')`` property (ksql's extractor config). The
+  ``WINDOWSTART`` / ``WINDOWEND`` pseudo-columns map to ``window.start`` /
+  ``window.end`` (divergence: ksql returns epoch-millis BIGINTs, we return
+  proper timestamps).
+- ``CREATE STREAM name AS SELECT ...`` (CSAS) -> derived stream: the
+  result is registered as both a view and a topic, so downstream
+  CREATE STREAM/TABLE statements can read it.
+- ``WHERE`` clauses pass through (ANSI in both dialects);
+  ``UCASE``/``LCASE`` are rewritten to ``upper``/``lower``.
+
+Only the dialect subset described above is translated; anything else
 passes through to ``spark.sql`` untouched.
 """
 
@@ -37,6 +54,7 @@ _KSQL_TO_SPARK_TYPES = {
     "STRING": "STRING",
     "DOUBLE": "DOUBLE",
     "BOOLEAN": "BOOLEAN",
+    "TIMESTAMP": "TIMESTAMP",
 }
 
 _CREATE_STREAM_RE = re.compile(
@@ -48,8 +66,23 @@ _CREATE_TABLE_RE = re.compile(
     r"CREATE\s+TABLE\s+(?P<name>\w+)\s+AS\s+(?P<select>.*?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_STREAM_AS_RE = re.compile(
+    r"CREATE\s+STREAM\s+(?P<name>\w+)\s+AS\s+(?P<select>.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _EMIT_CHANGES_RE = re.compile(r"\s+EMIT\s+CHANGES\s*", re.IGNORECASE)
 _COUNT_DISTINCT_RE = re.compile(r"\bCOUNT_DISTINCT\s*\(", re.IGNORECASE)
+_UCASE_RE = re.compile(r"\bUCASE\s*\(", re.IGNORECASE)
+_LCASE_RE = re.compile(r"\bLCASE\s*\(", re.IGNORECASE)
+_WINDOW_RE = re.compile(
+    r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING|SESSION)\s*\((?P<props>[^)]*)\)\s*",
+    re.IGNORECASE,
+)
+_FROM_RE = re.compile(r"\bFROM\s+(\w+)", re.IGNORECASE)
+_GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\s+", re.IGNORECASE)
+_SIZE_RE = re.compile(r"\bSIZE\s+(\d+)\s+(\w+)", re.IGNORECASE)
+_ADVANCE_RE = re.compile(r"\bADVANCE\s+BY\s+(\d+)\s+(\w+)", re.IGNORECASE)
+_BARE_DURATION_RE = re.compile(r"^\s*(\d+)\s+(\w+)\s*$")
 
 
 class KsqlContext:
@@ -65,6 +98,8 @@ class KsqlContext:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self._topics: dict[str, DataFrame] = {}
+        # event-time column per stream/view name (ksql WITH (TIMESTAMP=...))
+        self._rowtime: dict[str, str] = {}
 
     # -- topic registry (the "broker") ------------------------------------
     def register_topic(self, topic: str, df: DataFrame) -> None:
@@ -82,6 +117,9 @@ class KsqlContext:
         m = _CREATE_STREAM_RE.match(sql)
         if m:
             return self._create_stream(m["name"], m["cols"], m["props"])
+        m = _CREATE_STREAM_AS_RE.match(sql)
+        if m:
+            return self._create_stream_as(m["name"], m["select"])
         m = _CREATE_TABLE_RE.match(sql)
         if m:
             return self._create_table(m["name"], m["select"])
@@ -90,10 +128,13 @@ class KsqlContext:
     # -- handlers ----------------------------------------------------------
     def _create_stream(self, name: str, cols: str, props: str) -> DataFrame:
         topic = None
+        rowtime = None
         for p in props.split(","):
             k, _, v = p.partition("=")
             if k.strip().upper() == "KAFKA_TOPIC":
                 topic = v.strip().strip("'\"")
+            elif k.strip().upper() == "TIMESTAMP":
+                rowtime = v.strip().strip("'\"")
         if topic is None or topic not in self._topics:
             raise ValueError(
                 f"CREATE STREAM {name}: topic {topic!r} not registered "
@@ -113,17 +154,96 @@ class KsqlContext:
                 exprs.append(f"CAST(NULL AS {ctype}) AS {cname}")
         out = src.selectExpr(*exprs)
         out.createOrReplaceTempView(name)
+        if rowtime is not None:
+            if rowtime not in out.columns:
+                raise ValueError(
+                    f"CREATE STREAM {name}: TIMESTAMP column {rowtime!r} is "
+                    f"not among the declared columns {out.columns}"
+                )
+            self._rowtime[name] = rowtime
         return out
 
     def _create_table(self, name: str, select: str) -> DataFrame:
-        select = _COUNT_DISTINCT_RE.sub("COUNT(DISTINCT ", select)
-        out = self.spark.sql(select)
+        out = self.spark.sql(self._rewrite_select(select))
         out.createOrReplaceTempView(name)
         return out
+
+    def _create_stream_as(self, name: str, select: str) -> DataFrame:
+        """CSAS: a derived stream. Registered as both view and topic so it
+        can feed further CREATE STREAM/TABLE statements, mirroring ksql
+        writing the derived stream back to a topic."""
+        out = self.spark.sql(self._rewrite_select(select))
+        out.createOrReplaceTempView(name)
+        self._topics[name] = out
+        # event time survives derivation if the source's rowtime column is
+        # still present in the output (ksql keeps ROWTIME implicitly).
+        src = _FROM_RE.search(select)
+        if src and src.group(1) in self._rowtime:
+            rt = self._rowtime[src.group(1)]
+            if rt in out.columns:
+                self._rowtime[name] = rt
+        return out
+
+    # -- dialect rewriting --------------------------------------------------
+    def _rewrite_select(self, select: str) -> str:
+        select = _EMIT_CHANGES_RE.sub(" ", select.rstrip().rstrip(";"))
+        select = _COUNT_DISTINCT_RE.sub("COUNT(DISTINCT ", select)
+        select = _UCASE_RE.sub("upper(", select)
+        select = _LCASE_RE.sub("lower(", select)
+        return self._rewrite_window(select)
+
+    def _rewrite_window(self, select: str) -> str:
+        m = _WINDOW_RE.search(select)
+        if not m:
+            return select
+        kind = m["kind"].upper()
+        props = m["props"]
+        src = _FROM_RE.search(select)
+        if not src or src.group(1) not in self._rowtime:
+            raise ValueError(
+                f"WINDOW {kind}: source stream has no event-time column — "
+                "declare it with WITH (TIMESTAMP='col') on CREATE STREAM"
+            )
+        rt = self._rowtime[src.group(1)]
+        if kind == "SESSION":
+            d = _BARE_DURATION_RE.match(props) or _SIZE_RE.search(props)
+            if not d:
+                raise ValueError(f"WINDOW SESSION: cannot parse {props!r}")
+            wexpr = f"session_window({rt}, '{d.group(1)} {d.group(2).lower()}')"
+            wname = "session_window"
+        else:
+            size = _SIZE_RE.search(props)
+            if not size:
+                raise ValueError(f"WINDOW {kind}: missing SIZE in {props!r}")
+            dur = f"'{size.group(1)} {size.group(2).lower()}'"
+            if kind == "HOPPING":
+                adv = _ADVANCE_RE.search(props)
+                if not adv:
+                    raise ValueError(
+                        f"WINDOW HOPPING: missing ADVANCE BY in {props!r}"
+                    )
+                wexpr = (
+                    f"window({rt}, {dur}, "
+                    f"'{adv.group(1)} {adv.group(2).lower()}')"
+                )
+            else:  # TUMBLING
+                wexpr = f"window({rt}, {dur})"
+            wname = "window"
+        select = _WINDOW_RE.sub(" ", select)
+        select = re.sub(r"\bWINDOWSTART\b", f"{wname}.start", select,
+                        flags=re.IGNORECASE)
+        select = re.sub(r"\bWINDOWEND\b", f"{wname}.end", select,
+                        flags=re.IGNORECASE)
+        if not _GROUP_BY_RE.search(select):
+            raise ValueError(f"WINDOW {kind}: windowed query needs GROUP BY")
+        # prepend the window key into the GROUP BY list (whatever follows —
+        # more keys, HAVING — stays intact)
+        return _GROUP_BY_RE.sub(lambda g: g.group(0) + wexpr + ", ",
+                                select, count=1)
 
     def _select(self, sql: str) -> DataFrame:
         # EMIT CHANGES: continuous push query. Over batch state, evaluating
         # the view IS the current changelog snapshot (the streaming update
-        # path lives in streaming.pipeline).
-        sql = _EMIT_CHANGES_RE.sub(" ", sql).rstrip().rstrip(";")
-        return self.spark.sql(sql)
+        # path lives in streaming.pipeline). Same dialect rewrites as CTAS
+        # (COUNT_DISTINCT, UCASE/LCASE, WINDOW ...) apply to push queries.
+        return self.spark.sql(self._rewrite_select(sql))

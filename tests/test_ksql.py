@@ -96,3 +96,148 @@ def test_declared_but_missing_column_is_null(ksql_ctx):
     )
     r = out.limit(1).collect()[0]
     assert r["nope"] is None  # ksql JSON schema-on-read: absent field -> NULL
+
+
+# --- widened dialect: windows, CSAS, WHERE, TIMESTAMP property -------------
+
+
+@pytest.fixture(scope="module")
+def events_ctx(spark):
+    """A ksql context with an events-like topic: 600 rows, one every 47 s,
+    3 event types, so tumbling/hopping/session windows all have content."""
+    from pyspark.sql import functions as F
+
+    ctx = KsqlContext(spark)
+    ev = (
+        spark.range(600)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 47).alias(
+                "ts"
+            ),
+            (F.col("id") % 3).cast("int").alias("etype"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        )
+    )
+    ctx.register_topic("events_topic", ev)
+    ctx.execute(
+        "CREATE STREAM ev (event_id BIGINT, ts TIMESTAMP, etype INTEGER, "
+        "value DOUBLE) WITH (KAFKA_TOPIC='events_topic', "
+        "VALUE_FORMAT='JSON', TIMESTAMP='ts');"
+    )
+    return ctx
+
+
+def test_tumbling_window_ctas_matches_duckdb(events_ctx):
+    """ksql WINDOW TUMBLING must equal an independent DuckDB time_bucket
+    aggregation over the same rows."""
+    import duckdb
+
+    events_ctx.execute(
+        "CREATE TABLE per_hour AS SELECT etype, WINDOWSTART AS ws, "
+        "COUNT(*) AS n, COUNT_DISTINCT(value) AS nv FROM ev "
+        "WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY etype EMIT CHANGES;"
+    )
+    got = {
+        (r["etype"], r["ws"]): (r["n"], r["nv"])
+        for r in events_ctx.execute("SELECT * FROM per_hour;").collect()
+    }
+    pdf = events_ctx.execute("SELECT * FROM ev").toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = {
+        (row[0], row[1]): (row[2], row[3])
+        for row in con.execute(
+            "SELECT etype, time_bucket(INTERVAL '1 hour', ts) AS ws, "
+            "count(*), count(DISTINCT value) FROM ev GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) >= 24  # ~8 hours x 3 types
+
+
+def test_hopping_window_ctas_matches_native(events_ctx, spark):
+    from pyspark.sql import functions as F
+
+    events_ctx.execute(
+        "CREATE TABLE hop AS SELECT etype, WINDOWSTART AS ws, WINDOWEND AS "
+        "we, COUNT(*) AS n FROM ev "
+        "WINDOW HOPPING (SIZE 10 MINUTES, ADVANCE BY 5 MINUTES) "
+        "GROUP BY etype;"
+    )
+    got = {
+        (r["etype"], r["ws"], r["we"]): r["n"]
+        for r in events_ctx.execute("SELECT * FROM hop;").collect()
+    }
+    ev = events_ctx.execute("SELECT * FROM ev")
+    want = {
+        (r["etype"], r["ws"], r["we"]): r["n"]
+        for r in ev.groupBy(
+            "etype", F.window("ts", "10 minutes", "5 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("etype", F.col("w.start").alias("ws"),
+                F.col("w.end").alias("we"), "n")
+        .collect()
+    }
+    assert got == want
+    # hopping doubles coverage vs tumbling: every row lands in 2 windows
+    assert sum(got.values()) == 2 * 600
+
+
+def test_session_window_ctas_matches_native(events_ctx):
+    from pyspark.sql import functions as F
+
+    # 47 s spacing with a 60 s gap: per-etype spacing is 141 s > gap, so
+    # every event is its own session unless consecutive same-type events
+    # are closer — makes the translation's correctness visible.
+    events_ctx.execute(
+        "CREATE TABLE sess AS SELECT etype, WINDOWSTART AS ws, COUNT(*) AS n "
+        "FROM ev WINDOW SESSION (60 SECONDS) GROUP BY etype;"
+    )
+    got = {
+        (r["etype"], r["ws"]): r["n"]
+        for r in events_ctx.execute("SELECT * FROM sess;").collect()
+    }
+    ev = events_ctx.execute("SELECT * FROM ev")
+    want = {
+        (r["etype"], r["ws"]): r["n"]
+        for r in ev.groupBy(
+            "etype", F.session_window("ts", "60 seconds").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("etype", F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got == want
+
+
+def test_csas_where_then_aggregate(events_ctx):
+    """CREATE STREAM AS SELECT with a WHERE filter feeds a downstream CTAS
+    (the derived stream is a topic), and UCASE translates."""
+    events_ctx.execute(
+        "CREATE STREAM big_ev AS SELECT event_id, ts, etype, value "
+        "FROM ev WHERE value >= 4.0;"
+    )
+    events_ctx.execute(
+        "CREATE TABLE big_counts AS SELECT etype, COUNT(*) AS n "
+        "FROM big_ev WINDOW TUMBLING (SIZE 2 HOURS) GROUP BY etype;"
+    )
+    rows = events_ctx.execute("SELECT * FROM big_counts;").collect()
+    # value >= 4 keeps ids with id%7 in {4,5,6}: 3 of every 7 -> well over 0
+    assert sum(r["n"] for r in rows) == sum(1 for i in range(600) if i % 7 >= 4)
+    up = events_ctx.execute(
+        "SELECT DISTINCT UCASE('ok') AS u FROM ev;"
+    ).collect()
+    assert up[0]["u"] == "OK"
+
+
+def test_window_without_rowtime_is_clear_error(spark):
+    ctx = KsqlContext(spark)
+    ctx.register_topic("t", spark.range(5).toDF("id"))
+    ctx.execute("CREATE STREAM nots (id BIGINT) WITH (KAFKA_TOPIC='t');")
+    with pytest.raises(ValueError, match="TIMESTAMP"):
+        ctx.execute(
+            "CREATE TABLE w AS SELECT COUNT(*) AS n FROM nots "
+            "WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY id;"
+        )
