@@ -40,6 +40,7 @@ from m12_kafkastreams_python_azure_spark.operators import vectorops as V
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
 from m12_kafkastreams_python_azure_spark.operators import textops as T
 from m12_kafkastreams_python_azure_spark.session import tune_for_session
+from m12_kafkastreams_python_azure_spark.sources import layout as L
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -145,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_bound": SK.q_hll_merge_bound,
         "quantile_sketch_bound": SK.q_quantile_sketch_bound,
         "heavy_hitters": SK.q_heavy_hitters,
+        # data layout: Morton/Z-order clustering key
+        "zorder_key": L.q_zorder_key,
         # training-data pipeline: dedup
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -253,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge_bound": SK.ORACLE_HLL_MERGE_BOUND,
         "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
         "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,
+        "zorder_key": L.ORACLE_ZORDER_KEY,
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

@@ -66,6 +66,7 @@ HEADLINE = [
     "hll_merge_bound",
     "quantile_sketch_bound",
     "heavy_hitters",
+    "zorder_key",
 ]
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import load_table, parallel_scan
 
 NGRAM_N = 5
 
@@ -118,7 +118,9 @@ def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decontaminate(load_table(spark, sf_dir, "documents"))
+    # parallel_scan: the single-row-group test parquet otherwise pins the
+    # n-gram explode to one scan task (real multi-split inputs don't need it)
+    return decontaminate(parallel_scan(load_table(spark, sf_dir, "documents")))
 
 
 ORACLE_DECONTAMINATE = f"""
@@ -195,7 +197,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
 
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gopher_quality(load_table(spark, sf_dir, "documents"))
+    return gopher_quality(parallel_scan(load_table(spark, sf_dir, "documents")))
 
 
 ORACLE_GOPHER_QUALITY = f"""
@@ -335,7 +337,7 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
 
 
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+    return bigram_lm_score(parallel_scan(load_table(spark, sf_dir, "documents")))
 
 
 ORACLE_BIGRAM_LM_SCORE = f"""
