@@ -31,6 +31,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics11 as A11
 from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
+from m12_kafkastreams_python_azure_spark.operators import linkage as LK
 from m12_kafkastreams_python_azure_spark.operators import sketches as SK
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
@@ -146,6 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_bound": SK.q_hll_merge_bound,
         "quantile_sketch_bound": SK.q_quantile_sketch_bound,
         "heavy_hitters": SK.q_heavy_hitters,
+        "rollup_merge": SK.q_rollup_merge,
+        # record linkage: blocked fuzzy matching
+        "record_linkage": LK.q_record_linkage,
         # data layout: Morton/Z-order clustering key
         "zorder_key": L.q_zorder_key,
         # training-data pipeline: dedup
@@ -257,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
         "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,
         "zorder_key": L.ORACLE_ZORDER_KEY,
+        "rollup_merge": SK.ORACLE_ROLLUP_MERGE,
+        "record_linkage": LK.ORACLE_RECORD_LINKAGE,
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

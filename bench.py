@@ -67,6 +67,8 @@ HEADLINE = [
     "quantile_sketch_bound",
     "heavy_hitters",
     "zorder_key",
+    "record_linkage",
+    "rollup_merge",
 ]
 
 

@@ -117,6 +117,61 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: month-grain metrics computed by
+    MERGING day-grain partial aggregates (sum-of-sums, sum-of-counts,
+    min-of-mins, max-of-maxes, avg derived at the end) instead of
+    re-reading raw data. At 100 TB this is the difference between a rollup
+    table refresh touching one day and a full recompute; the DuckDB oracle
+    computes the monthly numbers DIRECTLY from raw rows, so the check
+    proves merge(partials) == direct — the algebraic-aggregate law the
+    whole pattern rests on."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "month", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("v_sum"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    return (
+        daily.groupBy("event_type", "month")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v_sum"), 4).alias("value_sum"),
+            F.min("v_min").alias("value_min"),
+            F.max("v_max").alias("value_max"),
+            F.round(F.sum("v_sum") / F.sum("n"), 6).alias("value_avg"),
+        )
+        .select(
+            "event_type",
+            F.to_date("month").alias("month"),
+            "n_events",
+            "value_sum",
+            "value_min",
+            "value_max",
+            "value_avg",
+        )
+    )
+
+
+ORACLE_ROLLUP_MERGE = """
+SELECT event_type,
+       CAST(date_trunc('month', ts) AS DATE) AS month,
+       count(*) AS n_events,
+       ROUND(sum(value), 4) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       ROUND(sum(value) / count(*), 6) AS value_avg
+FROM events
+GROUP BY event_type, date_trunc('month', ts)
+"""
+
+
 HH_FACTOR = 1.05  # report users with > 1.05x the mean per-user event count
 
 
