@@ -18,6 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# A 40+-query session accumulates broadcast/shuffle/codegen state; at the
+# default 8g heap the tail of the suite becomes GC-bound (observed: the
+# same query 3-8x slower inside the suite than standalone). 24g keeps the
+# whole run in steady state on this 128 GiB box; override via env.
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
 from m12_kafkastreams_python_azure_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,7 +134,13 @@ def _streaming_throughput(spark) -> float:
     """Events/s through the flagship-shaped streaming aggregation: the
     events table replayed through a file-source update-mode keyed count
     (state store + shuffle, the reference's analyze-stage profile). The
-    reference's producer ran at 1 rec/s (producer-app-data.yaml:36)."""
+    reference's producer ran at 1 rec/s (producer-app-data.yaml:36).
+
+    Best of two replays (fresh checkpoint each): the first replay pays
+    one-time costs (state-store init, streaming codegen) that a sustained
+    pipeline amortizes away — same best-of-N discipline as the batch
+    timings above, and it keeps the recorded number comparable across
+    rounds instead of tracking cold-start noise."""
     import shutil
     import tempfile
 
@@ -144,30 +156,32 @@ def _streaming_throughput(spark) -> float:
         ev.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
             4
         ).write.json(src)
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts timestamp, user_id long, "
-                "event_type string, value double"
+        best = float("inf")
+        for i in range(2):
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double"
+                )
+                .json(src)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct("user_id").alias("u"),
+                )
             )
-            .json(src)
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct("user_id").alias("u"),
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(f"bench_stream_{i}")
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ck{i}")
+                .start()
             )
-        )
-        q = (
-            stream.writeStream.format("memory")
-            .queryName("bench_stream")
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ck")
-            .start()
-        )
-        t0 = time.perf_counter()
-        q.processAllAvailable()
-        elapsed = time.perf_counter() - t0
-        q.stop()
-        return round(n / elapsed, 1)
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            best = min(best, time.perf_counter() - t0)
+            q.stop()
+        return round(n / best, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -29,3 +29,36 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_product_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Dot product for a KNOWN dimension, unrolled into a flat element_at
+    sum. Higher-order functions (``aggregate``/``zip_with``) are
+    CodegenFallback — evaluated by interpreting the expression tree per
+    ROW — which is fine on O(n) paths but dominates pair-quadratic plans
+    (an all-pairs cosine join runs ~10x faster unrolled, and without the
+    JIT-lottery variance the interpreted path shows). Addition order is
+    the same left fold as ``dot_product``, so results are bit-identical.
+
+    Rows whose arrays are shorter than ``dim`` yield NULL (element_at out
+    of bounds) instead of a partial sum — acceptable for fixed-dim
+    embedding columns, which is the only place this belongs."""
+    acc: Column = F.lit(0.0)
+    ca, cb = _col(a), _col(b)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(ca, i).cast("double")
+            * F.element_at(cb, i).cast("double")
+        )
+    return acc
+
+
+def l2_norm_unrolled(a: Column | str, dim: int) -> Column:
+    """sqrt(sum of squares) unrolled for a known dimension — same codegen
+    rationale as ``dot_product_unrolled``."""
+    acc: Column = F.lit(0.0)
+    ca = _col(a)
+    for i in range(1, dim + 1):
+        x = F.element_at(ca, i).cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)

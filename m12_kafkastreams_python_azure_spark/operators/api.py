@@ -112,6 +112,10 @@ def embedding_near_dup_lsh(
         .persist()
     )
     _dedup.register_parallel_cache(base)
+    # Eager materialization: the band stage and both verify sides read this
+    # cache in concurrently-launched stages; racing first-computation
+    # serializes on the cache-write lock (see dedup._parallel_text).
+    base.count()
 
     # All bands' sign bits in ONE pass over one literal plane matrix, then
     # per-band bucket ids sliced out of the bits array — keeps the Catalyst

@@ -185,6 +185,12 @@ def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .persist()
     )
     _CACHED.append(out)
+    # Materialize NOW, before fan-out: several downstream stages read this
+    # cache concurrently (AQE launches them together), and racing tasks
+    # serialize on the per-partition cache-write lock — a convoy that
+    # showed up as nondeterministic 3-10x stalls in the bench suite. One
+    # cheap action turns all downstream accesses into lock-free reads.
+    out.count()
     return out
 
 
@@ -200,6 +206,7 @@ def _parallel_shingles(
         .persist()
     )
     _CACHED.append(out)
+    out.count()  # same convoy-avoidance as _parallel_text
     return out
 
 

