@@ -32,6 +32,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
 from m12_kafkastreams_python_azure_spark.operators import linkage as LK
+from m12_kafkastreams_python_azure_spark.operators import scd as SCD
 from m12_kafkastreams_python_azure_spark.operators import sketches as SK
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
@@ -150,6 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge": SK.q_rollup_merge,
         # record linkage: blocked fuzzy matching
         "record_linkage": LK.q_record_linkage,
+        # lakehouse dimension maintenance: SCD2 interval build
+        "scd2_history": SCD.q_scd2_history,
+        # training-data pipeline: sequence packing
+        "pack_sequences": C.q_pack_sequences,
         # data layout: Morton/Z-order clustering key
         "zorder_key": L.q_zorder_key,
         # training-data pipeline: dedup
@@ -263,6 +268,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": L.ORACLE_ZORDER_KEY,
         "rollup_merge": SK.ORACLE_ROLLUP_MERGE,
         "record_linkage": LK.ORACLE_RECORD_LINKAGE,
+        "scd2_history": SCD.ORACLE_SCD2_HISTORY,
+        "pack_sequences": C.ORACLE_PACK_SEQUENCES,
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

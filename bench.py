@@ -75,6 +75,8 @@ HEADLINE = [
     "zorder_key",
     "record_linkage",
     "rollup_merge",
+    "scd2_history",
+    "pack_sequences",
 ]
 
 

@@ -302,7 +302,69 @@ FROM scrub
 
 
 # --------------------------------------------------------------------------
-# 4. Bigram LM scoring: P(w_i | w_{i-1}) from corpus counts, mean log2 per
+# 4. Training-sequence packing: assign documents to fixed-token-budget
+#    training sequences. Packing is SHARDED (hash of doc_id) — a single
+#    global running sum would serialize on one window task at 100 TB,
+#    while per-shard packing is how production tokenizer pipelines run
+#    anyway (each worker packs its own shard; sequence ids are
+#    (shard, seq_in_shard), globally unique without coordination).
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per packed sequence
+PACK_SHARDS = 32
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
+                   shards: int = PACK_SHARDS) -> DataFrame:
+    """Concat-then-chunk packing per shard (the standard LLM pretraining
+    layout): documents are concatenated in doc_id order and chunked every
+    ``budget`` tokens; a document's sequence index is where its first
+    token lands (floor(start / budget)), with ``start_offset`` giving its
+    position inside that sequence. One window per shard (uniform key), no
+    global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tok").over(w)
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / budget).alias("seq_in_shard"),
+        ((cum - F.col("n_tok")) % budget).alias("start_offset"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, shard, n_tok,
+       CAST(floor((cum - n_tok) / {PACK_BUDGET}) AS BIGINT) AS seq_in_shard,
+       CAST((cum - n_tok) % {PACK_BUDGET} AS BIGINT) AS start_offset
+FROM runs
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. Bigram LM scoring: P(w_i | w_{i-1}) from corpus counts, mean log2 per
 #    doc. The model tables aggregate to vocabulary size (tiny) → broadcast.
 # --------------------------------------------------------------------------
 
