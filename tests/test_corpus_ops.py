@@ -1,0 +1,80 @@
+"""Structural invariants for the corpus-hygiene / SCD2 / linkage wave —
+properties the oracle equality check can't express (it only proves
+Spark == DuckDB, not that both are right)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.operators import corpus as C
+from m12_kafkastreams_python_azure_spark.operators import linkage as LK
+from m12_kafkastreams_python_azure_spark.operators import scd as SCD
+from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    packed = C.pack_sequences(docs).collect()
+    assert len(packed) == docs.count()  # every doc placed exactly once
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        assert 0 <= r["start_offset"] < C.PACK_BUDGET
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # concat-then-chunk: global start position == running token sum,
+        # sequence ids are the chunk index — non-decreasing, gap-free over
+        # the chunks that contain at least one doc start
+        cum = 0
+        prev_seq = 0
+        for r in rows:
+            assert r["seq_in_shard"] == cum // C.PACK_BUDGET
+            assert r["start_offset"] == cum % C.PACK_BUDGET
+            assert r["seq_in_shard"] >= prev_seq
+            prev_seq = r["seq_in_shard"]
+            cum += r["n_tok"]
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    hist = SCD.q_scd2_history(spark, sf_dir)
+    # exactly one open (current) version per key
+    per_key = hist.groupBy("c_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    bad = per_key.filter(F.col("n_current") != 1).count()
+    assert bad == 0
+    # versions per key match the planted churn (custkey % 3 + 1)
+    mism = per_key.filter(
+        F.col("n_versions") != (F.col("c_custkey") % 3 + 1)
+    ).count()
+    assert mism == 0
+    # intervals chain: valid_to of version v == valid_from of v+1 (no gaps,
+    # no overlaps) — check via self-join on (key, valid_to == next valid_from)
+    h = hist.select("c_custkey", "valid_from", "valid_to")
+    closed = h.filter(F.col("valid_to").isNotNull())
+    chained = closed.join(
+        h.select(
+            F.col("c_custkey").alias("k2"), F.col("valid_from").alias("vf2")
+        ),
+        (F.col("c_custkey") == F.col("k2"))
+        & (F.col("valid_to") == F.col("vf2")),
+    )
+    assert chained.count() == closed.count()
+
+
+def test_record_linkage_full_recall_on_planted_pairs(spark, sf_dir):
+    out = LK.q_record_linkage(spark, sf_dir)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    true_matches = out.filter("is_true_match").count()
+    assert true_matches == n_cust  # suffix block key survives the deletion
+    # every true pair is a single-character deletion: distance exactly 1
+    assert out.filter("is_true_match AND dist != 1").count() == 0
+
+
+def test_decontaminate_flags_only_train_docs(spark, sf_dir):
+    out = C.q_decontaminate(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % C.EVAL_MOD == 0).count() == 0
+    assert out.filter("n_collisions > n_grams").count() == 0
+    rows = out.collect()
+    assert len(rows) > 0  # discriminative: some contamination exists
