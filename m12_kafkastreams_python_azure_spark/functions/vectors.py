@@ -40,25 +40,26 @@ def dot_product_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     JIT-lottery variance the interpreted path shows). Addition order is
     the same left fold as ``dot_product``, so results are bit-identical.
 
-    Rows whose arrays are shorter than ``dim`` yield NULL (element_at out
-    of bounds) instead of a partial sum — acceptable for fixed-dim
-    embedding columns, which is the only place this belongs."""
+    Rows whose arrays are shorter than ``dim`` yield NULL (``F.get``
+    returns NULL out of bounds — unlike ``element_at``, which THROWS
+    under Spark 4's default ANSI mode) instead of a partial sum —
+    acceptable for fixed-dim embedding columns, which is the only place
+    this belongs."""
     acc: Column = F.lit(0.0)
     ca, cb = _col(a), _col(b)
-    for i in range(1, dim + 1):
+    for i in range(dim):
         acc = acc + (
-            F.element_at(ca, i).cast("double")
-            * F.element_at(cb, i).cast("double")
+            F.get(ca, i).cast("double") * F.get(cb, i).cast("double")
         )
     return acc
 
 
 def l2_norm_unrolled(a: Column | str, dim: int) -> Column:
     """sqrt(sum of squares) unrolled for a known dimension — same codegen
-    rationale as ``dot_product_unrolled``."""
+    and out-of-bounds rationale as ``dot_product_unrolled``."""
     acc: Column = F.lit(0.0)
     ca = _col(a)
-    for i in range(1, dim + 1):
-        x = F.element_at(ca, i).cast("double")
+    for i in range(dim):
+        x = F.get(ca, i).cast("double")
         acc = acc + x * x
     return F.sqrt(acc)

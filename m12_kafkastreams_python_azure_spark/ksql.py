@@ -85,6 +85,26 @@ _ADVANCE_RE = re.compile(r"\bADVANCE\s+BY\s+(\d+)\s+(\w+)", re.IGNORECASE)
 _BARE_DURATION_RE = re.compile(r"^\s*(\d+)\s+(\w+)\s*$")
 
 
+#: single-quoted SQL string literal (with '' escapes) — dialect rewrites
+#: must never touch text inside one.
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _map_outside_literals(sql: str, fn) -> str:
+    """Apply ``fn`` to every segment of ``sql`` OUTSIDE single-quoted
+    string literals, leaving the literals byte-identical — so a statement
+    like ``SELECT 'UCASE(x)' FROM t`` keeps its literal while real
+    ``UCASE(...)`` calls still translate."""
+    out = []
+    pos = 0
+    for m in _LITERAL_RE.finditer(sql):
+        out.append(fn(sql[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(fn(sql[pos:]))
+    return "".join(out)
+
+
 class KsqlContext:
     """Executes ksql-dialect statements against a SparkSession.
 
@@ -186,19 +206,30 @@ class KsqlContext:
 
     # -- dialect rewriting --------------------------------------------------
     def _rewrite_select(self, select: str) -> str:
-        select = _EMIT_CHANGES_RE.sub(" ", select.rstrip().rstrip(";"))
-        select = _COUNT_DISTINCT_RE.sub("COUNT(DISTINCT ", select)
-        select = _UCASE_RE.sub("upper(", select)
-        select = _LCASE_RE.sub("lower(", select)
+        def rewrite(seg: str) -> str:
+            seg = _EMIT_CHANGES_RE.sub(" ", seg)
+            seg = _COUNT_DISTINCT_RE.sub("COUNT(DISTINCT ", seg)
+            seg = _UCASE_RE.sub("upper(", seg)
+            return _LCASE_RE.sub("lower(", seg)
+
+        select = _map_outside_literals(
+            select.rstrip().rstrip(";"), rewrite
+        )
         return self._rewrite_window(select)
 
     def _rewrite_window(self, select: str) -> str:
-        m = _WINDOW_RE.search(select)
+        # Search on a literal-masked copy (same length, so spans align with
+        # the original) so 'WINDOW TUMBLING (...)' inside a string literal
+        # neither triggers nor breaks the rewrite.
+        masked = _LITERAL_RE.sub(
+            lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", select
+        )
+        m = _WINDOW_RE.search(masked)
         if not m:
             return select
         kind = m["kind"].upper()
         props = m["props"]
-        src = _FROM_RE.search(select)
+        src = _FROM_RE.search(masked)
         if not src or src.group(1) not in self._rowtime:
             raise ValueError(
                 f"WINDOW {kind}: source stream has no event-time column — "
@@ -229,17 +260,39 @@ class KsqlContext:
             else:  # TUMBLING
                 wexpr = f"window({rt}, {dur})"
             wname = "window"
-        select = _WINDOW_RE.sub(" ", select)
-        select = re.sub(r"\bWINDOWSTART\b", f"{wname}.start", select,
-                        flags=re.IGNORECASE)
-        select = re.sub(r"\bWINDOWEND\b", f"{wname}.end", select,
-                        flags=re.IGNORECASE)
-        if not _GROUP_BY_RE.search(select):
+        # splice the WINDOW clause out via the masked match span (the
+        # original and masked strings have identical indices)
+        select = select[: m.start()] + " " + select[m.end():]
+
+        def subs(seg: str) -> str:
+            seg = re.sub(r"\bWINDOWSTART\b", f"{wname}.start", seg,
+                         flags=re.IGNORECASE)
+            return re.sub(r"\bWINDOWEND\b", f"{wname}.end", seg,
+                          flags=re.IGNORECASE)
+
+        select = _map_outside_literals(select, subs)
+        if not _GROUP_BY_RE.search(
+            _LITERAL_RE.sub(lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'",
+                            select)
+        ):
             raise ValueError(f"WINDOW {kind}: windowed query needs GROUP BY")
-        # prepend the window key into the GROUP BY list (whatever follows —
-        # more keys, HAVING — stays intact)
-        return _GROUP_BY_RE.sub(lambda g: g.group(0) + wexpr + ", ",
-                                select, count=1)
+        # prepend the window key into the FIRST GROUP BY outside literals
+        # (whatever follows — more keys, HAVING — stays intact); the
+        # nonlocal flag keeps it to exactly one insertion even when string
+        # literals split the statement into several rewrite segments
+        inserted = False
+
+        def insert_once(seg: str) -> str:
+            nonlocal inserted
+            if inserted:
+                return seg
+            new, n = _GROUP_BY_RE.subn(
+                lambda g: g.group(0) + wexpr + ", ", seg, count=1
+            )
+            inserted = n > 0
+            return new
+
+        return _map_outside_literals(select, insert_once)
 
     def _select(self, sql: str) -> DataFrame:
         # EMIT CHANGES: continuous push query. Over batch state, evaluating

@@ -32,6 +32,22 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from .ksql import KsqlContext
 
 
+def _json_default(v):
+    """Serializer for row values json.dumps has no encoding for: dates,
+    timestamps, Decimals (ISO / string forms — what ksqlDB's own REST
+    layer emits for temporal and decimal columns)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
 class KsqlRestServer:
     """``serve(ctx)`` on a random free port; ``close()`` to stop."""
 
@@ -44,7 +60,7 @@ class KsqlRestServer:
                 pass
 
             def _reply(self, code: int, payload) -> None:
-                body = json.dumps(payload).encode()
+                body = json.dumps(payload, default=_json_default).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/vnd.ksql.v1+json")
                 self.send_header("Content-Length", str(len(body)))

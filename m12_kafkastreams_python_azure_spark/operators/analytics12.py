@@ -2,8 +2,10 @@
 
 - ``orderkey_islands``: the classic gaps-and-islands pattern — group
   consecutive integer keys into runs via the ``key - row_number()``
-  invariant (constant within a consecutive run). One sort-shuffle, no
-  self-join; the standard completeness audit for ingested key ranges.
+  invariant, sharded two-level (parallel key pass within value shards, a
+  tiny segment-level stitch across shard boundaries) so no window scans
+  the full key set on one task; the standard completeness audit for
+  ingested key ranges.
 - ``region_revenue_share``: percent-of-total via an unpartitioned window
   sum over an already-aggregated frame — the total rides a single-row
   exchange, not a rescan of the fact table.
@@ -18,21 +20,53 @@ from pyspark.sql.window import Window
 from ..sources.readers import load_table
 
 
+ISLAND_SHARD_WIDTH = 1 << 20  # 1M keys per shard for the key-level pass
+
+
 def q_orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs of consecutive o_orderkey values: island start, end, length.
-    ``k - row_number()`` is constant exactly within a consecutive run, so
-    one groupBy on that difference yields the islands."""
+
+    Two-level shape so no window ever sees the whole key set (a naive
+    unpartitioned ``row_number`` would funnel every key through one task):
+
+    1. key level — ``k - row_number()`` within fixed-width VALUE shards
+       (``k div W``; the window partitions by shard, so the heavy pass is
+       fully parallel) yields per-shard island segments;
+    2. segment level — segments are ~(#islands + #shards), orders of
+       magnitude smaller than keys, so one small global window stitches
+       segments that touch across a shard boundary
+       (``start == lag(end) + 1``) into final islands.
+    """
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k")
     ).distinct()
-    w = Window.orderBy("k")
-    runs = o.withColumn("grp", F.col("k") - F.row_number().over(w))
-    return (
-        runs.groupBy("grp")
+    shard = (F.col("k") / ISLAND_SHARD_WIDTH).cast("long")
+    wk = Window.partitionBy("shard").orderBy("k")
+    segs = (
+        o.withColumn("shard", shard)
+        .withColumn("grp", F.col("k") - F.row_number().over(wk))
+        .groupBy("shard", "grp")
         .agg(
-            F.min("k").alias("island_start"),
-            F.max("k").alias("island_end"),
-            F.count(F.lit(1)).alias("island_len"),
+            F.min("k").alias("seg_start"),
+            F.max("k").alias("seg_end"),
+            F.count(F.lit(1)).alias("seg_len"),
+        )
+    )
+    ws = Window.orderBy("seg_start")
+    stitched = segs.withColumn(
+        "new_island",
+        F.when(
+            F.col("seg_start") == F.lag("seg_end").over(ws) + 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "island_id", F.sum("new_island").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        stitched.groupBy("island_id")
+        .agg(
+            F.min("seg_start").alias("island_start"),
+            F.max("seg_end").alias("island_end"),
+            F.sum("seg_len").alias("island_len"),
         )
         .select("island_start", "island_end", "island_len")
     )

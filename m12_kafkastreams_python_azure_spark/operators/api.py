@@ -65,13 +65,14 @@ def embedding_near_dup(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs
         )
     if method == "exact":
+        dim = kwargs.pop("dim", _sim.EMBED_DIM)
         if kwargs:
             raise TypeError(
-                f"embedding_near_dup(method='exact') takes no extra options; "
+                f"embedding_near_dup(method='exact') accepts only 'dim'; "
                 f"got {sorted(kwargs)}"
             )
         return _sim.embedding_near_dup_exact(
-            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col, dim=dim
         )
     raise ValueError(f"unknown embedding near-dup method: {method!r} (lsh|exact)")
 
@@ -231,11 +232,12 @@ def ann_topk(
             index, queries, centroids, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
         )
     if method == "exact":
+        dim = kwargs.pop("dim", _sim.EMBED_DIM)
         if kwargs:
             raise TypeError(
-                f"ann_topk(method='exact') takes no extra options; got {sorted(kwargs)}"
+                f"ann_topk(method='exact') accepts only 'dim'; got {sorted(kwargs)}"
             )
         return _sim.ann_bruteforce_topk(
-            candidates, queries, k=k, id_col=id_col, vec_col=vec_col
+            candidates, queries, k=k, id_col=id_col, vec_col=vec_col, dim=dim
         )
     raise ValueError(f"unknown ANN method: {method!r} (auto|lsh|ivf|exact)")

@@ -180,7 +180,11 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     bi_stats = bi_counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_c")
     )
-    out = tok_stats.join(bi_stats, "doc_id")
+    # LEFT join: a doc with < 2 tokens has no bigrams at all — it must
+    # still appear in the report (with a NULL bigram fraction and
+    # keep=false: degenerate docs are exactly what a repetition gate is
+    # for), not silently vanish through an inner join.
+    out = tok_stats.join(bi_stats, "doc_id", "left")
     ttr = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
     top_tok = F.col("top_tok_c").cast("double") / F.col("n_tokens").cast("double")
     top_bi = (
@@ -192,7 +196,10 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         F.round(ttr, 6).alias("ttr"),
         F.round(top_tok, 6).alias("top_token_frac"),
         F.round(top_bi, 6).alias("top_bigram_frac"),
-        ((ttr >= TTR_MIN) & (top_bi <= TOP_BIGRAM_MAX)).alias("keep"),
+        (
+            (ttr >= TTR_MIN)
+            & F.coalesce(top_bi <= TOP_BIGRAM_MAX, F.lit(False))
+        ).alias("keep"),
     )
 
 
@@ -230,9 +237,9 @@ SELECT t.doc_id, t.n_tokens,
        ROUND(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
          AS top_bigram_frac,
        (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= {TTR_MIN}
-        AND CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-            <= {TOP_BIGRAM_MAX}) AS keep
-FROM tok_stats t JOIN bi_stats b ON t.doc_id = b.doc_id
+        AND coalesce(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            <= {TOP_BIGRAM_MAX}, FALSE)) AS keep
+FROM tok_stats t LEFT JOIN bi_stats b ON t.doc_id = b.doc_id
 """
 
 

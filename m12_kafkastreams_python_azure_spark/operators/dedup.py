@@ -118,33 +118,13 @@ def bucket_pairs(ids: Column) -> Column:
     )
 
 
-#: DataFrames persisted by the helpers below, so the NEXT invocation (or an
-#: explicit ``release_parallel_caches()``) can unpersist them. Without this,
-#: every dedup/simhash/clean_corpus call leaks cached partitions for the
-#: lifetime of the session — across a long query sweep that adds memory
-#: pressure and evicts useful blocks.
-_CACHED: list[DataFrame] = []
-
-
-def release_parallel_caches() -> None:
-    """Unpersist every intermediate cached by the dedup helpers. Safe to
-    call any time: unpersist is a hint-removal, never a correctness change
-    (a still-referenced plan just recomputes)."""
-    while _CACHED:
-        df = _CACHED.pop()
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
-
-
-def register_parallel_cache(df: DataFrame) -> DataFrame:
-    """Register an externally-persisted DataFrame in the shared registry so
-    ``release_parallel_caches`` (or the next operator invocation) frees it.
-    Public surface for sibling operators (similarity/graph) — they must not
-    reach into the private list."""
-    _CACHED.append(df)
-    return df
+# The shared persisted-intermediate registry lives in sources.readers
+# (next to parallel_scan, which also registers); re-exported here because
+# sibling operators (similarity/graph/api) import it from this module.
+from m12_kafkastreams_python_azure_spark.sources.readers import (  # noqa: E402
+    register_parallel_cache,
+    release_parallel_caches,
+)
 
 
 def expansion_partitions(df: DataFrame) -> int:
@@ -184,7 +164,7 @@ def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .repartition(parallelism)
         .persist()
     )
-    _CACHED.append(out)
+    register_parallel_cache(out)
     # Materialize NOW, before fan-out: several downstream stages read this
     # cache concurrently (AQE launches them together), and racing tasks
     # serialize on the per-partition cache-write lock — a convoy that
@@ -205,7 +185,7 @@ def _parallel_shingles(
         .filter(F.size("sh") > 0)
         .persist()
     )
-    _CACHED.append(out)
+    register_parallel_cache(out)
     out.count()  # same convoy-avoidance as _parallel_text
     return out
 

@@ -41,10 +41,14 @@ def ann_bruteforce_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self excluded).
 
     queries must be small (broadcast); candidates may be arbitrarily large.
+    ``dim`` must match the embedding width — the per-pair dot product is
+    unrolled over it (see ``dot_product_unrolled``); a wider column would
+    be silently truncated to ``dim`` components.
     """
     # Precompute each side's norm ONCE (the naive form recomputes the query
     # norm for every (candidate, query) pair — dim x candidates wasted work).
@@ -64,7 +68,7 @@ def ann_bruteforce_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            dot_product_unrolled(F.col("qvec"), F.col("cvec"), EMBED_DIM)
+            dot_product_unrolled(F.col("qvec"), F.col("cvec"), dim)
             / (F.col("qnorm") * F.col("cnorm")),
         )
     )
@@ -107,11 +111,13 @@ def embedding_near_dup_exact(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """All embedding pairs with cosine >= threshold (id_a < id_b). Exact,
     QUADRATIC — oracle ground truth only. The public front door
     (``api.embedding_near_dup``) defaults to the banded-LSH scale path and
-    reaches this only via ``method="exact"``."""
+    reaches this only via ``method="exact"``. ``dim`` must match the
+    embedding width (the unrolled dot product truncates wider columns)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     a = df.repartition(parallelism).select(
         F.col(id_col).alias("id_a"),
@@ -129,7 +135,7 @@ def embedding_near_dup_exact(
     # each) for a post-join filter to discard. The survivors' sim is
     # recomputed once in the projection — trivially cheaper than writing
     # the dropped rows. (Unrolled dot product: see dot_product_unrolled.)
-    sim = dot_product_unrolled(F.col("va"), F.col("vb"), EMBED_DIM) / (
+    sim = dot_product_unrolled(F.col("va"), F.col("vb"), dim) / (
         F.col("na") * F.col("nb")
     )
     return (

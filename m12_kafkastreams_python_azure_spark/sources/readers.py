@@ -75,6 +75,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+#: DataFrames persisted by ``parallel_scan`` and the dedup/similarity
+#: helpers. Each new registering invocation (or an explicit
+#: ``release_parallel_caches()``) unpersists what came before, bounding
+#: cache growth across a long query sweep. NOTE the contract: operators
+#: eagerly materialize their caches and consume them within the same
+#: invocation; a PRIOR operator's still-lazy result remains correct after
+#: its caches are released — it just recomputes uncached.
+_CACHED: list[DataFrame] = []
+
+
+def release_parallel_caches() -> None:
+    """Unpersist every registered intermediate. Safe to call any time:
+    unpersist is a hint-removal, never a correctness change (a
+    still-referenced plan just recomputes)."""
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def register_parallel_cache(df: DataFrame) -> DataFrame:
+    """Register a persisted DataFrame so the next registering operator (or
+    ``release_parallel_caches``) frees it."""
+    _CACHED.append(df)
+    return df
+
+
 def parallel_scan(df: DataFrame) -> DataFrame:
     """Spread a (small-file) scan across all cores WITH a materialization
     barrier, so expensive narrow expressions layered on top run in parallel.
@@ -86,8 +115,11 @@ def parallel_scan(df: DataFrame) -> DataFrame:
     several concurrent stages over this cache would otherwise race on the
     per-partition cache-write lock (observed as nondeterministic multi-x
     stalls); after one action, every downstream access is a lock-free
-    cached read."""
+    cached read. The result is registered in the shared cache registry so
+    repeated invocations don't accumulate pinned copies."""
+    release_parallel_caches()
     out = df.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    register_parallel_cache(out)
     out.count()
     return out
 

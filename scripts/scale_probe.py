@@ -65,11 +65,9 @@ def main() -> None:
         docs10 = docs10.unionByName(
             docs1.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         )
-    # Pin both inputs ONCE; the ops themselves hold no caches, so nothing
-    # accumulates, and a mid-probe clearCache would silently unpin these
-    # and time an uncached recompute instead of the operator.
-    base1 = parallel_scan(docs1)
-    base10 = parallel_scan(docs10)
+    # parallel_scan releases the previously registered cache on every call
+    # (bounded-cache registry), so each timed run re-pins its own input —
+    # the pin cost is part of the measured operator, same as in the bench.
     out["docs_1x"] = n1
     out["docs_10x"] = n1 * REPLICAS
 
@@ -78,8 +76,8 @@ def main() -> None:
         ("gopher_quality", C.gopher_quality),
         ("bigram_lm_score", C.bigram_lm_score),
     ):
-        t1 = timed(lambda: fn(base1).count())
-        t10 = timed(lambda: fn(base10).count())
+        t1 = timed(lambda: fn(parallel_scan(docs1)).count())
+        t10 = timed(lambda: fn(parallel_scan(docs10)).count())
         out[f"{name}_1x_s"] = t1
         out[f"{name}_10x_s"] = t10
         out[f"{name}_scale"] = round(t10 / t1, 2) if t1 else None

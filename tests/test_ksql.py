@@ -241,3 +241,18 @@ def test_window_without_rowtime_is_clear_error(spark):
             "CREATE TABLE w AS SELECT COUNT(*) AS n FROM nots "
             "WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY id;"
         )
+
+
+def test_dialect_rewrites_preserve_string_literals(events_ctx):
+    """Rewrites must never touch quoted literals: a literal containing
+    UCASE(/COUNT_DISTINCT(/WINDOW TUMBLING stays byte-identical while the
+    real function call around it still translates."""
+    rows = events_ctx.execute(
+        "SELECT DISTINCT UCASE('ucase(x) window tumbling (size 1 hours)') "
+        "AS s FROM ev;"
+    ).collect()
+    assert rows[0]["s"] == "UCASE(X) WINDOW TUMBLING (SIZE 1 HOURS)"
+    rows = events_ctx.execute(
+        "SELECT DISTINCT 'COUNT_DISTINCT(a)' AS lit FROM ev;"
+    ).collect()
+    assert rows[0]["lit"] == "COUNT_DISTINCT(a)"

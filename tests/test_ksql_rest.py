@@ -76,3 +76,33 @@ def test_bare_sql_body_accepted(rest):
     )
     assert status == 200 and out[0]["status"] == "SUCCESS"
     assert out[0]["columns"] == ["id", "hotel_id"]
+
+
+def test_query_serializes_timestamps(rest, spark):
+    """/query must serialize temporal columns (windowed tables expose
+    window.start as TIMESTAMP) instead of 400ing on json.dumps."""
+    from pyspark.sql import functions as F
+
+    ev = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 600).alias("ts"),
+    )
+    rest.ctx.register_topic("ts_topic", ev)
+    status, _ = _post(rest, "/ksql", json.dumps({
+        "ksql": "CREATE STREAM tse (event_id BIGINT, ts TIMESTAMP) WITH "
+                "(KAFKA_TOPIC='ts_topic', TIMESTAMP='ts');",
+        "streamsProperties": {},
+    }))
+    assert status == 200
+    status, _ = _post(rest, "/ksql", json.dumps({
+        "ksql": "CREATE TABLE tcount AS SELECT WINDOWSTART AS ws, COUNT(*) "
+                "AS n FROM tse WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY 1;",
+        "streamsProperties": {},
+    }))
+    assert status == 200
+    status, rows = _post(rest, "/query", json.dumps({
+        "ksql": "SELECT * FROM tcount;", "streamsProperties": {},
+    }))
+    assert status == 200
+    assert sum(r["row"]["columns"][1] for r in rows) == 10
+    assert all(isinstance(r["row"]["columns"][0], str) for r in rows)
