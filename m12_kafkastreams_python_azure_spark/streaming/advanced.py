@@ -34,6 +34,7 @@ def view_purchase_join(
     purchases: DataFrame,
     max_gap: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every (view -> purchase) pair by the
     same user where the purchase lands within ``max_gap`` after the view.
@@ -42,6 +43,12 @@ def view_purchase_join(
     bound, so Spark evicts state once the watermark passes — bounded state,
     the streaming version of the batch bucketed interval self-join
     (operators.joins.q_event_pairs_10min).
+
+    ``how="left_outer"`` additionally emits every unmatched view with NULL
+    purchase columns — but only once the watermark has passed the view's
+    join window (Spark must be certain no matching purchase can still
+    arrive), which is why outer results trail the inner ones by up to the
+    watermark delay. Same bounded-state guarantee.
     """
     v = (
         views.withWatermark("ts", watermark)
@@ -69,7 +76,7 @@ def view_purchase_join(
             purchase_ts <= view_ts + interval {max_gap}
             """
         ),
-        "inner",
+        how,
     ).select(
         "view_id",
         "purchase_id",

@@ -236,3 +236,64 @@ def test_dedup_batch_recovers_from_first_batch_crash_debris(spark, tmp_path):
     proc(b0, 0)  # replay of the crashed batch
     got = spark.read.parquet(out)
     assert {r.doc_id for r in got.collect()} == {1, 2}
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """how="left_outer": unmatched views surface with NULL purchase columns
+    once the watermark passes their join window — never before (Spark must
+    rule out a late matching purchase first). Heartbeat batches advance
+    event time to trigger the emission."""
+    d = str(tmp_path / "src")
+    _write_events(d, [
+        _event(1, 0, 1, "view"),
+        _event(2, 5, 1, "purchase", 30.0),   # joins view 1
+        _event(7, 30, 2, "view"),            # never purchases
+    ])
+    ev = _read_stream(spark, d)
+    joined = view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("funnel_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        inner_only = {
+            (r.view_id, r.purchase_id)
+            for r in spark.table("funnel_outer").collect()
+        }
+        assert (7, None) not in inner_only  # watermark hasn't passed yet
+        # heartbeats on BOTH sides: the join evicts on the GLOBAL minimum
+        # watermark across both inputs, so a purchase-only heartbeat would
+        # leave the views side pinned at 10:00 and nothing would emit.
+        # 11:40 - 30min watermark = 11:10 > view 7's window end (10:40).
+        def _hb(eid, hhmm, etype):
+            return {"event_id": eid, "ts": f"2024-03-01T{hhmm}:00",
+                    "user_id": 99, "event_type": etype, "value": 1.0}
+
+        _write_events(
+            d, [_hb(90, "11:40", "view"), _hb(92, "11:40", "purchase")],
+            "f1.json",
+        )
+        q.processAllAvailable()
+        _write_events(
+            d, [_hb(91, "11:41", "view"), _hb(93, "11:41", "purchase")],
+            "f2.json",
+        )
+        q.processAllAvailable()
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.table("funnel_outer").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, 2) in got
+    assert (7, None) in got  # unmatched view emitted with NULL purchase
