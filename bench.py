@@ -20,9 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # A 40+-query session accumulates broadcast/shuffle/codegen state; at the
 # default 8g heap the tail of the suite becomes GC-bound (observed: the
-# same query 3-8x slower inside the suite than standalone). 24g keeps the
-# whole run in steady state on this 128 GiB box; override via env.
-os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+# same query 3-8x slower inside the suite than standalone). Size the heap
+# to the machine — a quarter of physical RAM capped at 24g — so the bench
+# stays in steady state on a big box without OOMing a small one; override
+# via SPARK_DRIVER_MEM.
+try:
+    _phys_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) >> 30
+except (ValueError, OSError):
+    _phys_gb = 32
+os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(4, min(24, _phys_gb // 4))}g")
 
 from m12_kafkastreams_python_azure_spark.session import get_spark  # noqa: E402
 

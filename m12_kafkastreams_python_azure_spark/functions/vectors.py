@@ -54,12 +54,3 @@ def dot_product_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     return acc
 
 
-def l2_norm_unrolled(a: Column | str, dim: int) -> Column:
-    """sqrt(sum of squares) unrolled for a known dimension — same codegen
-    and out-of-bounds rationale as ``dot_product_unrolled``."""
-    acc: Column = F.lit(0.0)
-    ca = _col(a)
-    for i in range(dim):
-        x = F.get(ca, i).cast("double")
-        acc = acc + x * x
-    return F.sqrt(acc)

@@ -197,7 +197,13 @@ class KsqlContext:
         self._topics[name] = out
         # event time survives derivation if the source's rowtime column is
         # still present in the output (ksql keeps ROWTIME implicitly).
-        src = _FROM_RE.search(select)
+        # Search the literal-masked form so a string literal containing
+        # 'FROM x' cannot hijack the source detection.
+        src = _FROM_RE.search(
+            _LITERAL_RE.sub(
+                lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", select
+            )
+        )
         if src and src.group(1) in self._rowtime:
             rt = self._rowtime[src.group(1)]
             if rt in out.columns:

@@ -65,7 +65,7 @@ def embedding_near_dup(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs
         )
     if method == "exact":
-        dim = kwargs.pop("dim", _sim.EMBED_DIM)
+        dim = kwargs.pop("dim", None)  # None -> probed from the data
         if kwargs:
             raise TypeError(
                 f"embedding_near_dup(method='exact') accepts only 'dim'; "
@@ -82,7 +82,7 @@ def embedding_near_dup_lsh(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = _sim.EMBED_DIM,
     planes_per_band: int = 4,
     bands: int = 8,
     max_bucket: int = 2000,
@@ -232,7 +232,7 @@ def ann_topk(
             index, queries, centroids, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
         )
     if method == "exact":
-        dim = kwargs.pop("dim", _sim.EMBED_DIM)
+        dim = kwargs.pop("dim", None)  # None -> probed from the data
         if kwargs:
             raise TypeError(
                 f"ann_topk(method='exact') accepts only 'dim'; got {sorted(kwargs)}"

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from m12_kafkastreams_python_azure_spark.functions.vectors import dot_product, l2_norm
+from m12_kafkastreams_python_azure_spark.operators.similarity import EMBED_DIM
 from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
 
@@ -83,7 +84,7 @@ def train_ivf(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = EMBED_DIM,
     sample_fraction: float = 1.0,
 ) -> list[tuple[int, list[float]]]:
     """k-means coarse quantizer: seeds = k lowest-id vectors, ``iters``

@@ -35,21 +35,36 @@ from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 EMBED_DIM = 64
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from the data (one tiny driver-side first()):
+    the exact paths unroll their dot products over the ACTUAL width, so a
+    non-64-dim corpus stays exact instead of being silently truncated."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .first()
+    )
+    return int(row["d"]) if row else 0
+
+
 def ann_bruteforce_topk(
     candidates: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = EMBED_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self excluded).
 
     queries must be small (broadcast); candidates may be arbitrarily large.
-    ``dim`` must match the embedding width — the per-pair dot product is
-    unrolled over it (see ``dot_product_unrolled``); a wider column would
-    be silently truncated to ``dim`` components.
+    ``dim`` defaults to the width probed from the data; pass it explicitly
+    only to skip the probe. The per-pair dot product is unrolled over it
+    (see ``dot_product_unrolled``) — a mismatched explicit value would
+    truncate (wider) or NULL out (narrower) the similarity.
     """
+    if dim is None:
+        dim = _probe_dim(candidates, vec_col)
     # Precompute each side's norm ONCE (the naive form recomputes the query
     # norm for every (candidate, query) pair — dim x candidates wasted work).
     parallelism = candidates.sparkSession.sparkContext.defaultParallelism
@@ -111,13 +126,15 @@ def embedding_near_dup_exact(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = EMBED_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """All embedding pairs with cosine >= threshold (id_a < id_b). Exact,
     QUADRATIC — oracle ground truth only. The public front door
     (``api.embedding_near_dup``) defaults to the banded-LSH scale path and
-    reaches this only via ``method="exact"``. ``dim`` must match the
-    embedding width (the unrolled dot product truncates wider columns)."""
+    reaches this only via ``method="exact"``. ``dim`` defaults to the
+    width probed from the data (see ``_probe_dim``)."""
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     a = df.repartition(parallelism).select(
         F.col(id_col).alias("id_a"),
@@ -213,7 +230,7 @@ def banded_bucket_ids(bits: F.Column, bands: int, rows_per_band: int) -> F.Colum
 
 
 def lsh_bucket(
-    vec_col: F.Column, dim: int = 64, num_planes: int = 8, plane_offset: int = 0
+    vec_col: F.Column, dim: int = EMBED_DIM, num_planes: int = 8, plane_offset: int = 0
 ) -> F.Column:
     """Sign-bit LSH bucket id (0..2^num_planes-1) from fixed hyperplanes.
     ``plane_offset`` selects an independent plane set, so banded callers
@@ -228,7 +245,7 @@ def ann_lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = EMBED_DIM,
     num_planes: int = 8,
 ) -> DataFrame:
     """Approximate top-k: candidates bucketed by sign-LSH; each query scans

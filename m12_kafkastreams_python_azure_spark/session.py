@@ -36,17 +36,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        # Whole-stage codegen emits a lot of JIT-compiled code; at the JDK
-        # default ReservedCodeCacheSize (~240 MB) a long query session
-        # overflows the code cache, compiled methods get flushed, and hot
-        # loops fall back to the interpreter (observed: the same query 3-10x
-        # slower late in a 40-query session). 1 GB keeps everything compiled.
-        .config(
-            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g"
-        )
         .config("spark.ui.enabled", "false")
     )
-    for k, v in (extra_conf or {}).items():
+    # Whole-stage codegen emits a lot of JIT-compiled code; at the JDK
+    # default ReservedCodeCacheSize (~240 MB) a long query session
+    # overflows the code cache, compiled methods get flushed, and hot
+    # loops fall back to the interpreter (observed: the same query 3-10x
+    # slower late in a 40-query session). 1 GB keeps everything compiled.
+    # Merged with (not overwritten by) any caller-supplied java options.
+    extra = dict(extra_conf or {})
+    java_opts = "-XX:ReservedCodeCacheSize=1g"
+    caller_opts = extra.pop("spark.driver.extraJavaOptions", "")
+    if "ReservedCodeCacheSize" not in caller_opts:
+        caller_opts = f"{java_opts} {caller_opts}".strip()
+    builder = builder.config("spark.driver.extraJavaOptions", caller_opts)
+    for k, v in extra.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

@@ -84,6 +84,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 #: its caches are released — it just recomputes uncached.
 _CACHED: list[DataFrame] = []
 
+#: registry cap: beyond this many pinned intermediates the OLDEST are
+#: unpersisted (FIFO). Keeps a long sweep bounded while leaving the most
+#: recent few queries' still-lazy plans their caches.
+MAX_PINNED = 8
+
 
 def release_parallel_caches() -> None:
     """Unpersist every registered intermediate. Safe to call any time:
@@ -98,9 +103,18 @@ def release_parallel_caches() -> None:
 
 
 def register_parallel_cache(df: DataFrame) -> DataFrame:
-    """Register a persisted DataFrame so the next registering operator (or
-    ``release_parallel_caches``) frees it."""
+    """Register a persisted DataFrame so a later operator invocation (or
+    ``release_parallel_caches``) frees it. The registry is FIFO-capped at
+    ``MAX_PINNED``: growth stays bounded across an arbitrarily long query
+    sweep, while the last few queries keep their caches so a still-lazy
+    result built just before a new invocation is not silently unpinned."""
     _CACHED.append(df)
+    while len(_CACHED) > MAX_PINNED:
+        old = _CACHED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return df
 
 
@@ -115,9 +129,9 @@ def parallel_scan(df: DataFrame) -> DataFrame:
     several concurrent stages over this cache would otherwise race on the
     per-partition cache-write lock (observed as nondeterministic multi-x
     stalls); after one action, every downstream access is a lock-free
-    cached read. The result is registered in the shared cache registry so
-    repeated invocations don't accumulate pinned copies."""
-    release_parallel_caches()
+    cached read. The result is registered in the FIFO-capped cache
+    registry, so repeated invocations don't accumulate pinned copies while
+    the most recent queries keep theirs."""
     out = df.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
     register_parallel_cache(out)
     out.count()

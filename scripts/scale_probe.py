@@ -140,6 +140,8 @@ def main() -> None:
                             s = col.statistics
                             mins[name] = min(mins.get(name, s.min), s.min)
                             maxs[name] = max(maxs.get(name, s.max), s.max)
+                if "user_id" not in mins or "value" not in mins:
+                    continue  # empty file / no stats: prunes trivially
                 if mins["user_id"] < u10 and maxs["value"] > v90:
                     matching += 1
             return matching, total

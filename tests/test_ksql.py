@@ -256,3 +256,19 @@ def test_dialect_rewrites_preserve_string_literals(events_ctx):
         "SELECT DISTINCT 'COUNT_DISTINCT(a)' AS lit FROM ev;"
     ).collect()
     assert rows[0]["lit"] == "COUNT_DISTINCT(a)"
+
+
+def test_csas_rowtime_survives_literal_from(events_ctx):
+    """A string literal containing 'from x' must not hijack CSAS source
+    detection — the derived stream keeps its event-time column and remains
+    windowable."""
+    events_ctx.execute(
+        "CREATE STREAM tagged AS SELECT 'copied from nowhere' AS tag, "
+        "event_id, ts, etype FROM ev;"
+    )
+    events_ctx.execute(
+        "CREATE TABLE tagged_hourly AS SELECT etype, COUNT(*) AS n "
+        "FROM tagged WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY etype;"
+    )
+    rows = events_ctx.execute("SELECT * FROM tagged_hourly;").collect()
+    assert sum(r["n"] for r in rows) == 600
