@@ -29,6 +29,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics9 as A9
 from m12_kafkastreams_python_azure_spark.operators import analytics10 as A10
 from m12_kafkastreams_python_azure_spark.operators import analytics11 as A11
 from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
+from m12_kafkastreams_python_azure_spark.operators import analytics13 as A13
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
 from m12_kafkastreams_python_azure_spark.operators import linkage as LK
@@ -127,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": Q.q_quality_report,
         "orderkey_islands": A12.q_orderkey_islands,
         "region_revenue_share": A12.q_region_revenue_share,
+        "histogram_bins": A13.q_histogram_bins,
+        "benford_digits": A13.q_benford_digits,
+        "corr_battery": A13.q_corr_battery,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
         # temporal / range joins
@@ -249,6 +253,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_report": Q.ORACLE_QUALITY_REPORT,
         "orderkey_islands": A12.ORACLE_ORDERKEY_ISLANDS,
         "region_revenue_share": A12.ORACLE_REGION_REVENUE_SHARE,
+        "histogram_bins": A13.ORACLE_HISTOGRAM_BINS,
+        "benford_digits": A13.ORACLE_BENFORD_DIGITS,
+        "corr_battery": A13.ORACLE_CORR_BATTERY,
         "media_features": M.ORACLE_MEDIA_FEATURES,
         "asof_latest_order": J.ORACLE_ASOF_LATEST_ORDER,
         "asof_next_order": J.ORACLE_ASOF_NEXT_ORDER,

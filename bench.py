@@ -83,6 +83,9 @@ HEADLINE = [
     "rollup_merge",
     "scd2_history",
     "pack_sequences",
+    "histogram_bins",
+    "benford_digits",
+    "corr_battery",
 ]
 
 
