@@ -7,6 +7,18 @@
 ``oracle_sql()``— DuckDB-equivalent SQL per query (omitted only for the
                   genuinely non-SQL-expressible LSH variants, whose exact
                   counterparts ARE oracle-checked and bound them).
+
+DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
+artifact has recorded exactly the FIRST 50 dict entries of ``queries()``
+two rounds running — queries appended beyond position 50 never get a
+driver-checked row.  The first 50 entries below are therefore curated,
+not chronological: the 5 reference-surface queries first, then the
+entire training-data-pipeline section (dedup / similarity / corpus /
+sketches / linkage / SCD2 / zorder / multimodal / vector ops), then the
+highest-value never-yet-checked analytics.  Previously-green analytics
+batteries (green in CORRECTNESS_r01 + r02) are rotated to the back.
+``tests/test_entry_window.py`` asserts the window composition so a
+future append can't silently fall outside it.
 """
 
 from __future__ import annotations
@@ -54,13 +66,88 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ---- driver window, entries 1-50 (see module docstring) ----
         # reference surface (SURVEY.md §2)
         "mask_field": A.q_mask_field,                       # S2
         "json_projection": A.q_json_projection,             # S3/K1 schema-on-read
         "null_filter": A.q_null_filter,                     # F1
         "stay_enrich": A.q_stay_enrich,                     # F3-F5
         "hotels_count": A.q_hotels_count,                   # K2-K4 flagship
-        # general analytics breadth
+        # training-data pipeline: dedup
+        "dedup_exact": D.q_dedup_exact,
+        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
+        "minhash_near_dup": D.q_minhash_near_dup,           # rows-only (LSH)
+        "simhash_near_dup": D.q_simhash_near_dup,           # rows-only (LSH)
+        "dedup_clusters": G.q_dedup_clusters,               # iterative CC
+        "pagerank_parts": G.q_pagerank_parts,               # iterative PageRank
+        # training-data pipeline: similarity search
+        "ann_topk": S.q_ann_topk,
+        "embedding_near_dup": S.q_embedding_near_dup,
+        "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
+        "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
+        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,  # rows-only (approx)
+        "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
+        "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
+        # training-data pipeline: text analysis
+        "text_quality": T.q_text_quality,
+        "lang_id": T.q_lang_id,
+        "doc_fingerprint": T.q_doc_fingerprint,
+        "clean_corpus": T.q_clean_corpus,
+        # training-data pipeline: corpus hygiene
+        "decontaminate": C.q_decontaminate,
+        "gopher_quality": C.q_gopher_quality,
+        "pii_scrub": C.q_pii_scrub,
+        "bigram_lm_score": C.q_bigram_lm_score,
+        # training-data pipeline: sequence packing
+        "pack_sequences": C.q_pack_sequences,
+        # training-data pipeline: multimodal (Arrow/mapInPandas path)
+        "media_features": M.q_media_features,
+        # mergeable-sketch rollups (HLL / quantile / heavy hitters)
+        "hll_merge_bound": SK.q_hll_merge_bound,
+        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
+        "heavy_hitters": SK.q_heavy_hitters,
+        "rollup_merge": SK.q_rollup_merge,
+        # record linkage: blocked fuzzy matching
+        "record_linkage": LK.q_record_linkage,
+        # lakehouse dimension maintenance: SCD2 interval build
+        "scd2_history": SCD.q_scd2_history,
+        # data layout: Morton/Z-order clustering key
+        "zorder_key": L.q_zorder_key,
+        # data-quality gate
+        "quality_report": Q.q_quality_report,
+        # temporal / range joins
+        "asof_latest_order": J.q_asof_latest_order,
+        "asof_next_order": J.q_asof_next_order,
+        "value_band_join": J.q_value_band_join,
+        "event_pairs_10min": J.q_event_pairs_10min,
+        # highest-value never-yet-checked analytics
+        "tfidf_top_terms": A10.q_tfidf_top_terms,
+        "dataset_split": A10.q_dataset_split,
+        "cte_sql": A10.q_cte_sql,
+        "latest_event_per_user": A10.q_latest_event_per_user,
+        "hopping_hourly": A10.q_hopping_hourly,
+        "edit_distance_pairs": A11.q_edit_distance_pairs,
+        "purchase_funnel": A11.q_purchase_funnel,
+        "map_functions": A11.q_map_functions,
+        "stratified_sample": A11.q_stratified_sample,
+        "histogram_bins": A13.q_histogram_bins,
+        # ---- entries 51+: outside the driver window this round ----
+        # never-yet-checked remainder (rotate into the window next round)
+        "median_aggregates": A9.q_median_aggregates,
+        "bitwise_aggregates": A9.q_bitwise_aggregates,
+        "array_set_ops": A9.q_array_set_ops,
+        "arrow_byte_stats": A9.q_arrow_byte_stats,
+        "string_functions2": A9.q_string_functions2,
+        "cheapest_supplier": A9.q_cheapest_supplier,
+        "trailing_hour_counts": A9.q_trailing_hour_counts,
+        "word_positions": A9.q_word_positions,
+        "full_outer_activity": A10.q_full_outer_activity,
+        "unpivot_metrics": A10.q_unpivot_metrics,
+        "orderkey_islands": A12.q_orderkey_islands,
+        "region_revenue_share": A12.q_region_revenue_share,
+        "benford_digits": A13.q_benford_digits,
+        "corr_battery": A13.q_corr_battery,
+        # analytics green in CORRECTNESS_r01 + r02 (rotated to the back)
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,
         "region_revenue": A.q_region_revenue,
@@ -106,76 +193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_totals": A8.q_decimal_totals,
         "grouping_sets": A8.q_grouping_sets,
         "window_frames": A9.q_window_frames,
-        "median_aggregates": A9.q_median_aggregates,
-        "bitwise_aggregates": A9.q_bitwise_aggregates,
-        "array_set_ops": A9.q_array_set_ops,
-        "arrow_byte_stats": A9.q_arrow_byte_stats,
-        "string_functions2": A9.q_string_functions2,
-        "cheapest_supplier": A9.q_cheapest_supplier,
-        "trailing_hour_counts": A9.q_trailing_hour_counts,
-        "word_positions": A9.q_word_positions,
-        "tfidf_top_terms": A10.q_tfidf_top_terms,
-        "dataset_split": A10.q_dataset_split,
-        "cte_sql": A10.q_cte_sql,
-        "full_outer_activity": A10.q_full_outer_activity,
-        "unpivot_metrics": A10.q_unpivot_metrics,
-        "latest_event_per_user": A10.q_latest_event_per_user,
-        "hopping_hourly": A10.q_hopping_hourly,
-        "edit_distance_pairs": A11.q_edit_distance_pairs,
-        "purchase_funnel": A11.q_purchase_funnel,
-        "map_functions": A11.q_map_functions,
-        "stratified_sample": A11.q_stratified_sample,
-        "quality_report": Q.q_quality_report,
-        "orderkey_islands": A12.q_orderkey_islands,
-        "region_revenue_share": A12.q_region_revenue_share,
-        "histogram_bins": A13.q_histogram_bins,
-        "benford_digits": A13.q_benford_digits,
-        "corr_battery": A13.q_corr_battery,
-        # training-data pipeline: multimodal (Arrow/mapInPandas path)
-        "media_features": M.q_media_features,
-        # temporal / range joins
-        "asof_latest_order": J.q_asof_latest_order,
-        "asof_next_order": J.q_asof_next_order,
-        "value_band_join": J.q_value_band_join,
-        "event_pairs_10min": J.q_event_pairs_10min,
-        # training-data pipeline: text analysis
-        "text_quality": T.q_text_quality,
-        "lang_id": T.q_lang_id,
-        "doc_fingerprint": T.q_doc_fingerprint,
-        "clean_corpus": T.q_clean_corpus,
-        # training-data pipeline: corpus hygiene
-        "decontaminate": C.q_decontaminate,
-        "gopher_quality": C.q_gopher_quality,
-        "pii_scrub": C.q_pii_scrub,
-        "bigram_lm_score": C.q_bigram_lm_score,
-        # mergeable-sketch rollups (HLL / quantile / heavy hitters)
-        "hll_merge_bound": SK.q_hll_merge_bound,
-        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
-        "heavy_hitters": SK.q_heavy_hitters,
-        "rollup_merge": SK.q_rollup_merge,
-        # record linkage: blocked fuzzy matching
-        "record_linkage": LK.q_record_linkage,
-        # lakehouse dimension maintenance: SCD2 interval build
-        "scd2_history": SCD.q_scd2_history,
-        # training-data pipeline: sequence packing
-        "pack_sequences": C.q_pack_sequences,
-        # data layout: Morton/Z-order clustering key
-        "zorder_key": L.q_zorder_key,
-        # training-data pipeline: dedup
-        "dedup_exact": D.q_dedup_exact,
-        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
-        "minhash_near_dup": D.q_minhash_near_dup,           # rows-only (LSH)
-        "simhash_near_dup": D.q_simhash_near_dup,           # rows-only (LSH)
-        "dedup_clusters": G.q_dedup_clusters,               # iterative CC
-        "pagerank_parts": G.q_pagerank_parts,               # iterative PageRank
-        # training-data pipeline: similarity search
-        "ann_topk": S.q_ann_topk,
-        "embedding_near_dup": S.q_embedding_near_dup,
-        "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
-        "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
-        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,  # rows-only (approx)
-        "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
-        "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
     }
 
 
