@@ -89,6 +89,37 @@ HEADLINE = [
 ]
 
 
+def run_headline(spark, queries, names, sf_dir=None):
+    """Time each named query (best of two runs), with per-query fault
+    isolation: one broken query must never zero out the whole bench
+    artifact — its error is recorded and the rest keep running.
+    Returns (timings, errors)."""
+    sf_dir = sf_dir or SF_DIR
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        best = float("inf")
+        # Two runs, report the best: the first run pays one-time JIT costs
+        # (Janino codegen compile of large generated expressions) that are
+        # amortized away in any sustained workload; the second run measures
+        # the plan. count() materializes the full plan; for top-k/agg
+        # queries the result is tiny, for wide ones we avoid driver
+        # transfer cost.
+        try:
+            for _ in range(2):
+                df = queries[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+        # operators that persist intermediates would otherwise accumulate
+        # cache across the suite and skew later queries via memory pressure
+        spark.catalog.clearCache()
+    return timings, errors
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -104,26 +135,13 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        # Two runs, report the best: the first run pays one-time JIT costs
-        # (Janino codegen compile of large generated expressions) that are
-        # amortized away in any sustained workload; the second run measures
-        # the plan. count() materializes the full plan; for top-k/agg
-        # queries the result is tiny, for wide ones we avoid driver
-        # transfer cost.
-        for _ in range(2):
-            df = queries[name](spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # operators that persist intermediates would otherwise accumulate
-        # cache across the suite and skew later queries via memory pressure
-        spark.catalog.clearCache()
+    timings, errors = run_headline(spark, queries, HEADLINE)
 
-    streaming_eps = _streaming_throughput(spark)
+    try:
+        streaming_eps = _streaming_throughput(spark)
+    except Exception as e:  # noqa: BLE001
+        streaming_eps = None
+        errors["__streaming__"] = f"{type(e).__name__}: {e}"[:500]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -138,6 +156,8 @@ def main() -> None:
         "sf": sf_val,
         "streaming_events_per_sec": streaming_eps,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -253,7 +253,13 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id tie-break, no window sort over the full table."""
     ev = load_table(spark, sf_dir, "events")
     m = F.max(
-        F.struct(F.unix_micros("ts").alias("us"), "event_id", "event_type", "value")
+        F.struct(
+            # NTZ->LTZ cast: exact under the UTC-pinned session, matches epoch_us().
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "event_type",
+            "value",
+        )
     ).alias("m")
     return (
         ev.groupBy("user_id")

@@ -83,8 +83,9 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = ev.withColumn(
         "new_session",
         (
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
+            # NTZ has no direct bigint cast; via TIMESTAMP is exact (UTC session)
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
             > 1800
         )
         .cast("int")

@@ -236,7 +236,7 @@ def q_trailing_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3600 * 1_000_000
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-(hour_us - 1), Window.currentRow)
     )
     return ev.select(

@@ -140,8 +140,15 @@ def embedding_near_dup_lsh(
         .groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
-        .filter(F.size("ids") <= max_bucket)  # degenerate-bucket guard
-        .select(F.explode(_dedup.bucket_pairs(F.col("ids"))).alias("p"))
+        # degenerate-bucket guard with linear star overflow (dedup.star_pairs)
+        .select(
+            F.explode(
+                F.when(
+                    F.size("ids") <= max_bucket,
+                    _dedup.bucket_pairs(F.col("ids")),
+                ).otherwise(_dedup.star_pairs(F.col("ids")))
+            ).alias("p")
+        )
         .select("p.id_a", "p.id_b")
     )
     # NOTE: candidate pairs are NOT deduped here — a pair colliding in

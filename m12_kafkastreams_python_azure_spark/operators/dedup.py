@@ -118,6 +118,23 @@ def bucket_pairs(ids: Column) -> Column:
     )
 
 
+def star_pairs(ids: Column) -> Column:
+    """Mega-bucket overflow expansion: (min_id, member) for every other
+    member — O(b) structs instead of bucket_pairs' O(b^2), same element
+    type. A degenerate bucket (millions of identical boilerplate docs
+    landing in one band hash) can't pin a task on a quadratic expansion,
+    yet the cluster stays DISCOVERABLE: every candidate is exact-verified
+    downstream, and the star keeps the group connected for the
+    connected-components clustering (graph.q_dedup_clusters) — a hub-and-
+    spoke component is the same component."""
+    sorted_ids = F.array_sort(ids)
+    hub = F.element_at(sorted_ids, 1)
+    return F.transform(
+        F.slice(sorted_ids, 2, F.size(sorted_ids)),
+        lambda y: F.struct(hub.alias("id_a"), y.alias("id_b")),
+    )
+
+
 # The shared persisted-intermediate registry lives in sources.readers
 # (next to parallel_scan, which also registers); re-exported here because
 # sibling operators (similarity/graph/api) import it from this module.
@@ -256,12 +273,17 @@ def minhash_near_dup_pairs(
         .groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
-        # Mega-buckets are degenerate banding (boilerplate / near-constant
-        # docs): expanding one quadratically would pin a single task. The
-        # standard LSH hygiene is to drop them, like stopwords — a true
-        # pair inside still has b-1 other bands to surface through.
-        .filter(F.size("ids") <= max_bucket)
-        .select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        # Mega-bucket guard: a bucket past max_bucket is degenerate banding
+        # (boilerplate / near-constant docs) and a quadratic expansion of it
+        # would pin a single task. Overflow path: star-expand (linear) so
+        # the cluster stays connected and verifiable instead of vanishing.
+        .select(
+            F.explode(
+                F.when(
+                    F.size("ids") <= max_bucket, bucket_pairs(F.col("ids"))
+                ).otherwise(star_pairs(F.col("ids")))
+            ).alias("p")
+        )
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -386,6 +408,23 @@ def _member_pairs(members: Column) -> Column:
     )
 
 
+def _member_star(members: Column) -> Column:
+    """Mega-bucket overflow for the simhash path: (min-id member, other)
+    spokes — linear, same element type as ``_member_pairs`` (see
+    ``star_pairs`` for the rationale)."""
+    m = F.array_sort(members)
+    hub = F.element_at(m, 1)
+    return F.transform(
+        F.slice(m, 2, F.size(m)),
+        lambda y: F.struct(
+            hub["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            hub["sim"].alias("sim_a"),
+            y["sim"].alias("sim_b"),
+        ),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -429,8 +468,15 @@ def simhash_near_dup_pairs(
         .groupBy("band", "bh")
         .agg(F.collect_list(F.struct("id", "sim")).alias("members"))
         .filter(F.size("members") > 1)
-        .filter(F.size("members") <= max_bucket)  # degenerate-bucket guard
-        .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
+        # degenerate-bucket guard with linear star overflow (see star_pairs)
+        .select(
+            F.explode(
+                F.when(
+                    F.size("members") <= max_bucket,
+                    _member_pairs(F.col("members")),
+                ).otherwise(_member_star(F.col("members")))
+            ).alias("p")
+        )
         .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .dropDuplicates(["id_a", "id_b"])
     )

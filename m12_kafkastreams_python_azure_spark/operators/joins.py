@@ -239,7 +239,12 @@ def q_event_pairs_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     bucket_us = 600 * 1_000_000  # 10 minutes in microseconds
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+        "event_id",
+        "user_id",
+        "ts",
+        # events.ts is TIMESTAMP_NTZ in the driver's parquet; session TZ is
+        # pinned UTC, so the NTZ->LTZ cast is exact and matches epoch_us().
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     a = ev.select(
         F.col("event_id").alias("id1"),

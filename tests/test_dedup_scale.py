@@ -6,6 +6,11 @@ floor (a true pair has b-1 other bands to surface through).
 The unguarded cost is asserted analytically (sum of C(bucket,2) over the
 banded buckets) instead of executing the quadratic plan — running the
 ~50M-pair expansion this test exists to prevent would defeat the point.
+
+Overflow semantics (round 5): an oversized bucket is STAR-expanded
+(min-id hub -> every other member, linear) instead of dropped — the
+mega-cluster stays discoverable and connected for CC clustering, at
+O(bucket) cost per band instead of O(bucket^2).
 """
 
 from __future__ import annotations
@@ -85,6 +90,11 @@ def test_mega_bucket_guard_bounds_expansion_and_keeps_recall(spark):
     truth = {(50_000 + i, 100_000 + i) for i in range(N_TWINS)}
     recall = len(truth & found) / len(truth)
     assert recall >= 0.85, f"recall {recall:.2f} with mega-bucket guard on"
-    # and the boilerplate mega-group contributed no pair at all (guard) —
-    # every reported pair is within the planted twin id space
-    assert all(a >= 50_000 for a, _ in found), "mega-bucket leaked pairs"
+    # 3) Overflow path: the boilerplate mega-group contributed EXACTLY a
+    #    star — linear in bucket size (9,999 spokes from hub id 0), not
+    #    the ~5e7 quadratic pairs, and not zero (the cluster must stay
+    #    connected for the CC clustering stage).
+    boiler = {(a, b) for a, b in found if a < 50_000}
+    assert len(boiler) == N_BOILER - 1, len(boiler)
+    assert all(a == 0 for a, _ in boiler), "star hub must be the min id"
+    assert {b for _, b in boiler} == set(range(1, N_BOILER))

@@ -93,6 +93,21 @@ def test_asof_join_single_window_no_join_nodes(spark, sf_dir):
         assert "Join" not in s, f"{q.__name__}: as-of should not plan any join"
 
 
+def test_event_pairs_interval_join_stays_bucketed(spark, sf_dir):
+    """The 10-minute interval self-join must keep its bucketed equi-join
+    shape: an equi-join on (user, time-bucket) — never a cartesian product
+    or nested-loop over the events table. Guards the NTZ-cast fix
+    (joins.py q_event_pairs_10min) against re-breaking the plan."""
+    from m12_kafkastreams_python_azure_spark.operators import joins as J
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    s = explain_str(J.q_event_pairs_10min(spark, sf_dir))
+    assert "CartesianProduct" not in s, "interval join degenerated to cartesian"
+    assert "BroadcastNestedLoopJoin" not in s, "interval join lost its equi-keys"
+    # the equi-join itself must be present (SMJ / SHJ / broadcast hash)
+    assert any(op in s for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), s
+
+
 def test_scalar_batteries_no_python_eval(spark, sf_dir):
     from m12_kafkastreams_python_azure_spark.operators import analytics3 as A3
     from m12_kafkastreams_python_azure_spark.operators import analytics4 as A4
