@@ -31,6 +31,9 @@ except (ValueError, OSError):
 os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(4, min(24, _phys_gb // 4))}g")
 
 from m12_kafkastreams_python_azure_spark.session import get_spark  # noqa: E402
+from m12_kafkastreams_python_azure_spark.sources.readers import (  # noqa: E402
+    release_parallel_caches,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -116,7 +119,10 @@ def run_headline(spark, queries, names, sf_dir=None):
             errors[name] = f"{type(e).__name__}: {e}"[:500]
         # operators that persist intermediates would otherwise accumulate
         # cache across the suite and skew later queries via memory pressure
+        # (clearCache drops DF-level cache; release_parallel_caches frees
+        # the dedup/LSH persist registry, which clearCache does not track)
         spark.catalog.clearCache()
+        release_parallel_caches()
     return timings, errors
 
 
@@ -187,8 +193,11 @@ def _streaming_throughput(spark) -> float:
         ev.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
             4
         ).write.json(src)
+        # Best of three replays: after the 49-query batch suite the first
+        # replay can read 30-40% low while the JVM settles (observed);
+        # three replays pin the steady-state number (~2 s each).
         best = float("inf")
-        for i in range(2):
+        for i in range(3):
             stream = (
                 spark.readStream.schema(
                     "event_id long, ts timestamp, user_id long, "
