@@ -1,11 +1,11 @@
-"""Skew demonstration for LSH dedup at scale: a planted mega-bucket (10k
+"""Skew demonstration for LSH dedup at scale: a planted mega-bucket (3k
 identical boilerplate docs) must not pin a task on a quadratic bucket
 expansion, while recall on planted true near-dup pairs stays above the
 floor (a true pair has b-1 other bands to surface through).
 
 The unguarded cost is asserted analytically (sum of C(bucket,2) over the
 banded buckets) instead of executing the quadratic plan — running the
-~50M-pair expansion this test exists to prevent would defeat the point.
+multi-million-pair expansion this test exists to prevent would defeat the point.
 
 Overflow semantics (round 5): an oversized bucket is STAR-expanded
 (min-id hub -> every other member, linear) instead of dropped — the
@@ -26,7 +26,7 @@ from m12_kafkastreams_python_azure_spark.operators.dedup import (
 BOILERPLATE = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
 WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
          "golf", "hotel", "india", "juliet", "kilo", "lima"]
-N_BOILER = 10_000
+N_BOILER = 3_000  # 3x the max_bucket cap; C(3k,2)=4.5M unguarded pairs
 N_TWINS = 100
 
 
@@ -48,7 +48,7 @@ def test_mega_bucket_guard_bounds_expansion_and_keeps_recall(spark):
 
     # 1) The planted skew is real: compute banded bucket sizes the same way
     #    the operator does and show the unguarded pair expansion would be
-    #    quadratic (>= C(10k, 2) ~ 5e7 pairs in ONE task's bucket).
+    #    quadratic (>= C(N_BOILER, 2) pairs in ONE task's bucket).
     num_hashes, bands, rows_per_band, max_bucket = 16, 8, 2, 1000
     sig = (
         docs.select("doc_id", shingles(F.col("text")).alias("sh"))
@@ -91,8 +91,8 @@ def test_mega_bucket_guard_bounds_expansion_and_keeps_recall(spark):
     recall = len(truth & found) / len(truth)
     assert recall >= 0.85, f"recall {recall:.2f} with mega-bucket guard on"
     # 3) Overflow path: the boilerplate mega-group contributed EXACTLY a
-    #    star — linear in bucket size (9,999 spokes from hub id 0), not
-    #    the ~5e7 quadratic pairs, and not zero (the cluster must stay
+    #    star — linear in bucket size (N_BOILER-1 spokes from hub id 0),
+    #    not the quadratic pair set, and not zero (the cluster must stay
     #    connected for the CC clustering stage).
     boiler = {(a, b) for a, b in found if a < 50_000}
     assert len(boiler) == N_BOILER - 1, len(boiler)
