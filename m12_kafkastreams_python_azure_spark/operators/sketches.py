@@ -20,6 +20,11 @@ values and the within-bound booleans).
                              with deterministic ordering; the ground truth
                              a Misra-Gries/CMS pipeline would be validated
                              against.
+- ``cms_merge_bound``      — count-min sketch built at day grain and merged
+                             cell-wise (CMS is linear, so merge(partials)
+                             == direct build, checked exactly), with
+                             per-user point estimates asserted >= exact
+                             (the CMS never-undercount theorem).
 
 Scale notes: every aggregate here is algebraic/mergeable → map-side partial
 aggregation applies; the sketch columns are KBs per group regardless of row
@@ -169,6 +174,98 @@ SELECT event_type,
        ROUND(sum(value) / count(*), 6) AS value_avg
 FROM events
 GROUP BY event_type, date_trunc('month', ts)
+"""
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def q_cms_merge_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over event counts per user, exercised the way a
+    100 TB rollup uses it: day-grain sketches merged cell-wise to the
+    global sketch.
+
+    Two deterministic theorems make this oracle-checkable without DuckDB
+    being able to compute xxhash64:
+
+    1. CMS is LINEAR — the cell-wise sum of the per-day sketches equals
+       the sketch built directly over all rows (checked exactly:
+       ``merge_linear``).
+    2. CMS never undercounts — min over the depth rows' cells >= the true
+       count (``est_ge_exact``), for every probed key.
+
+    Scale shape: one map-side-combinable groupBy(user, day) touches raw
+    rows; everything after operates on per-user partials, and the sketch
+    itself is DEPTH x WIDTH rows regardless of data volume — the merge
+    stage shuffles KBs. Probes join against the broadcast 2k-row sketch.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("d"),
+                F.pmod(
+                    F.xxhash64(F.col("user_id"), F.lit(j)), F.lit(CMS_WIDTH)
+                ).alias("cl"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    # day-grain sketches — what an incremental rollup table persists
+    daily = (
+        ud.select("day", "n", F.explode(cells).alias("c"))
+        .groupBy("day", F.col("c.d").alias("depth"), F.col("c.cl").alias("cell"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    merged = daily.groupBy("depth", "cell").agg(F.sum("cnt").alias("cnt"))
+    direct = (
+        ud.select("n", F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("depth"), F.col("c.cl").alias("cell"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    mismatches = (
+        merged.withColumnRenamed("cnt", "cnt_m")
+        .join(direct.withColumnRenamed("cnt", "cnt_d"), ["depth", "cell"], "full")
+        .filter(~F.col("cnt_m").eqNullSafe(F.col("cnt_d")))
+        .agg(F.count(F.lit(1)).alias("bad"))
+    )
+    probes = (
+        ud.groupBy("user_id")
+        .agg(F.sum("n").alias("exact_n"))
+        .filter(F.col("user_id") < 20)
+    )
+    est = (
+        probes.select(
+            "user_id",
+            "exact_n",
+            F.explode(cells).alias("c"),
+        )
+        .join(
+            F.broadcast(merged),
+            (F.col("c.d") == F.col("depth")) & (F.col("c.cl") == F.col("cell")),
+        )
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.join(F.broadcast(mismatches)).select(
+        "user_id",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
+        (F.col("bad") == 0).alias("merge_linear"),
+    )
+
+
+ORACLE_CMS_MERGE_BOUND = """
+SELECT user_id, count(*) AS exact_n,
+       TRUE AS est_ge_exact,
+       TRUE AS merge_linear
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
 """
 
 
