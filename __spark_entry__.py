@@ -148,8 +148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_functions": A11.q_map_functions,
         "stratified_sample": A11.q_stratified_sample,
         "histogram_bins": A13.q_histogram_bins,
-        # round-5 addition: CMS completes the mergeable-sketch family
+        # round-5 additions: CMS completes the mergeable-sketch family;
+        # vocab build + token-id encoding completes the tokenizer path
         "cms_merge_bound": SK.q_cms_merge_bound,
+        "vocab_encode": T.q_vocab_encode,
         # analytics green in CORRECTNESS_r01 + r02 (rotated to the back)
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,
@@ -291,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": C.ORACLE_BIGRAM_LM_SCORE,
         "hll_merge_bound": SK.ORACLE_HLL_MERGE_BOUND,
         "cms_merge_bound": SK.ORACLE_CMS_MERGE_BOUND,
+        "vocab_encode": T.ORACLE_VOCAB_ENCODE,
         "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
         "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,
         "zorder_key": L.ORACLE_ZORDER_KEY,

@@ -153,3 +153,74 @@ FROM ranked WHERE rn = 1
 
 
 ORACLE_CLEAN_CORPUS = _oracle_clean_corpus()
+
+
+VOCAB_SIZE = 1024  # top-V words by corpus frequency; id 0 = OOV/unk
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary build + token-id encoding — the step
+    between raw text and a trainer's integer streams: rank the corpus
+    vocabulary by (frequency DESC, word ASC), keep the top VOCAB_SIZE ids
+    (1-based; 0 is the OOV id), and encode each document as its
+    position-ordered id array.
+
+    Scale shape: tokenization is a narrow per-row map; the vocab build
+    aggregates (word, count) — orders of magnitude smaller than the token
+    stream, with map-side partial counts — and the global rank runs over
+    that small aggregate only (same discipline as the orderkey_islands
+    segment stitch: the heavy pass is parallel, the tiny pass is global).
+    The top-V vocab (V rows) is broadcast back onto the token stream, so
+    the only full-size shuffle is the final per-document regroup, keyed
+    on doc_id — no skew (one group per document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("id", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("id") <= VOCAB_SIZE)
+        .select("word", "id")
+    )
+    enc = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).cast("long").alias("id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("ids"),
+        )
+    )
+
+
+ORACLE_VOCAB_ENCODE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM ws
+),
+vocab AS (
+  SELECT word,
+         row_number() OVER (ORDER BY count(*) DESC, word) AS id
+  FROM toks GROUP BY word
+  QUALIFY id <= {VOCAB_SIZE}
+),
+enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+  FROM toks t LEFT JOIN vocab v USING (word)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       list(id ORDER BY pos) AS ids
+FROM enc GROUP BY doc_id
+"""
