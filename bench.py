@@ -89,6 +89,8 @@ HEADLINE = [
     "histogram_bins",
     "benford_digits",
     "corr_battery",
+    "cms_merge_bound",
+    "vocab_encode",
 ]
 
 
