@@ -287,16 +287,20 @@ def minhash_near_dup_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify stage touches only surviving candidate pairs. Candidates are a
-    # tiny fraction of the corpus — broadcast them, so the shingle table is
-    # streamed in place and its wide arrays NEVER cross a shuffle. (At a
-    # scale where candidates outgrow broadcast, drop the hint and AQE picks
-    # a shuffled join — the code stays correct.)
+    # Verify stage touches only surviving candidate pairs. No broadcast
+    # hint on purpose (same discipline as the embedding LSH front door,
+    # api.embedding_near_dup_lsh): candidates are usually a tiny fraction
+    # of the corpus and AQE broadcasts them from runtime stats, keeping the
+    # wide shingle arrays out of any shuffle — but a star-expanded
+    # mega-cluster can make the candidate set O(cluster), and a FORCED
+    # broadcast of pair_a (which carries sh_a) would then hold
+    # cluster-proportional state on every node. Unhinted, AQE degrades to
+    # a shuffled join and the bounded-state invariant (SCALE.md) holds.
     a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pair_a = a.join(F.broadcast(cands), "id_a")
+    pair_a = a.join(cands, "id_a")
     return (
-        b.join(F.broadcast(pair_a), "id_b")
+        b.join(pair_a, "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")

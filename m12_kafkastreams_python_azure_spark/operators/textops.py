@@ -174,6 +174,13 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only full-size shuffle is the final per-document regroup, keyed
     on doc_id — no skew (one group per document)."""
     docs = load_table(spark, sf_dir, "documents")
+    # toks is consumed twice (vocab aggregate + encode join) and
+    # DELIBERATELY not persisted: it is a narrow per-row map off the scan,
+    # and the exploded token stream is LARGER than the input text — at
+    # corpus scale, re-running the split costs two cheap scans while
+    # caching it would pin memory/disk proportional to the token count
+    # (the opposite trade from dedup._parallel_text, whose persist exists
+    # to break single-file scan serialization, not to save recompute).
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),

@@ -31,8 +31,8 @@ N_TWINS = 100
 
 
 def _skewed_corpus(spark):
-    """10k identical docs (the mega-bucket) + 100 (base, twin) near-dup
-    pairs with known ids: truth = {(i, 100000+i)}."""
+    """N_BOILER identical docs (the mega-bucket) + 100 (base, twin)
+    near-dup pairs with known ids: truth = {(50000+i, 100000+i)}."""
     rows = [(i, BOILERPLATE) for i in range(N_BOILER)]
     for i in range(N_TWINS):
         base = [WORDS[(i * 7 + k * 3) % len(WORDS)] for k in range(20)]
