@@ -126,12 +126,21 @@ def star_pairs(ids: Column) -> Column:
     yet the cluster stays DISCOVERABLE: every candidate is exact-verified
     downstream, and the star keeps the group connected for the
     connected-components clustering (graph.q_dedup_clusters) — a hub-and-
-    spoke component is the same component."""
-    sorted_ids = F.array_sort(ids)
-    hub = F.element_at(sorted_ids, 1)
-    return F.transform(
-        F.slice(sorted_ids, 2, F.size(sorted_ids)),
-        lambda y: F.struct(hub.alias("id_a"), y.alias("id_b")),
+    spoke component is the same component.
+
+    Implementation note: the hub must NOT be an expression referenced
+    inside a per-element lambda — Catalyst re-evaluates lambda-captured
+    expression trees per element, which turns an embedded
+    ``element_at(array_sort(ids), 1)`` into O(b^2 log b) per bucket
+    (measured: a 20k-member bucket took ~6 minutes that way).
+    ``zip_with`` over ``array_repeat(hub, ...)`` materializes the hub
+    once per ROW, and ``array_min``/``array_remove`` replace the sort
+    entirely — O(b) per bucket."""
+    hub = F.array_min(ids)
+    return F.zip_with(
+        F.array_repeat(hub, F.size(ids) - 1),
+        F.array_remove(ids, hub),
+        lambda h, y: F.struct(h.alias("id_a"), y.alias("id_b")),
     )
 
 
@@ -415,15 +424,17 @@ def _member_pairs(members: Column) -> Column:
 def _member_star(members: Column) -> Column:
     """Mega-bucket overflow for the simhash path: (min-id member, other)
     spokes — linear, same element type as ``_member_pairs`` (see
-    ``star_pairs`` for the rationale)."""
-    m = F.array_sort(members)
-    hub = F.element_at(m, 1)
-    return F.transform(
-        F.slice(m, 2, F.size(m)),
-        lambda y: F.struct(
-            hub["id"].alias("id_a"),
+    ``star_pairs`` for the rationale and the per-element re-evaluation
+    trap it avoids). ``array_min`` on an array<struct> is min by the
+    first field (id), which is exactly the hub we want."""
+    hub = F.array_min(members)
+    return F.zip_with(
+        F.array_repeat(hub, F.size(members) - 1),
+        F.array_remove(members, hub),
+        lambda h, y: F.struct(
+            h["id"].alias("id_a"),
             y["id"].alias("id_b"),
-            hub["sim"].alias("sim_a"),
+            h["sim"].alias("sim_a"),
             y["sim"].alias("sim_b"),
         ),
     )
