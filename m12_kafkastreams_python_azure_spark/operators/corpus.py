@@ -42,14 +42,22 @@ NGRAM_N = 5
 
 def word_ngrams(text: Column, n: int = NGRAM_N) -> Column:
     """Word n-grams of a text column as array<string> (empty when the doc
-    has fewer than n tokens). Pure Catalyst: split + sequence + transform."""
+    has fewer than n tokens). Pure Catalyst: a zip_with chain over n-1
+    shifted token slices — NOT ``transform`` over an index sequence,
+    whose ``slice(toks, i, n)`` lambda body would re-evaluate the regex
+    split once per n-gram (lambda-captured trees run per ELEMENT in
+    Catalyst => O(k^2) per doc; see dedup.shingles). Tail positions past
+    k-n+1 null out through ``concat`` and are filtered."""
     toks = F.split(F.trim(text), r"\s+")
+    acc = toks
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
+        F.size(toks) >= n, F.filter(acc, lambda x: x.isNotNull())
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -60,15 +60,29 @@ GROUP BY 1
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+    """Distinct word n-gram shingles as an array<string>. Pure Catalyst.
 
-    Built from tokens with ``transform`` over an index ``sequence`` —
-    pure Catalyst, no Python."""
+    Built as a zip_with chain over n-1 shifted slices of the token array
+    rather than ``transform`` over an index ``sequence`` with a
+    ``slice(toks, i, n)`` lambda body: Catalyst re-evaluates expression
+    trees captured by a higher-order lambda once PER ELEMENT, so the
+    index-lambda spelling re-runs the regex split per shingle — O(k^2)
+    in document length. Zip_with arguments evaluate once per row; the
+    chain is O(n·k). Tail positions short of n tokens become NULL
+    (``concat`` null-propagates) and are filtered; a doc with fewer than
+    n tokens yields its full-join single shingle, matching the previous
+    semantics exactly."""
     toks = F.split(F.trim(text), r"\s+")
     k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    acc = toks
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(k >= n, F.filter(acc, lambda x: x.isNotNull())).otherwise(
+        F.array(F.concat_ws(" ", toks))
     )
     return F.array_distinct(grams)
 
