@@ -51,10 +51,15 @@ def _assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: st
     (sim, cid) structs per centroid, take array_max. No shuffle."""
     carr = _centroid_array(centroids)
     vec = F.col(vec_col)
+    # Ranking-only score: ||v|| is a positive per-row constant across
+    # centroids, so dividing by it cannot change the argmax — and keeping
+    # l2_norm(vec) OUT of the lambda matters: Catalyst re-evaluates
+    # lambda-captured trees per element, so the embedded norm fold would
+    # run once per centroid (see dedup.star_pairs).
     scored = F.transform(
         carr,
         lambda c: F.struct(
-            (dot_product(vec, c["cvec"]) / (l2_norm(vec) * c["cnorm"])).alias("sim"),
+            (dot_product(vec, c["cvec"]) / c["cnorm"]).alias("sim"),
             c["cid"].alias("cid"),
         ),
     )
@@ -152,10 +157,13 @@ def ann_ivf_topk(
     broadcast), one small top-k window."""
     carr = _centroid_array(centroids)
     vec = F.col(vec_col)
+    # ||v|| dropped from the probe ranking for the same two reasons as in
+    # _assign: it is constant across centroids (order-preserving) and a
+    # lambda-captured l2_norm would re-run per centroid.
     scored_centroids = F.transform(
         carr,
         lambda c: F.struct(
-            (dot_product(vec, c["cvec"]) / (l2_norm(vec) * c["cnorm"])).alias("sim"),
+            (dot_product(vec, c["cvec"]) / c["cnorm"]).alias("sim"),
             c["cid"].alias("cid"),
         ),
     )
