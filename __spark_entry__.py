@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab build + token-id encoding completes the tokenizer path
         "cms_merge_bound": SK.q_cms_merge_bound,
         "vocab_encode": T.q_vocab_encode,
+        "dataset_mix": A10.q_dataset_mix,
         # analytics green in CORRECTNESS_r01 + r02 (rotated to the back)
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge_bound": SK.ORACLE_HLL_MERGE_BOUND,
         "cms_merge_bound": SK.ORACLE_CMS_MERGE_BOUND,
         "vocab_encode": T.ORACLE_VOCAB_ENCODE,
+        "dataset_mix": A10.ORACLE_DATASET_MIX,
         "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
         "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,
         "zorder_key": L.ORACLE_ZORDER_KEY,

@@ -320,3 +320,59 @@ SELECT window_start, event_type, count(*) AS n_events
 FROM shifted
 GROUP BY window_start, event_type
 """
+
+
+#: pretraining mix rates out of 256 md5 buckets, per source language;
+#: unlisted sources fall back to MIX_DEFAULT (~10%).
+MIX_WEIGHTS = {"en": 256, "de": 128, "fr": 64, "es": 64}
+MIX_DEFAULT = 26
+
+
+def dataset_mix(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "lang",
+) -> DataFrame:
+    """Weighted dataset mixing — the pretraining-mix step: sample each
+    source at its own rate, deterministically, from the same md5 bucket
+    used by ``dataset_split`` (content-independent, engine-portable,
+    reproducible; a doc keeps its fate across runs and engines). The
+    per-source threshold is a scalar CASE — the whole mix is one narrow
+    per-row filter (md5-derived, so not parquet-pushable, but evaluated
+    in the scan stage): zero shuffles, trivially partition-parallel."""
+    w = weights or MIX_WEIGHTS
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+        .cast("int")
+    )
+    thr = F.coalesce(
+        *[F.when(F.col(source_col) == k, F.lit(v)) for k, v in w.items()],
+        F.lit(MIX_DEFAULT),
+    )
+    return docs.filter(bucket < thr)
+
+
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_mix(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+_MIX_CASE = (
+    "CASE lang WHEN 'en' THEN 256 WHEN 'de' THEN 128 WHEN 'fr' THEN 64 "
+    "WHEN 'es' THEN 64 ELSE 26 END"
+)
+
+ORACLE_DATASET_MIX = f"""
+WITH b AS (
+  SELECT *, {_NIBBLE.format(i=1)} * 16 + {_NIBBLE.format(i=2)} AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM b
+WHERE bucket < {_MIX_CASE}
+GROUP BY lang
+"""
