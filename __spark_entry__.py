@@ -12,15 +12,17 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-5 rotation: the 5 reference-surface queries stay first (every
-round), then the 14 queries that have never had a driver row
-(median_aggregates .. corr_battery), then the two queries fixed this
-round (event_pairs_10min, latest_event_per_user), then the
-training-data-pipeline core.  Entries green in BOTH r03 and r04
-(asof joins, quality_report, zorder_key, tfidf..histogram_bins) are
-rotated to the back alongside the analytics batteries that were green
-in r01 + r02.  ``tests/test_entry_window.py`` asserts the window
-composition so a future append can't silently fall outside it.
+Round-6 rotation: the 5 reference-surface queries stay first (every
+round), then the three round-5 additions that were appended outside the
+window and have never had a driver row (cms_merge_bound, vocab_encode,
+dataset_mix — vocab_encode also carries this round's top-V
+TakeOrderedAndProject fix), then the round-6 additions, then the
+never-rotated r05 first-evers that keep their slots, then the
+training-data-pipeline core.  Entries with green driver rows in r05
+(median_aggregates, bitwise_aggregates, array_set_ops, and friends)
+rotate to the back — their hard rows are on record.
+``tests/test_entry_window.py`` asserts the window composition so a
+future append can't silently fall outside it.
 """
 
 from __future__ import annotations
@@ -75,10 +77,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,                     # F1
         "stay_enrich": A.q_stay_enrich,                     # F3-F5
         "hotels_count": A.q_hotels_count,                   # K2-K4 flagship
-        # first-ever driver rows this round (never checked in r01-r04)
-        "median_aggregates": A9.q_median_aggregates,
-        "bitwise_aggregates": A9.q_bitwise_aggregates,
-        "array_set_ops": A9.q_array_set_ops,
+        # round-5 additions rotated IN this round (first-ever driver rows;
+        # vocab_encode carries the top-V TakeOrderedAndProject fix)
+        "cms_merge_bound": SK.q_cms_merge_bound,
+        "vocab_encode": T.q_vocab_encode,
+        "dataset_mix": A10.q_dataset_mix,
+        # r05 first-evers keeping their slots this round
         "arrow_byte_stats": A9.q_arrow_byte_stats,
         "string_functions2": A9.q_string_functions2,
         "cheapest_supplier": A9.q_cheapest_supplier,
@@ -148,11 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_functions": A11.q_map_functions,
         "stratified_sample": A11.q_stratified_sample,
         "histogram_bins": A13.q_histogram_bins,
-        # round-5 additions: CMS completes the mergeable-sketch family;
-        # vocab build + token-id encoding completes the tokenizer path
-        "cms_merge_bound": SK.q_cms_merge_bound,
-        "vocab_encode": T.q_vocab_encode,
-        "dataset_mix": A10.q_dataset_mix,
+        # rotated out in r06 to make room for the round-5 additions
+        # (green driver rows in CORRECTNESS_r05)
+        "median_aggregates": A9.q_median_aggregates,
+        "bitwise_aggregates": A9.q_bitwise_aggregates,
+        "array_set_ops": A9.q_array_set_ops,
         # analytics green in CORRECTNESS_r01 + r02 (rotated to the back)
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,

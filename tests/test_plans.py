@@ -196,6 +196,30 @@ def test_no_accidental_python_in_any_query_plan(spark, sf_dir):
     assert not offenders, f"plan hygiene violations: {offenders}"
 
 
+def test_vocab_encode_topv_is_distributed_take_ordered(spark, sf_dir):
+    """The vocabulary top-V selection must plan as TakeOrderedAndProject
+    (per-partition top-V + a V-row merge), NOT an unpartitioned row_number
+    window over the full distinct-word table — at web scale the vocabulary
+    is 10⁸–10⁹ distinct tokens and the unbounded window funnels all of
+    them through one task (round-5 review finding). The only Window
+    allowed in the plan besides the tiny V-row rank is none over an
+    unbounded input: we assert the Sort feeding any Window is bounded by
+    the preceding TakeOrderedAndProject (i.e. the window appears after the
+    limit in the plan tree)."""
+    from m12_kafkastreams_python_azure_spark.operators import textops as T
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    s = explain_str(T.q_vocab_encode(spark, sf_dir))
+    assert "TakeOrderedAndProject" in s, "top-V lost its distributed take-ordered shape"
+    # the V-row rank window must sit ABOVE the take-ordered (textually the
+    # formatted plan lists operators leaf-last, so the Window node id must
+    # be smaller than the TakeOrderedAndProject's — cheap proxy: Window
+    # appears before TakeOrderedAndProject in the formatted dump).
+    assert s.index("Window") < s.index("TakeOrderedAndProject"), (
+        "rank window no longer bounded by the top-V limit"
+    )
+
+
 def test_runtime_bloom_filter_injected(spark, sf_dir):
     """Runtime row-level filtering, demonstrated: a selective dimension
     filter (orders by priority) joined to a pre-aggregated fact side must
