@@ -48,11 +48,28 @@ def _json_default(v):
     return str(v)
 
 
+#: Hard cap on rows a single ``/query`` response will buffer on the driver.
+#: Any registered view is servable through this endpoint, so an uncapped
+#: ``collect()`` lets one HTTP request buffer an arbitrarily large table in
+#: driver memory. ksqlDB's own endpoint streams chunked rows; this batch
+#: shim instead fetches ``max_rows + 1``, returns ``max_rows``, and appends
+#: a ``finalMessage`` truncation marker (the field ksqlDB uses for
+#: end-of-stream notices) so clients can detect the cut.
+DEFAULT_QUERY_MAX_ROWS = 10_000
+
+
 class KsqlRestServer:
     """``serve(ctx)`` on a random free port; ``close()`` to stop."""
 
-    def __init__(self, ctx: KsqlContext, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        ctx: KsqlContext,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_rows: int = DEFAULT_QUERY_MAX_ROWS,
+    ):
         self.ctx = ctx
+        self.max_rows = max_rows
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -87,9 +104,21 @@ class KsqlRestServer:
                         }])
                     elif self.path == "/query":
                         df = outer.ctx.execute(payload)
+                        cap = outer.max_rows
+                        # limit(cap+1) pushes the bound into the Spark plan
+                        # (CollectLimit) — the driver never materializes
+                        # more than cap+1 rows no matter the view's size.
+                        collected = df.limit(cap + 1).collect()
                         rows = [
-                            {"row": {"columns": list(r)}} for r in df.collect()
+                            {"row": {"columns": list(r)}}
+                            for r in collected[:cap]
                         ]
+                        if len(collected) > cap:
+                            rows.append({
+                                "finalMessage": (
+                                    f"Query output truncated at {cap} rows"
+                                )
+                            })
                         self._reply(200, rows)
                     else:
                         self._reply(404, {"error": f"unknown path {self.path}"})

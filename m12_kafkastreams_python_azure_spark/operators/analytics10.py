@@ -361,9 +361,12 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Derived from MIX_WEIGHTS/MIX_DEFAULT so editing the dict can never
+# silently desynchronize the Spark filter from its DuckDB oracle.
 _MIX_CASE = (
-    "CASE lang WHEN 'en' THEN 256 WHEN 'de' THEN 128 WHEN 'fr' THEN 64 "
-    "WHEN 'es' THEN 64 ELSE 26 END"
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())
+    + f" ELSE {MIX_DEFAULT} END"
 )
 
 ORACLE_DATASET_MIX = f"""

@@ -149,11 +149,20 @@ def star_pairs(ids: Column) -> Column:
     (measured: a 20k-member bucket took ~6 minutes that way).
     ``zip_with`` over ``array_repeat(hub, ...)`` materializes the hub
     once per ROW, and ``array_min``/``array_remove`` replace the sort
-    entirely — O(b) per bucket."""
+    entirely — O(b) per bucket.
+
+    Duplicate-id safety: the hub side is repeated ``size(spokes)`` times
+    (not ``size(ids) - 1``), so the two zip_with sides stay aligned even
+    if ``ids`` carries duplicate values — ``array_remove`` strips EVERY
+    copy of the hub, and sizing the repeat off the post-remove array
+    means duplicates can never produce null-padded (hub, null) structs.
+    (Today's callers collect one row per doc per band, so ids are
+    distinct by construction; the helper no longer relies on that.)"""
     hub = F.array_min(ids)
+    spokes = F.array_remove(ids, hub)
     return F.zip_with(
-        F.array_repeat(hub, F.size(ids) - 1),
-        F.array_remove(ids, hub),
+        F.array_repeat(hub, F.size(spokes)),
+        spokes,
         lambda h, y: F.struct(h.alias("id_a"), y.alias("id_b")),
     )
 

@@ -98,3 +98,24 @@ def test_mega_bucket_guard_bounds_expansion_and_keeps_recall(spark):
     assert len(boiler) == N_BOILER - 1, len(boiler)
     assert all(a == 0 for a, _ in boiler), "star hub must be the min id"
     assert {b for _, b in boiler} == set(range(1, N_BOILER))
+
+
+def test_star_pairs_safe_under_duplicate_ids(spark):
+    """star_pairs must stay self-protecting if a caller ever feeds it
+    duplicate ids: the hub side is sized off the post-remove spoke array,
+    so duplicated hub values can't produce null-padded (hub, null) structs
+    or misaligned zip_with sides (round-5 ADVICE)."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import star_pairs
+
+    df = spark.createDataFrame(
+        [([3, 1, 1, 7, 5],), ([2, 2],), ([9],)], "ids array<long>"
+    ).select(star_pairs(F.col("ids")).alias("pairs"))
+    got = [sorted((p.id_a, p.id_b) for p in r.pairs) for r in df.collect()]
+    # duplicated hub (1 twice): every copy removed, spokes = {3, 7, 5}
+    assert got[0] == [(1, 3), (1, 5), (1, 7)]
+    # all-duplicate bucket: no spokes left, empty star (no null structs)
+    assert got[1] == []
+    # singleton bucket: nothing to pair
+    assert got[2] == []
+    flat = [p for pairs in got for p in pairs]
+    assert all(a is not None and b is not None for a, b in flat)

@@ -78,6 +78,47 @@ def test_bare_sql_body_accepted(rest):
     assert out[0]["columns"] == ["id", "hotel_id"]
 
 
+def test_query_collect_is_capped(spark):
+    """Any registered view is servable through /query, so the handler must
+    never buffer unbounded rows on the driver: it fetches max_rows+1 via
+    df.limit() (a CollectLimit in the Spark plan — the bound executes
+    distributed, not post-hoc), returns max_rows, and appends a ksql-style
+    finalMessage truncation marker."""
+    from pyspark.sql import functions as F
+
+    ctx = KsqlContext(spark)
+    big = spark.range(100_000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("bucket")
+    )
+    ctx.register_topic("big_topic", big)
+    server = KsqlRestServer(ctx, max_rows=50)
+    try:
+        status, _ = _post(server, "/ksql", json.dumps({
+            "ksql": "CREATE STREAM bigs (event_id BIGINT, bucket BIGINT) "
+                    "WITH (KAFKA_TOPIC='big_topic', VALUE_FORMAT='JSON');",
+            "streamsProperties": {},
+        }))
+        assert status == 200
+        status, rows = _post(server, "/query", json.dumps({
+            "ksql": "SELECT * FROM bigs;", "streamsProperties": {},
+        }))
+        assert status == 200
+        assert len(rows) == 51  # 50 data rows + 1 truncation marker
+        assert rows[-1]["finalMessage"] == "Query output truncated at 50 rows"
+        assert all("row" in r for r in rows[:-1])
+
+        # an under-cap result must NOT carry a marker
+        status, rows = _post(server, "/query", json.dumps({
+            "ksql": "SELECT bucket, COUNT(*) AS n FROM bigs GROUP BY bucket;",
+            "streamsProperties": {},
+        }))
+        assert status == 200
+        assert len(rows) == 7
+        assert all("row" in r for r in rows)
+    finally:
+        server.close()
+
+
 def test_query_serializes_timestamps(rest, spark):
     """/query must serialize temporal columns (windowed tables expose
     window.start as TIMESTAMP) instead of 400ing on json.dumps."""
