@@ -119,6 +119,11 @@ def run_headline(spark, queries, names, sf_dir=None):
             timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
+            # a transient run-2 failure (memory pressure etc.) must not
+            # discard a valid run-1 measurement — record it alongside the
+            # error; 'partial' still flags the artifact downstream
+            if best != float("inf"):
+                timings[name] = round(best, 3)
         # operators that persist intermediates would otherwise accumulate
         # cache across the suite and skew later queries via memory pressure
         # (clearCache drops DF-level cache; release_parallel_caches frees
@@ -143,7 +148,15 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings, errors = run_headline(spark, queries, HEADLINE)
+    # SPARK_GRAFT_EXCLUDE: comma-separated queries to skip, recorded in the
+    # output (never silent). Used by the sf1 tier to skip embedding_near_dup
+    # — the quadratic-BY-DESIGN oracle twin whose production path is the
+    # included LSH variant; at 20k vectors the exact twin is pure O(n^2)
+    # ground-truth machinery, not a plan anyone would run at scale.
+    exclude = {s for s in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",") if s}
+    names = [n for n in HEADLINE if n not in exclude]
+
+    timings, errors = run_headline(spark, queries, names)
 
     try:
         streaming_eps = _streaming_throughput(spark)
@@ -163,7 +176,26 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "streaming_events_per_sec": streaming_eps,
+        # Recorded so round-over-round artifacts are comparable without
+        # re-deriving the harness's discipline from the code (the r02->r05
+        # delta was a methodology change — cold caches between queries —
+        # not a regression, and cost a review cycle to attribute).
+        "methodology": {
+            "batch": "best-of-2 runs per query; caches cleared between "
+                     "queries (clearCache + persist-registry release) so "
+                     "no query rides an earlier query's cache",
+            "streaming": "1 untimed warm-up replay, then best-of-3 timed "
+                         "replays, fresh checkpoint each",
+            "warmup": "one flagship query + one mapInPandas no-op before "
+                      "timing (JIT + Python-worker spin-up)",
+            "materialization": "df.count() per run",
+        },
     }
+    if exclude:
+        out["excluded"] = sorted(exclude & set(HEADLINE))
+    deltas = _baseline_deltas(timings, streaming_eps)
+    if deltas:
+        out["vs_baseline"] = deltas
     if errors:
         # 'value' sums only the queries that ran — mark the total partial
         # so a crash can never read as a round-over-round speedup
@@ -172,17 +204,55 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:
+    """Per-query ratios vs the committed baseline artifact
+    (bench_baseline.json — the last driver-recorded run), so each bench
+    line carries its own round-over-round diff: ratio > 1 is slower than
+    baseline, < 1 faster. Queries absent from the baseline are listed
+    under 'new'."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_baseline.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as fh:
+            base = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    bq = base.get("queries", {})
+    ratios = {
+        k: round(v / bq[k], 2)
+        for k, v in timings.items()
+        if k in bq and bq[k] and bq[k] > 0
+    }
+    common = [k for k in timings if k in bq]
+    out: dict = {
+        "label": base.get("label", "baseline"),
+        "common_total_ratio": round(
+            sum(timings[k] for k in common) / max(sum(bq[k] for k in common), 1e-9), 3
+        ) if common else None,
+        "per_query_ratio": ratios,
+        "new": sorted(k for k in timings if k not in bq),
+    }
+    bs = base.get("streaming_events_per_sec")
+    if bs and streaming_eps:
+        out["streaming_ratio"] = round(streaming_eps / bs, 3)
+    return out
+
+
 def _streaming_throughput(spark) -> float:
     """Events/s through the flagship-shaped streaming aggregation: the
     events table replayed through a file-source update-mode keyed count
     (state store + shuffle, the reference's analyze-stage profile). The
     reference's producer ran at 1 rec/s (producer-app-data.yaml:36).
 
-    Best of three replays (fresh checkpoint each): the first replay pays
-    one-time costs (state-store init, streaming codegen) that a sustained
-    pipeline amortizes away — same best-of-N discipline as the batch
-    timings above, and it keeps the recorded number comparable across
-    rounds instead of tracking cold-start noise."""
+    One untimed warm-up replay, then best of three timed replays (fresh
+    checkpoint each): the warm-up pays the one-time costs (state-store
+    init, streaming codegen, JIT of the streaming aggregation loop) that a
+    sustained pipeline amortizes away, so the timed replays measure steady
+    state — the r05 driver artifact read 16% below r02 purely because the
+    first timed replay landed on a cold code cache after the 50-query
+    batch suite."""
     import shutil
     import tempfile
 
@@ -198,11 +268,11 @@ def _streaming_throughput(spark) -> float:
         ev.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
             4
         ).write.json(src)
-        # Best of three replays: after the 49-query batch suite the first
-        # replay can read 30-40% low while the JVM settles (observed);
-        # three replays pin the steady-state number (~2 s each).
+        # Replay 0 is the deterministic warm-up (untimed); replays 1-3 are
+        # measured, best-of-3. After the 50-query batch suite the first
+        # replay can read 30-40% low while the JVM settles (observed).
         best = float("inf")
-        for i in range(3):
+        for i in range(4):
             stream = (
                 spark.readStream.schema(
                     "event_id long, ts timestamp, user_id long, "
@@ -224,7 +294,8 @@ def _streaming_throughput(spark) -> float:
             )
             t0 = time.perf_counter()
             q.processAllAvailable()
-            best = min(best, time.perf_counter() - t0)
+            if i > 0:  # replay 0 is the warm-up
+                best = min(best, time.perf_counter() - t0)
             q.stop()
         return round(n / best, 1)
     finally:

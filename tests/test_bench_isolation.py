@@ -42,6 +42,23 @@ def test_one_broken_query_does_not_zero_the_artifact(spark, sf_dir):
     assert "RuntimeError" in errors["broken_build"]
 
 
+def test_transient_run2_failure_keeps_run1_timing(spark, sf_dir):
+    """A valid run-1 measurement must survive a transient run-2 failure
+    (memory pressure etc.): the query is recorded under BOTH timings (the
+    finite best) and errors (so 'partial' still flags the artifact)."""
+    calls = {"n": 0}
+
+    def _flaky(spark, sf_dir):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("transient second-run failure")
+        return spark.range(10)
+
+    timings, errors = bench.run_headline(spark, {"f": _flaky}, ["f"], sf_dir=sf_dir)
+    assert "f" in timings and timings["f"] >= 0
+    assert "f" in errors and "transient" in errors["f"]
+
+
 def test_all_green_produces_no_errors_key(spark, sf_dir):
     timings, errors = bench.run_headline(
         spark, {"g": _ok_query}, ["g"], sf_dir=sf_dir
