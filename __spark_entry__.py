@@ -16,10 +16,12 @@ Round-6 rotation: the 5 reference-surface queries stay first (every
 round), then the three round-5 additions that were appended outside the
 window and have never had a driver row (cms_merge_bound, vocab_encode,
 dataset_mix — vocab_encode also carries this round's top-V
-TakeOrderedAndProject fix), then the round-6 additions, then the
-never-rotated r05 first-evers that keep their slots, then the
-training-data-pipeline core.  Entries with green driver rows in r05
-(median_aggregates, bitwise_aggregates, array_set_ops, and friends)
+TakeOrderedAndProject fix), then the four NEW round-6 curation operators
+(segment_dedup, chunk_documents, domain_cap, semantic_dedup — added
+inside the window, never outside it), then the r05 first-evers that keep
+their slots, then the training-data-pipeline core.  Entries with green
+driver rows in r05 (median_aggregates, arrow_byte_stats,
+string_functions2, cheapest_supplier, word_positions, and friends)
 rotate to the back — their hard rows are on record.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
@@ -48,6 +50,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import analytics13 as A13
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
+from m12_kafkastreams_python_azure_spark.operators import curation as CU
 from m12_kafkastreams_python_azure_spark.operators import linkage as LK
 from m12_kafkastreams_python_azure_spark.operators import scd as SCD
 from m12_kafkastreams_python_azure_spark.operators import sketches as SK
@@ -82,12 +85,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_merge_bound": SK.q_cms_merge_bound,
         "vocab_encode": T.q_vocab_encode,
         "dataset_mix": A10.q_dataset_mix,
+        # round-6 curation wave (NEW — boilerplate-segment dedup, chunking,
+        # per-domain caps, SemDeDup-shaped embedding dedup)
+        "segment_dedup": CU.q_segment_dedup,
+        "chunk_documents": CU.q_chunk_documents,
+        "domain_cap": CU.q_domain_cap,
+        "semantic_dedup": CU.q_semantic_dedup,
         # r05 first-evers keeping their slots this round
-        "arrow_byte_stats": A9.q_arrow_byte_stats,
-        "string_functions2": A9.q_string_functions2,
-        "cheapest_supplier": A9.q_cheapest_supplier,
         "trailing_hour_counts": A9.q_trailing_hour_counts,
-        "word_positions": A9.q_word_positions,
         "full_outer_activity": A10.q_full_outer_activity,
         "unpivot_metrics": A10.q_unpivot_metrics,
         "orderkey_islands": A12.q_orderkey_islands,
@@ -152,11 +157,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_functions": A11.q_map_functions,
         "stratified_sample": A11.q_stratified_sample,
         "histogram_bins": A13.q_histogram_bins,
-        # rotated out in r06 to make room for the round-5 additions
+        # rotated out in r06 to make room for the round-5/6 additions
         # (green driver rows in CORRECTNESS_r05)
         "median_aggregates": A9.q_median_aggregates,
         "bitwise_aggregates": A9.q_bitwise_aggregates,
         "array_set_ops": A9.q_array_set_ops,
+        "arrow_byte_stats": A9.q_arrow_byte_stats,
+        "string_functions2": A9.q_string_functions2,
+        "cheapest_supplier": A9.q_cheapest_supplier,
+        "word_positions": A9.q_word_positions,
         # analytics green in CORRECTNESS_r01 + r02 (rotated to the back)
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,
@@ -300,6 +309,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_merge_bound": SK.ORACLE_CMS_MERGE_BOUND,
         "vocab_encode": T.ORACLE_VOCAB_ENCODE,
         "dataset_mix": A10.ORACLE_DATASET_MIX,
+        "segment_dedup": CU.ORACLE_SEGMENT_DEDUP,
+        "chunk_documents": CU.ORACLE_CHUNK_DOCUMENTS,
+        "domain_cap": CU.ORACLE_DOMAIN_CAP,
+        "semantic_dedup": CU.ORACLE_SEMANTIC_DEDUP,
         "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
         "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,
         "zorder_key": L.ORACLE_ZORDER_KEY,

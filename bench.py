@@ -91,6 +91,10 @@ HEADLINE = [
     "corr_battery",
     "cms_merge_bound",
     "vocab_encode",
+    "segment_dedup",
+    "chunk_documents",
+    "domain_cap",
+    "semantic_dedup",
 ]
 
 

@@ -1,0 +1,322 @@
+"""Corpus-curation wave 2: the cross-document structure operators a
+100 TB LLM-data pipeline runs after per-doc hygiene (``corpus.py``) and
+whole-doc dedup (``dedup.py``).
+
+Beyond the reference surface (SURVEY.md §2 bottom note):
+
+- ``segment_dedup`` — CCNet/RefinedWeb-style boilerplate removal at
+  segment granularity: fixed-width word segments that recur across many
+  DISTINCT documents (nav bars, license headers, cookie banners) are
+  dropped from every document that carries them. The driver corpus has
+  no newlines, so the "line" unit is a non-overlapping SEG_WORDS-word
+  segment — same algorithm, different splitter.
+- ``chunk_documents`` — sliding-window chunking (size/stride in words)
+  that turns long documents into overlapping training sequences; the
+  complement of ``corpus.pack_sequences`` (which packs SHORT docs up to
+  the context length, while this splits LONG ones down to it).
+- ``domain_cap`` — FineWeb-style per-source document cap via SALTED
+  two-phase top-K: per-(source, salt) partial top-K first, then final
+  top-K over the bounded survivor set, so one mega-domain cannot funnel
+  through a single task.
+- ``semantic_dedup`` — SemDeDup-shaped embedding dedup: WITHIN a cluster,
+  drop every vector that has a lower-id neighbor at cosine >= TAU. The
+  ``label`` column stands in for the cluster id here; the production path
+  derives clusters with the bounded k-means in ``ivf.py`` so cluster
+  sizes stay capped and the in-cluster pairwise stays tractable.
+
+Scale notes per operator are on the functions; none uses a Python UDF,
+a cartesian product, or an unpartitioned global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.functions.vectors import (
+    dot_product_unrolled,
+    l2_norm,
+)
+from m12_kafkastreams_python_azure_spark.operators.similarity import _probe_dim
+from m12_kafkastreams_python_azure_spark.sources.readers import (
+    load_table,
+    parallel_scan,
+)
+
+# ---------------------------------------------------------------- segment dedup
+
+SEG_WORDS = 8        # words per non-overlapping segment
+BOILER_MIN_DOCS = 3  # a segment in >= this many DISTINCT docs is boilerplate
+
+
+def _segments(docs: DataFrame, seg_words: int) -> DataFrame:
+    """(doc_id, seg_idx, seg): non-overlapping ``seg_words``-word segments
+    in document order. Narrow — pure per-row array math, no shuffle."""
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_seg = F.ceil(F.size("w") / F.lit(float(seg_words))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice("w", i * seg_words + 1, seg_words), " "),
+    )
+    return words.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = SEG_WORDS,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Per doc: total segments, boilerplate segments, and the text rebuilt
+    without boilerplate (order-preserving).
+
+    Scale shape (the CCNet recipe): ONE shuffle on the segment hash — a
+    window over ``partitionBy(seg)`` computes the distinct-doc frequency
+    without a second scan or a self-join — then one shuffle on ``doc_id``
+    to reassemble. No broadcast of the boilerplate set: its size is
+    corpus-dependent (total_segments / min_docs in the worst case), so it
+    must not be assumed driver-sized; the seg-keyed window keeps it
+    distributed. Reassembly sorts WITHIN each doc's collected array
+    (array_sort on structs, seg_idx first), never globally."""
+    segs = _segments(docs, seg_words)
+    w = Window.partitionBy("seg")
+    flagged = segs.withColumn(
+        "is_boiler", F.size(F.collect_set("doc_id").over(w)) >= min_docs
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(F.struct("seg_idx", "is_boiler", "seg"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.filter(kept_struct, lambda s: ~s["is_boiler"]),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_dedup(parallel_scan(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_SEGMENT_DEDUP = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(w, i*{SEG_WORDS}+1, i*{SEG_WORDS}+{SEG_WORDS}), ' ') AS seg
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(0,
+                CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT) - 1)) AS i) t
+),
+freq AS (
+  SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+),
+flagged AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, f.n_docs >= {BOILER_MIN_DOCS} AS is_boiler
+  FROM segs s JOIN freq f USING (seg)
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       coalesce(array_to_string(
+         list(seg ORDER BY seg_idx) FILTER (WHERE NOT is_boiler), ' '), '')
+         AS kept_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+# ------------------------------------------------------------- document chunking
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_words: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_tokens): overlapping sliding
+    windows over the word sequence; the final chunk may be short. Chunk
+    count is 1 + ceil(max(0, n-chunk_words)/stride) so every word lands in
+    at least one chunk and no window starts past the end.
+
+    Scale: narrow per-row transform — zero shuffles, output fan-out
+    bounded by ~n/stride per doc. The chunker runs where the doc already
+    lives; at 100 TB this is the map stage before tokenize-and-pack."""
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n = F.size("w")
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.lit(0).cast("long"),
+            F.ceil((n - F.lit(chunk_words)) / F.lit(float(stride))),
+        )
+    ).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("w", i * stride + 1, chunk_words),
+    )
+    exploded = words.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        F.size("chunk").alias("n_tokens"),
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(parallel_scan(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+counted AS (
+  SELECT doc_id, w,
+         1 + greatest(0, CAST(ceil((len(w) - {CHUNK_WORDS}) / {CHUNK_STRIDE}.0) AS BIGINT))
+           AS n_chunks
+  FROM words
+)
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(list_slice(w, i*{CHUNK_STRIDE}+1, i*{CHUNK_STRIDE}+{CHUNK_WORDS}), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(w, i*{CHUNK_STRIDE}+1, i*{CHUNK_STRIDE}+{CHUNK_WORDS})) AS INT)
+         AS n_tokens
+FROM counted,
+     LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t
+"""
+
+# ------------------------------------------------------------------- domain cap
+
+DOMAIN_CAP = 20
+
+
+def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Keep at most ``cap`` docs per source, ranked by (n_chars DESC,
+    doc_id ASC) — the FineWeb per-domain cap that stops one mega-domain
+    from dominating the training mix.
+
+    Scale shape — salted two-phase top-K instead of one global window:
+    phase 1 ranks within (source, spark_partition_id), which spreads a
+    skewed source over as many tasks as it has input partitions; phase 2
+    ranks the <= cap * n_partitions survivors per source. The final
+    result (and the rank values) are partitioning-invariant because the
+    order key (n_chars DESC, doc_id ASC) is a total order and every
+    global top-cap row survives any phase-1 partitioning. A single
+    ``Window.partitionBy(source)`` over the raw table would funnel each
+    source's ENTIRE row set through one task — the exact skew this
+    avoids."""
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    w1 = Window.partitionBy("source", "pid").orderBy(*order)
+    survivors = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= cap)
+        .drop("pid", "prk")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_cap(parallel_scan(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_DOMAIN_CAP = f"""
+SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP}
+"""
+
+# --------------------------------------------------------------- semantic dedup
+
+SEMANTIC_TAU = 0.35
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = SEMANTIC_TAU,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Kept rows after SemDeDup-shaped near-duplicate removal: within each
+    cluster, a vector is DROPPED iff some lower-id vector in the same
+    cluster has cosine >= tau with it (the min-id representative of every
+    near-dup neighborhood survives).
+
+    Scale shape: the pairwise comparison is an EQUI-join on the cluster
+    id with the similarity predicate inside the join condition (only
+    dominating pairs materialize) and a left_anti to subtract the
+    dominated set — quadratic only WITHIN a cluster, which is the
+    SemDeDup contract: cluster sizes are capped by the clustering step
+    (``ivf.py`` k-means in the production path; the synthetic ``label``
+    here). Cited pattern: Abbas et al., SemDeDup (arXiv:2303.09540)."""
+    if dim is None:
+        dim = _probe_dim(emb, vec_col)
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.select(
+        F.col(id_col), F.col(cluster_col), F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(cluster_col).alias("cl_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"),
+    ).repartition(parallelism, "cl_a", "id_a")
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(cluster_col).alias("cl_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"),
+    )
+    sim = dot_product_unrolled(F.col("va"), F.col("vb"), dim) / (
+        F.col("na") * F.col("nb")
+    )
+    dominated = a.join(
+        b,
+        (F.col("cl_a") == F.col("cl_b"))
+        & (F.col("id_b") < F.col("id_a"))
+        & (sim >= tau),
+        "left_semi",
+    ).select(F.col("id_a").alias(id_col))
+    return emb.join(dominated, id_col, "left_anti").select(id_col, cluster_col)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+SELECT a.vec_id, a.label
+FROM embeddings a
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings b
+  WHERE b.label = a.label AND b.vec_id < a.vec_id
+    AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        >= {SEMANTIC_TAU}
+)
+"""

@@ -1,0 +1,133 @@
+"""Behavioral invariants for the round-6 curation wave
+(``operators/curation.py``) on PLANTED data — the oracle sweep
+(``test_oracle.py``) covers parity on the driver tables; these tests pin
+the semantics the oracle can't see failing (e.g. that a planted
+boilerplate segment actually disappears, or that domain_cap's salted
+two-phase is partitioning-invariant).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.operators import curation as CU
+
+BOILER = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly SEG_WORDS words
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    uniq = ["alpha beta gamma delta epsilon zeta eta theta"][0]
+    rows = [
+        # 3 docs sharing the same leading 8-word segment -> boilerplate
+        (1, f"{BOILER} doc one tail words here and now okay"),
+        (2, f"{BOILER} doc two different tail entirely for this"),
+        (3, f"{BOILER} doc three yet another tail of words"),
+        # a doc with a unique 8-word segment -> kept intact
+        (4, f"{uniq} unique tail"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_boilerplate_segment_is_removed(planted_docs):
+    out = {
+        r["doc_id"]: r
+        for r in CU.segment_dedup(planted_docs).collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d]["n_boiler"] == 1
+        assert BOILER not in out[d]["kept_text"]
+        # the non-boilerplate remainder survives in order
+        assert out[d]["kept_text"].startswith("doc")
+    assert out[4]["n_boiler"] == 0
+    assert out[4]["kept_text"] == planted_docs.filter("doc_id=4").first()["text"]
+
+
+def test_segment_dedup_all_boiler_doc_keeps_empty_text(spark):
+    # every segment shared by all 3 docs -> kept_text must be '' (not null)
+    docs = spark.createDataFrame(
+        [(i, BOILER) for i in range(3)], "doc_id long, text string"
+    )
+    for r in CU.segment_dedup(docs).collect():
+        assert r["kept_text"] == ""
+        assert r["n_segments"] == r["n_boiler"] == 1
+
+
+def test_chunk_documents_covers_every_word_in_order(spark):
+    n_words = 100
+    text = " ".join(f"t{i}" for i in range(n_words))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        CU.chunk_documents(docs).collect(), key=lambda r: r["chunk_idx"]
+    )
+    # stride coverage: chunk i starts at word i*stride
+    rebuilt = []
+    for r in chunks:
+        words = r["chunk_text"].split(" ")
+        assert r["n_tokens"] == len(words)
+        assert len(words) <= CU.CHUNK_WORDS
+        start = r["chunk_idx"] * CU.CHUNK_STRIDE
+        assert words == [f"t{i}" for i in range(start, min(start + len(words), n_words))]
+        rebuilt.extend(words)
+    assert set(rebuilt) == {f"t{i}" for i in range(n_words)}
+    # no chunk window starts past the end
+    assert chunks[-1]["chunk_idx"] * CU.CHUNK_STRIDE < n_words
+
+
+def test_chunk_documents_short_doc_is_one_chunk(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = CU.chunk_documents(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b c"
+    assert rows[0]["n_tokens"] == 3
+
+
+def test_domain_cap_is_partitioning_invariant(spark):
+    # 1 mega-source (60 docs) + 1 small source (3 docs); result must be the
+    # same whether the input arrives in 1 partition or 16.
+    rows = [(i, "big", 1000 - i) for i in range(60)] + [
+        (100 + i, "small", 10 + i) for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got_1 = {
+        (r["doc_id"], r["rk"]) for r in CU.domain_cap(docs.coalesce(1)).collect()
+    }
+    got_16 = {
+        (r["doc_id"], r["rk"]) for r in CU.domain_cap(docs.repartition(16)).collect()
+    }
+    assert got_1 == got_16
+    # cap respected; small source fully kept with dense ranks
+    assert sum(1 for d, _ in got_1 if d < 100) == CU.DOMAIN_CAP
+    assert {(d, r) for d, r in got_1 if d >= 100} == {(102, 1), (101, 2), (100, 3)}
+    # ranks follow n_chars DESC: doc 0 (n_chars=1000) is rank 1
+    assert (0, 1) in got_1
+
+
+def test_semantic_dedup_keeps_min_id_representative(spark):
+    # cluster 0: ids 10 and 20 identical (cos=1) -> 20 dropped, 10 kept;
+    # id 30 orthogonal -> kept. cluster 1: same vector as id 20 but a
+    # different cluster -> NOT compared, kept.
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0], 0),
+        (20, [1.0, 0.0, 0.0, 0.0], 0),
+        (30, [0.0, 1.0, 0.0, 0.0], 0),
+        (40, [1.0, 0.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    kept = {r["vec_id"] for r in CU.semantic_dedup(emb, dim=4).collect()}
+    assert kept == {10, 30, 40}
+
+
+def test_semantic_dedup_plan_is_cluster_blocked(spark):
+    # the pairwise join must be an equi-join on the cluster id, not a
+    # cartesian/BNLJ over all pairs
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = CU.semantic_dedup(emb, dim=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -32,14 +32,20 @@ ROTATED_IN_R06 = [
     "dataset_mix",
 ]
 
+# NEW in round 6: the curation wave, added INSIDE the window (never
+# appended outside it — the rule this file enforces).
+NEW_IN_R06 = [
+    "segment_dedup",
+    "chunk_documents",
+    "domain_cap",
+    "semantic_dedup",
+]
+
 # r05 first-evers keeping their window slots (median_aggregates,
-# bitwise_aggregates, array_set_ops rotated out — green rows in r05).
+# bitwise_aggregates, array_set_ops, arrow_byte_stats, string_functions2,
+# cheapest_supplier, word_positions rotated out — green rows in r05).
 KEPT_FROM_R05 = [
-    "arrow_byte_stats",
-    "string_functions2",
-    "cheapest_supplier",
     "trailing_hour_counts",
-    "word_positions",
     "full_outer_activity",
     "unpivot_metrics",
     "orderkey_islands",
@@ -98,7 +104,8 @@ ROWS_ONLY = {
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + ROTATED_IN_R06 + KEPT_FROM_R05 + KEPT_FIXED_R05 + LLM_PIPELINE
+        REFERENCE_SURFACE + ROTATED_IN_R06 + NEW_IN_R06
+        + KEPT_FROM_R05 + KEPT_FIXED_R05 + LLM_PIPELINE
     )
     assert len(expected) == WINDOW
     assert window == expected
