@@ -95,6 +95,7 @@ HEADLINE = [
     "chunk_documents",
     "domain_cap",
     "semantic_dedup",
+    "ann_pq",
 ]
 
 

@@ -250,6 +250,7 @@ SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
 # --------------------------------------------------------------- semantic dedup
 
 SEMANTIC_TAU = 0.35
+SEMANTIC_SALT = 8
 
 
 def semantic_dedup(
@@ -259,6 +260,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    salt: int = SEMANTIC_SALT,
 ) -> DataFrame:
     """Kept rows after SemDeDup-shaped near-duplicate removal: within each
     cluster, a vector is DROPPED iff some lower-id vector in the same
@@ -271,7 +273,14 @@ def semantic_dedup(
     dominated set — quadratic only WITHIN a cluster, which is the
     SemDeDup contract: cluster sizes are capped by the clustering step
     (``ivf.py`` k-means in the production path; the synthetic ``label``
-    here). Cited pattern: Abbas et al., SemDeDup (arXiv:2303.09540)."""
+    here). Because the cluster-id key can be LOW-CARDINALITY (10 labels
+    here), the join is salted: side a adds ``hash(id) % salt`` to the key
+    and side b replicates ``salt`` ways, so each cluster's quadratic work
+    spreads over ``salt`` tasks instead of one. Every (a, b) pair still
+    meets exactly once — the result is salt-invariant (tested). Total
+    comparison count is unchanged; replication costs salt× of the SMALL
+    per-task probe build, the standard trade. Cited pattern: Abbas et
+    al., SemDeDup (arXiv:2303.09540)."""
     if dim is None:
         dim = _probe_dim(emb, vec_col)
     parallelism = emb.sparkSession.sparkContext.defaultParallelism
@@ -282,12 +291,14 @@ def semantic_dedup(
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(cluster_col).alias("cl_a"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(salt)).alias("salt_a"),
         F.col(vec_col).alias("va"),
         F.col("_nrm").alias("na"),
-    ).repartition(parallelism, "cl_a", "id_a")
+    ).repartition(parallelism, "cl_a", "salt_a")
     b = base.select(
         F.col(id_col).alias("id_b"),
         F.col(cluster_col).alias("cl_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt_b"),
         F.col(vec_col).alias("vb"),
         F.col("_nrm").alias("nb"),
     )
@@ -297,6 +308,7 @@ def semantic_dedup(
     dominated = a.join(
         b,
         (F.col("cl_a") == F.col("cl_b"))
+        & (F.col("salt_a") == F.col("salt_b"))
         & (F.col("id_b") < F.col("id_a"))
         & (sim >= tau),
         "left_semi",

@@ -121,6 +121,16 @@ def test_semantic_dedup_keeps_min_id_representative(spark):
     assert kept == {10, 30, 40}
 
 
+def test_semantic_dedup_is_salt_invariant(spark, sf_dir):
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept_1 = {r["vec_id"] for r in CU.semantic_dedup(emb, salt=1).collect()}
+    kept_8 = {r["vec_id"] for r in CU.semantic_dedup(emb, salt=8).collect()}
+    assert kept_1 == kept_8
+    assert 0 < len(kept_8) < emb.count()  # non-degenerate on driver data
+
+
 def test_semantic_dedup_plan_is_cluster_blocked(spark):
     # the pairwise join must be an equi-join on the cluster id, not a
     # cartesian/BNLJ over all pairs

@@ -39,11 +39,13 @@ NEW_IN_R06 = [
     "chunk_documents",
     "domain_cap",
     "semantic_dedup",
+    "ann_pq",
 ]
 
 # r05 first-evers keeping their window slots (median_aggregates,
 # bitwise_aggregates, array_set_ops, arrow_byte_stats, string_functions2,
-# cheapest_supplier, word_positions rotated out — green rows in r05).
+# cheapest_supplier, word_positions, corr_battery rotated out — green
+# rows in r05).
 KEPT_FROM_R05 = [
     "trailing_hour_counts",
     "full_outer_activity",
@@ -51,7 +53,6 @@ KEPT_FROM_R05 = [
     "orderkey_islands",
     "region_revenue_share",
     "benford_digits",
-    "corr_battery",
 ]
 KEPT_FIXED_R05 = ["event_pairs_10min", "latest_event_per_user"]
 
@@ -98,6 +99,7 @@ ROWS_ONLY = {
     "ann_lsh",
     "ann_ivf",
     "embedding_near_dup_lsh",
+    "ann_pq",
 }
 
 

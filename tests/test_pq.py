@@ -1,0 +1,83 @@
+"""Product-quantization ANN (``operators/pq.py``): recall vs the exact
+brute-force twin, determinism, and the compressed-representation
+contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.operators import pq as PQ
+from m12_kafkastreams_python_azure_spark.operators.similarity import (
+    ann_bruteforce_topk,
+)
+from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return PQ.train_pq(emb)
+
+
+def test_codebook_shape_and_determinism(emb, codebooks):
+    assert len(codebooks) == PQ.PQ_M
+    assert all(len(b) == PQ.PQ_KSUB for b in codebooks)
+    dsub = len(codebooks[0][0])
+    assert dsub * PQ.PQ_M == 64  # dsub=4 at m=16
+    again = PQ.train_pq(emb)
+    assert again == codebooks  # no RNG anywhere
+
+
+def test_codes_are_m_small_ints(emb, codebooks):
+    enc = PQ.encode_pq(emb, codebooks)
+    row = enc.first()
+    assert len(row["codes"]) == PQ.PQ_M
+    stats = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    assert 0 <= stats["lo"] and stats["hi"] < PQ.PQ_KSUB
+
+
+def test_pq_recall_vs_exact(emb, codebooks):
+    """With exact re-rank of 64 ADC candidates, top-5 recall vs the exact
+    brute-force baseline must be high (the PQ promise: compressed scan,
+    near-exact results)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    encoded = PQ.encode_pq(emb, codebooks)
+    got = PQ.ann_pq_topk(encoded, queries, codebooks, emb, k=5, rerank=64)
+    exact = ann_bruteforce_topk(emb, queries, k=5)
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.85, f"recall@5 = {recall}"
+
+
+def test_pq_rerank_sims_are_exact(emb, codebooks):
+    """Output sims come from the exact re-rank stage: every (q, n, sim)
+    the PQ path emits must equal the brute-force sim for that pair."""
+    queries = emb.filter(F.col("vec_id") < 4)
+    encoded = PQ.encode_pq(emb, codebooks)
+    got = PQ.ann_pq_topk(encoded, queries, codebooks, emb, k=5, rerank=64)
+    exact = ann_bruteforce_topk(emb, queries, k=50)
+    esims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()
+    }
+    for r in got.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in esims:  # pair deep enough in the exact list to compare
+            assert abs(r["sim"] - esims[key]) < 1e-6
+
+
+def test_train_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.train_pq(df, m=2, ksub=4, dim=3)
