@@ -86,8 +86,21 @@ def embedding_near_dup_lsh(
     planes_per_band: int = 4,
     bands: int = 8,
     max_bucket: int = 2000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs with exact-cosine verification.
+
+    ``collapse_exact`` (default on): byte-identical vectors collapse to
+    their min-id representative before the LSH and the pairs expand back
+    afterwards (``dedup.expand_collapsed_pairs``) — within-group pairs
+    carry the representative's self-cosine (what the exact twin computes
+    for an identical pair), cross-group pairs the verified rep-pair
+    cosine. With a FIXED bucket count per band (2^planes_per_band),
+    bucket occupancy grows linearly in corpus size and pair expansion
+    quadratically in the duplication factor; collapsing first makes the
+    LSH cost a function of DISTINCT vectors (sf1 is 10x-replicated: this
+    is ~100x less candidate-verify work) and guarantees every
+    exact-duplicate pair is emitted.
 
     Each band hashes the vector with ``planes_per_band`` independent
     hyperplanes (sign bits); two vectors are candidates if they collide in
@@ -100,6 +113,26 @@ def embedding_near_dup_lsh(
     (id, band, bucket) — vectors never ride the band shuffle; candidate
     pairs are broadcast back onto the (narrow) vector table for the verify.
     """
+    if collapse_exact:
+        mapping, reps = _dedup.collapse_exact_groups(df, [vec_col], id_col)
+        rep_pairs = embedding_near_dup_lsh(
+            reps, threshold, id_col, vec_col, dim, planes_per_band, bands,
+            max_bucket, collapse_exact=False,
+        )
+        # persist AFTER the inner pipeline released + rebuilt the registry
+        mapping = mapping.persist()
+        _dedup.register_parallel_cache(mapping)
+        self_sim = reps.select(
+            F.col(id_col).alias("_rep_id"),
+            F.round(
+                dot_product(F.col(vec_col), F.col(vec_col))
+                / (l2_norm(F.col(vec_col)) * l2_norm(F.col(vec_col))),
+                6,
+            ).alias("sim"),
+        )
+        return _dedup.expand_collapsed_pairs(
+            rep_pairs, mapping, "sim", self_sim, max_bucket
+        )
     # free the previous invocation's cached intermediates (same bounded-
     # cache discipline as the text-dedup helpers)
     _dedup.release_parallel_caches()

@@ -261,11 +261,24 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dim: int | None = None,
     salt: int = SEMANTIC_SALT,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Kept rows after SemDeDup-shaped near-duplicate removal: within each
     cluster, a vector is DROPPED iff some lower-id vector in the same
     cluster has cosine >= tau with it (the min-id representative of every
     near-dup neighborhood survives).
+
+    ``collapse_exact`` (default on) first collapses byte-identical
+    (cluster, vector) rows to their min-id representative and runs the
+    pairwise stage over representatives only. This is EXACTLY
+    result-preserving, not an approximation: (1) every non-representative
+    x is dominated by its own representative (lower id, same cluster,
+    self-cosine ~1 >= tau for any tau < 1); (2) a representative r is
+    dominated by some y < r iff it is dominated by y's representative
+    (same vector, id <= y < r) — so reps-vs-reps finds every surviving
+    row. The oracle runs on the UNcollapsed quadratic and the driver
+    confirms equality. On a duplicate-heavy corpus the pairwise work
+    drops by the duplication factor squared (sf1: 100x).
 
     Scale shape: the pairwise comparison is an EQUI-join on the cluster
     id with the similarity predicate inside the join condition (only
@@ -284,7 +297,15 @@ def semantic_dedup(
     if dim is None:
         dim = _probe_dim(emb, vec_col)
     parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    base = emb.select(
+    src = emb
+    if collapse_exact:
+        w_grp = Window.partitionBy(cluster_col, vec_col)
+        src = (
+            emb.withColumn("_rep", F.min(F.col(id_col)).over(w_grp))
+            .filter(F.col(id_col) == F.col("_rep"))
+            .drop("_rep")
+        )
+    base = src.select(
         F.col(id_col), F.col(cluster_col), F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
@@ -313,7 +334,10 @@ def semantic_dedup(
         & (sim >= tau),
         "left_semi",
     ).select(F.col("id_a").alias(id_col))
-    return emb.join(dominated, id_col, "left_anti").select(id_col, cluster_col)
+    # with collapse on, survivors are exactly the un-dominated reps (every
+    # non-rep is dominated by its own rep — see docstring); with it off,
+    # src IS emb and this is the plain anti-join
+    return src.join(dominated, id_col, "left_anti").select(id_col, cluster_col)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

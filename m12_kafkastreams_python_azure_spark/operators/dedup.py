@@ -22,7 +22,7 @@ is O(n * k) hashing + one shuffle of (band_hash -> doc) pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from m12_kafkastreams_python_azure_spark.functions.text import doc_fingerprint
@@ -192,6 +192,94 @@ _expansion_partitions = expansion_partitions
 _bucket_pairs = bucket_pairs
 
 
+# ------------------------------------------------- exact-collapse pre-pass
+
+
+def collapse_exact_groups(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Group byte-identical rows (same ``key_cols`` content) and pick the
+    min-id member as each group's REPRESENTATIVE.
+
+    Returns ``(mapping, reps)``: mapping = (_m_id, _rep_id) for every
+    input row; reps = the representative rows (original schema).
+
+    This is the production pre-pass in front of every near-dup stage: a
+    duplicate-heavy corpus (the normal web-scale shape — the sf1 tier is
+    10x-replicated by construction) makes LSH bucket occupancy, candidate
+    pair expansion, and verify cost all quadratic in the duplication
+    factor, while the DISTINCT corpus stays the same size. Collapsing
+    first makes near-dup cost a function of distinct content; the exact
+    duplicates re-enter via ``expand_collapsed_pairs``. Cost: ONE shuffle
+    keyed on the content bytes (the same shuffle dedup_exact pays).
+
+    NOTE: ``mapping`` is returned LAZY (not persisted) — callers that run
+    a cache-releasing pipeline (``_parallel_text``) between collapse and
+    expansion must persist it AFTER that pipeline materializes, or accept
+    the recompute."""
+    w = Window.partitionBy(*key_cols)
+    tagged = df.withColumn("_rep_id", F.min(F.col(id_col)).over(w))
+    mapping = tagged.select(F.col(id_col).alias("_m_id"), "_rep_id")
+    reps = tagged.filter(F.col(id_col) == F.col("_rep_id")).drop("_rep_id")
+    return mapping, reps
+
+
+def expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    mapping: DataFrame,
+    metric_col: str,
+    self_metric: Column | DataFrame,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Translate near-dup pairs over group representatives back to pairs
+    over ALL members.
+
+    - cross-group: each rep pair (A, B) expands to every (a in A, b in B)
+      with the metric preserved — members are byte-identical to their
+      rep, so the rep pair's verified metric IS the member pair's metric.
+    - within-group: every multi-member group emits its member pairs at
+      ``self_metric`` (exact-duplicate similarity: Jaccard 1.0, Hamming
+      0, cosine self-sim), guarded by the same ``max_bucket``/star rule
+      as the LSH buckets so a mega-group of identical inputs expands
+      linearly, stays connected for clustering, and can't pin a task.
+
+    ``self_metric``: a constant Column, or a DataFrame (_rep_id,
+    <metric_col>) when the value is per-group (embedding self-sim)."""
+    ma = mapping.select(F.col("_rep_id").alias("id_a"), F.col("_m_id").alias("_ma"))
+    mb = mapping.select(F.col("_rep_id").alias("id_b"), F.col("_m_id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            F.col(metric_col),
+        )
+    )
+    groups = (
+        mapping.groupBy("_rep_id")
+        .agg(F.collect_list("_m_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    expanded = groups.select(
+        "_rep_id",
+        F.explode(
+            F.when(F.size("ids") <= max_bucket, bucket_pairs(F.col("ids"))).otherwise(
+                star_pairs(F.col("ids"))
+            )
+        ).alias("p"),
+    )
+    if isinstance(self_metric, DataFrame):
+        within = expanded.join(self_metric, "_rep_id").select(
+            "p.id_a", "p.id_b", F.col(metric_col)
+        )
+    else:
+        within = expanded.select(
+            "p.id_a", "p.id_b", self_metric.alias(metric_col)
+        )
+    return cross.unionByName(within)
+
+
 def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, t) spread over all cores WITH a materialization barrier.
 
@@ -248,8 +336,19 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.6,
     max_bucket: int = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    ``collapse_exact`` (default on) first collapses byte-identical texts
+    to their min-id representative, runs the LSH over DISTINCT texts
+    only, and expands pairs back (``expand_collapsed_pairs``) — identical
+    texts pair at Jaccard exactly 1.0, so expansion preserves the
+    verified-metric contract while making LSH cost a function of distinct
+    corpus size (on the 10x-replicated sf1 tier this is the difference
+    between ~100x and ~1x the sf0.1 candidate volume). Recall can only
+    improve: every exact-duplicate pair is emitted by construction
+    instead of depending on a band collision.
 
     Defaults (k=16, b=8 => r=2 rows/band) give ~0.97 recall at J=0.6 via
     1-(1-J^r)^b; precision doesn't matter because every candidate is
@@ -263,6 +362,19 @@ def minhash_near_dup_pairs(
     Shuffle profile: one exchange on band_hash (uniform — it's a hash),
     one on the pair ids for verification. No cross product anywhere.
     """
+    if collapse_exact:
+        mapping, reps = collapse_exact_groups(df, [text_col], id_col)
+        rep_pairs = minhash_near_dup_pairs(
+            reps, text_col, id_col, shingle_n, num_hashes, bands,
+            jaccard_threshold, max_bucket, collapse_exact=False,
+        )
+        # persist AFTER the inner pipeline (whose _parallel_text released
+        # the registry); mapping feeds three expansion branches
+        mapping = mapping.persist()
+        register_parallel_cache(mapping)
+        return expand_collapsed_pairs(
+            rep_pairs, mapping, "jaccard", F.lit(1.0), max_bucket
+        )
     rows_per_band = num_hashes // bands
     base = _parallel_shingles(df, text_col, id_col, shingle_n)
     # Hash every shingle string exactly once; signatures derive from the
@@ -470,11 +582,27 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit simhash into ``bands``
     16-bit slices; by pigeonhole, any pair within Hamming distance <
     ``bands`` shares at least one exact band — join per band, verify
-    the full Hamming distance."""
+    the full Hamming distance.
+
+    ``collapse_exact`` (default on): identical texts collapse to one
+    representative before banding and expand back afterwards at Hamming
+    exactly 0 — see ``minhash_near_dup_pairs`` for the rationale."""
+    if collapse_exact:
+        mapping, reps = collapse_exact_groups(df, [text_col], id_col)
+        rep_pairs = simhash_near_dup_pairs(
+            reps, text_col, id_col, max_hamming, bands, max_bucket,
+            collapse_exact=False,
+        )
+        mapping = mapping.persist()
+        register_parallel_cache(mapping)
+        return expand_collapsed_pairs(
+            rep_pairs, mapping, "hamming", F.lit(0), max_bucket
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     sigs = _parallel_text(df, text_col, id_col).select(

@@ -119,3 +119,37 @@ def test_star_pairs_safe_under_duplicate_ids(spark):
     assert got[2] == []
     flat = [p for pairs in got for p in pairs]
     assert all(a is not None and b is not None for a, b in flat)
+
+
+def test_exact_collapse_expansion_on_duplicated_corpus(spark, sf_dir):
+    """The collapse_exact pre-pass (the production stage in front of every
+    near-dup pass; sf1 is 10x-replicated by construction) must (a) never
+    lose a pair the uncollapsed LSH finds, (b) emit EVERY exact-duplicate
+    pair at the exact-dup metric (Jaccard 1.0), and (c) preserve the
+    verified metric on cross-group pairs."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 2x-replicated corpus with shifted ids (the gen_sf1 recipe in small)
+    SHIFT = 1_000_000
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(SHIFT))
+    )
+    on = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(dup, collapse_exact=True).collect()
+    }
+    off = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(dup, collapse_exact=False).collect()
+    }
+    # (a) recall can only improve, and shared pairs carry identical metrics
+    assert set(off) <= set(on)
+    assert all(on[k] == v for k, v in off.items())
+    # (b) every (d, d+SHIFT) exact-dup pair is present at exactly 1.0
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for d in ids:
+        assert on.get((d, d + SHIFT)) == 1.0
