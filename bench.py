@@ -96,6 +96,7 @@ HEADLINE = [
     "domain_cap",
     "semantic_dedup",
     "ann_pq",
+    "ann_ivfpq",
 ]
 
 

@@ -308,3 +308,169 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(
         encoded, emb.filter(F.col("vec_id") < 8), codebooks, emb, k=5, rerank=64
     )
+
+
+# ------------------------------------------------------------------ IVF + PQ
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, centroid_id, codes): the Faiss-IVFPQ index layout —
+    each vector carries its inverted-list id (coarse quantizer) and its
+    16x-compressed PQ code. At scale persist with
+    ``.write.partitionBy("centroid_id")``: a probe then prunes FILES, and
+    the ADC scan reads only the (bytes-wide) code column of the probed
+    lists."""
+    from m12_kafkastreams_python_azure_spark.operators.ivf import _assign
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    coded = _assign_codes(df, codebooks, vec_col, m, dsub)
+    return _assign(coded, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id", "codes"
+    )
+
+
+def ann_ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    raw: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-pruned ADC scan + exact re-rank (Faiss ``IVFPQ`` in DataFrame
+    form). Each query probes its ``nprobe`` closest inverted lists
+    (coarse-quantizer argmax, computed on the broadcast query side along
+    with the per-query ADC table), so the compressed scan touches
+    ~nprobe/k_coarse of the corpus via an EQUI-join on centroid_id — no
+    cross join anywhere in this path, unlike the flat-PQ scan. Survivors
+    re-rank exactly against the raw vectors."""
+    from m12_kafkastreams_python_azure_spark.operators.ivf import _centroid_array
+    from m12_kafkastreams_python_azure_spark.functions.vectors import dot_product
+
+    if dim is None:
+        dim = _probe_dim(raw, vec_col)
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    flat = _codebook_lit(codebooks)
+    carr = _centroid_array(centroids)
+    vec = F.col(vec_col)
+    # ranking-only centroid score: ||q|| constant across centroids (same
+    # argmax; same reasoning as ivf._assign)
+    scored_centroids = F.transform(
+        carr,
+        lambda c: F.struct(
+            (dot_product(vec, c["cvec"]) / c["cnorm"]).alias("sim"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    probes = F.slice(
+        F.array_sort(
+            scored_centroids,
+            lambda a, b: F.when(a["sim"] > b["sim"], -1)
+            .when(a["sim"] < b["sim"], 1)
+            .otherwise(0),
+        ),
+        1,
+        nprobe,
+    )
+    qsubs = _sub_slices(_normalize(vec), m, dsub)
+    adc = F.zip_with(
+        qsubs,
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda sv, j: F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda c: _l2sq(sv, _centroid_slice(flat, j, c, ksub, dsub)),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        adc.alias("adc"),
+        F.explode(F.transform(probes, lambda p: p["cid"])).alias("centroid_id"),
+    )
+    approx = (
+        index.join(F.broadcast(q), on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("adc"),
+                    lambda code, row: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    nb = raw.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnorm"),
+    )
+    qv = raw.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
+    )
+    scored = (
+        cand.join(nb, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "sim",
+            dot_product_unrolled(F.col("qvec"), F.col("cvec"), dim)
+            / (F.col("qnorm") * F.col("cnorm")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+#: train-once memo for the coarse quantizer, same contract as _CODEBOOKS.
+_IVF_CENTROIDS: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN top-5 for the first 8 vectors (rows-only driver check —
+    approximate by design; recall floor vs the exact baseline asserted in
+    tests/test_pq.py; exact twin ``ann_topk`` is oracle-green)."""
+    from m12_kafkastreams_python_azure_spark.operators.ivf import train_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks = _CODEBOOKS.get(sf_dir)
+    if codebooks is None:
+        codebooks = _CODEBOOKS[sf_dir] = train_pq(emb)
+    centroids = _IVF_CENTROIDS.get(sf_dir)
+    if centroids is None:
+        centroids = _IVF_CENTROIDS[sf_dir] = train_ivf(emb, k=16, iters=2)
+    index = build_ivfpq_index(emb, centroids, codebooks)
+    return ann_ivfpq_topk(
+        index, emb.filter(F.col("vec_id") < 8), centroids, codebooks, emb,
+        k=5, nprobe=8, rerank=64,
+    )

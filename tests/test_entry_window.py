@@ -40,19 +40,19 @@ NEW_IN_R06 = [
     "domain_cap",
     "semantic_dedup",
     "ann_pq",
+    "ann_ivfpq",
 ]
 
 # r05 first-evers keeping their window slots (median_aggregates,
 # bitwise_aggregates, array_set_ops, arrow_byte_stats, string_functions2,
-# cheapest_supplier, word_positions, corr_battery rotated out — green
-# rows in r05).
+# cheapest_supplier, word_positions, corr_battery, benford_digits rotated
+# out — green rows in r05).
 KEPT_FROM_R05 = [
     "trailing_hour_counts",
     "full_outer_activity",
     "unpivot_metrics",
     "orderkey_islands",
     "region_revenue_share",
-    "benford_digits",
 ]
 KEPT_FIXED_R05 = ["event_pairs_10min", "latest_event_per_user"]
 
@@ -100,6 +100,7 @@ ROWS_ONLY = {
     "ann_ivf",
     "embedding_near_dup_lsh",
     "ann_pq",
+    "ann_ivfpq",
 }
 
 

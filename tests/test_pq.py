@@ -81,3 +81,26 @@ def test_train_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         PQ.train_pq(df, m=2, ksub=4, dim=3)
+
+
+def test_ivfpq_recall_and_no_crossjoin(spark, emb, codebooks):
+    """IVFPQ = coarse-quantizer pruning x compressed ADC scan: recall
+    floor vs exact (compounded approximations: nprobe-of-16 lists, then
+    PQ + re-rank), and the probed scan must be an EQUI-join on
+    centroid_id — no cartesian/BNLJ anywhere, unlike flat PQ's full scan."""
+    from m12_kafkastreams_python_azure_spark.operators.ivf import train_ivf
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = train_ivf(emb, k=16, iters=2)
+    index = PQ.build_ivfpq_index(emb, centroids, codebooks)
+    got = PQ.ann_ivfpq_topk(
+        index, queries, centroids, codebooks, emb, k=5, nprobe=8, rerank=64
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = ann_bruteforce_topk(emb, queries, k=5)
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.5, f"IVFPQ recall@5 = {recall}"
