@@ -34,9 +34,31 @@ SECTIONS = [
      "broadcast onto the shingle table for the exact-Jaccard verify. No "
      "CartesianProduct anywhere."),
     ("embedding_near_dup_lsh", "Banded sign-LSH embedding near-dup",
-     "All 32 hyperplanes ship as one literal array-of-arrays (tiny "
-     "expression tree); band buckets derive from a single sign-bit pass; "
-     "verify joins stream the id-only pair list against the vector table."),
+     "Exact-duplicate collapse first (one vector-keyed Window, no "
+     "broadcast assumption), then LSH over distinct vectors only: all 32 "
+     "hyperplanes ship as one literal array-of-arrays (tiny expression "
+     "tree); band buckets derive from a single sign-bit pass; verify "
+     "joins stream the id-only pair list against the vector table; "
+     "expansion joins translate rep pairs back to member pairs."),
+    ("segment_dedup", "Boilerplate-segment dedup (CCNet line dedup)",
+     "Narrow segmenting (array slices), ONE shuffle on the segment for "
+     "the cross-doc frequency window — no self-join, no broadcast of the "
+     "unbounded boilerplate set — one doc-keyed shuffle to reassemble "
+     "kept text in order."),
+    ("domain_cap", "Per-domain cap — salted two-phase top-K",
+     "Two Window stages: phase 1 partitions by (source, input-partition "
+     "id) so a mega-domain spreads across tasks; phase 2 ranks the <= "
+     "cap * n_partitions survivors. No unpartitioned global window, no "
+     "per-source funnel."),
+    ("semantic_dedup", "SemDeDup in-cluster embedding dedup",
+     "Exact-collapse window, then a SALTED equi-join on (cluster, "
+     "hash(id) % 8) with the cosine predicate inside the join condition "
+     "— only dominating pairs materialize; left_anti subtracts the "
+     "dominated set. No CartesianProduct/BNLJ (plan-asserted)."),
+    ("ann_ivfpq", "IVFPQ — coarse-quantizer pruning x compressed ADC",
+     "The probe is an EQUI-join on centroid_id (queries broadcast with "
+     "their per-query ADC tables); the scan side reads codes, not "
+     "vectors; exact re-rank touches only the bounded survivor set."),
 ]
 
 
