@@ -231,3 +231,31 @@ def rate_source(
         .option("numPartitions", num_partitions)
         .load()
     )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: Iterable[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` emits the first row per key and
+    keeps that key's state only until the watermark passes its event
+    time — the state store stays bounded by (arrival rate x watermark)
+    instead of growing with every key ever seen.
+
+    This completes the engine's three streaming-dedup shapes, each with a
+    different state/guarantee trade:
+
+    - ``dropDuplicates(keys)`` (pipeline.py): exact forever, UNBOUNDED
+      state — right for finite key domains (category x hotel).
+    - this one: exact for duplicates arriving within the watermark of
+      each other, bounded state — right for at-least-once transports
+      (Kafka producer retries, task re-sends) where dups cluster in time.
+    - ``start_dedup_stream`` (foreachBatch anti-join against the sink):
+      exactly-once APPEND across restarts, state = the sink itself.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

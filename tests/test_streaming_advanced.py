@@ -297,3 +297,42 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
         q.stop()
     assert (1, 2) in got
     assert (7, None) in got  # unmatched view emitted with NULL purchase
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dups"))
+    rows = [
+        _event(1, 0, 1, "view"),
+        _event(1, 1, 1, "view"),        # retry duplicate, 1 min later
+        _event(2, 2, 2, "purchase", 9.0),
+        _event(2, 2, 2, "purchase", 9.0),  # same-minute duplicate
+        _event(3, 4, 3, "click"),
+        _event(1, 5, 1, "view"),        # third copy, still within watermark
+    ]
+    _write_events(d, rows)
+    return d
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark, dup_dir, tmp_path):
+    from m12_kafkastreams_python_azure_spark.streaming.advanced import (
+        dedup_stream_within_watermark,
+    )
+
+    deduped = dedup_stream_within_watermark(
+        _read_stream(spark, dup_dir), keys=("event_id",), watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dwm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dedup_wm").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [1, 2, 3]  # one row per key: all duplicates fell inside the watermark
