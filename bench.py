@@ -159,7 +159,11 @@ def main() -> None:
     # — the quadratic-BY-DESIGN oracle twin whose production path is the
     # included LSH variant; at 20k vectors the exact twin is pure O(n^2)
     # ground-truth machinery, not a plan anyone would run at scale.
-    exclude = {s for s in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",") if s}
+    exclude = {
+        s.strip() for s in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",")
+        if s.strip()
+    }
+    unknown_excludes = sorted(exclude - set(HEADLINE))
     names = [n for n in HEADLINE if n not in exclude]
 
     timings, errors = run_headline(spark, queries, names)
@@ -199,6 +203,11 @@ def main() -> None:
     }
     if exclude:
         out["excluded"] = sorted(exclude & set(HEADLINE))
+        if unknown_excludes:
+            # an exclude token that matches nothing must be visible in the
+            # artifact, not silently dropped (typo'd skips would otherwise
+            # read as "ran everything, skipped what I asked")
+            out["excluded_unknown"] = unknown_excludes
     deltas = _baseline_deltas(timings, streaming_eps)
     if deltas:
         out["vs_baseline"] = deltas

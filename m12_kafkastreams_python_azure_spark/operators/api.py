@@ -118,6 +118,13 @@ def embedding_near_dup_lsh(
     pairs are broadcast back onto the (narrow) vector table for the verify.
     """
     if collapse_exact:
+        # parity with the uncollapsed path, which never emits NULL- or
+        # zero-norm-vector pairs (NULL sign-bits generate no band rows; a
+        # zero norm makes sim NULL and the verify filter drops it) — such
+        # rows must not re-enter as within-group pairs with a NULL metric
+        df = df.filter(
+            F.coalesce(l2_norm(F.col(vec_col)) > 0, F.lit(False))
+        )
         mapping, reps = _dedup.collapse_exact_groups(df, [vec_col], id_col)
         rep_pairs = embedding_near_dup_lsh(
             reps, threshold, id_col, vec_col, dim, planes_per_band, bands,
@@ -212,9 +219,13 @@ def embedding_near_dup_lsh(
             # CANDIDATE pair (quadratic in bucket occupancy), where the
             # interpreted HOF fold costs ~10x vs flat codegen'd arithmetic
             # (same reasoning, and same left-fold result, as the exact
-            # twin — see dot_product_unrolled)
-            dot_product_unrolled(F.col("va"), F.col("vb"), dim)
-            / (F.col("na") * F.col("nb")),
+            # twin — see dot_product_unrolled). try_divide: a zero-norm
+            # vector in a candidate pair yields NULL (fails the threshold
+            # filter) instead of an ANSI divide-by-zero error.
+            F.try_divide(
+                dot_product_unrolled(F.col("va"), F.col("vb"), dim),
+                F.col("na") * F.col("nb"),
+            ),
         )
         .filter(F.col("sim_raw") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

@@ -71,19 +71,26 @@ def segment_dedup(
     """Per doc: total segments, boilerplate segments, and the text rebuilt
     without boilerplate (order-preserving).
 
-    Scale shape (the CCNet recipe): ONE shuffle on the segment hash — a
-    window over ``partitionBy(seg)`` computes the distinct-doc frequency
-    without a second scan or a self-join — then one shuffle on ``doc_id``
-    to reassemble. No broadcast of the boilerplate set: its size is
-    corpus-dependent (total_segments / min_docs in the worst case), so it
-    must not be assumed driver-sized; the seg-keyed window keeps it
-    distributed. Reassembly sorts WITHIN each doc's collected array
-    (array_sort on structs, seg_idx first), never globally."""
+    Scale shape (the CCNet recipe): the cross-doc frequency is a
+    seg-keyed ``groupBy`` + ``countDistinct`` — partial-aggregated
+    map-side, reducer state is one COUNTER per segment — joined back onto
+    the segment rows; then one shuffle on ``doc_id`` to reassemble. Two
+    deliberate non-choices: no ``collect_set`` window over
+    ``partitionBy(seg)`` (boilerplate segments are by definition the
+    hottest keys — a banner in 50M docs would funnel all 50M rows into
+    one window partition and buffer a 50M-element set in one task), and
+    no broadcast of the boilerplate set (its size is corpus-dependent —
+    total_segments / min_docs in the worst case — so it must not be
+    assumed driver-sized; the seg-keyed equi-join keeps it distributed).
+    Reassembly sorts WITHIN each doc's collected array (array_sort on
+    structs, seg_idx first), never globally."""
     segs = _segments(docs, seg_words)
-    w = Window.partitionBy("seg")
-    flagged = segs.withColumn(
-        "is_boiler", F.size(F.collect_set("doc_id").over(w)) >= min_docs
+    freq = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("_n_docs"))
+        .select("seg", (F.col("_n_docs") >= min_docs).alias("is_boiler"))
     )
+    flagged = segs.join(freq, "seg")
     kept_struct = F.array_sort(
         F.collect_list(F.struct("seg_idx", "is_boiler", "seg"))
     )
@@ -298,13 +305,26 @@ def semantic_dedup(
         dim = _probe_dim(emb, vec_col)
     parallelism = emb.sparkSession.sparkContext.defaultParallelism
     src = emb
+    if collapse_exact and tau >= 1.0:
+        # the exactness proof needs self-cosine (~1 up to float rounding)
+        # >= tau; at tau >= 1 a duplicate may legitimately survive the
+        # uncollapsed semantics, so fall back rather than diverge
+        collapse_exact = False
     if collapse_exact:
-        w_grp = Window.partitionBy(cluster_col, vec_col)
-        src = (
-            emb.withColumn("_rep", F.min(F.col(id_col)).over(w_grp))
-            .filter(F.col(id_col) == F.col("_rep"))
-            .drop("_rep")
+        # NULL/zero-norm vectors have NULL cosine against everything: they
+        # can neither dominate nor be dominated, so the uncollapsed
+        # semantics KEEP every one of them — route them around the
+        # collapse instead of letting identical NULL/zero rows group and
+        # lose their non-representatives
+        from m12_kafkastreams_python_azure_spark.operators.dedup import (
+            collapse_exact_groups,
         )
+
+        ok = F.coalesce(l2_norm(F.col(vec_col)) > 0, F.lit(False))
+        eligible = emb.filter(ok)
+        rest = emb.filter(~ok)
+        _, reps = collapse_exact_groups(eligible, [cluster_col, vec_col], id_col)
+        src = reps.unionByName(rest)
     base = src.select(
         F.col(id_col), F.col(cluster_col), F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("_nrm"),
@@ -323,8 +343,12 @@ def semantic_dedup(
         F.col(vec_col).alias("vb"),
         F.col("_nrm").alias("nb"),
     )
-    sim = dot_product_unrolled(F.col("va"), F.col("vb"), dim) / (
-        F.col("na") * F.col("nb")
+    # try_divide: a zero-norm side yields NULL (drops out of every >= tau
+    # comparison) instead of an ANSI divide-by-zero runtime error — the
+    # "NULL cosine neither dominates nor is dominated" contract
+    sim = F.try_divide(
+        dot_product_unrolled(F.col("va"), F.col("vb"), dim),
+        F.col("na") * F.col("nb"),
     )
     dominated = a.join(
         b,

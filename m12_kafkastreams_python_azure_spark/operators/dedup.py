@@ -210,14 +210,23 @@ def collapse_exact_groups(
     pair expansion, and verify cost all quadratic in the duplication
     factor, while the DISTINCT corpus stays the same size. Collapsing
     first makes near-dup cost a function of distinct content; the exact
-    duplicates re-enter via ``expand_collapsed_pairs``. Cost: ONE shuffle
-    keyed on the content bytes (the same shuffle dedup_exact pays).
+    duplicates re-enter via ``expand_collapsed_pairs``.
+
+    Cost: one shuffle in which rows ride with their content (they must —
+    the representatives' content feeds the downstream LSH), but the
+    grouping key is PREFIXED with an 8-byte xxhash64 digest of the
+    content: partition routing and the window's group-delimiting sort
+    compare the digest first and touch the raw content only to break
+    digest ties (true duplicates, plus ~2^-64 collisions) — so sort cost
+    does not scale with content width, and correctness stays EXACT (the
+    content is still part of the key).
 
     NOTE: ``mapping`` is returned LAZY (not persisted) — callers that run
     a cache-releasing pipeline (``_parallel_text``) between collapse and
     expansion must persist it AFTER that pipeline materializes, or accept
     the recompute."""
-    w = Window.partitionBy(*key_cols)
+    digest = F.xxhash64(*[F.col(c) for c in key_cols])
+    w = Window.partitionBy(digest, *key_cols)
     tagged = df.withColumn("_rep_id", F.min(F.col(id_col)).over(w))
     mapping = tagged.select(F.col(id_col).alias("_m_id"), "_rep_id")
     reps = tagged.filter(F.col(id_col) == F.col("_rep_id")).drop("_rep_id")
@@ -363,6 +372,11 @@ def minhash_near_dup_pairs(
     one on the pair ids for verification. No cross product anywhere.
     """
     if collapse_exact:
+        # parity with the uncollapsed path, which drops docs whose shingle
+        # set is empty (NULL text / fewer than shingle_n words) at the
+        # _parallel_shingles filter: such docs must not re-enter as
+        # within-group "exact-dup" pairs (their Jaccard is 0/0-undefined)
+        df = df.filter(F.size(shingles(F.col(text_col), shingle_n)) > 0)
         mapping, reps = collapse_exact_groups(df, [text_col], id_col)
         rep_pairs = minhash_near_dup_pairs(
             reps, text_col, id_col, shingle_n, num_hashes, bands,
@@ -593,6 +607,10 @@ def simhash_near_dup_pairs(
     representative before banding and expand back afterwards at Hamming
     exactly 0 — see ``minhash_near_dup_pairs`` for the rationale."""
     if collapse_exact:
+        # parity with the uncollapsed path, where a NULL simhash (NULL or
+        # token-free text) yields a NULL hamming that the verify filter
+        # drops — such rows must not re-enter as within-group pairs
+        df = df.filter(simhash64(F.col(text_col)).isNotNull())
         mapping, reps = collapse_exact_groups(df, [text_col], id_col)
         rep_pairs = simhash_near_dup_pairs(
             reps, text_col, id_col, max_hamming, bands, max_bucket,

@@ -222,37 +222,14 @@ def ann_pq_topk(
     the output ranks are exact similarities over the PQ candidate set."""
     if dim is None:
         dim = _probe_dim(raw, vec_col)
-    m = len(codebooks)
-    ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0])
-    flat = _codebook_lit(codebooks)
-    qsubs = _sub_slices(_normalize(F.col(vec_col)), m, dsub)
-    # ADC table: adc[j][c] = ||q_sub_j - codebook[j][c]||^2
-    adc = F.zip_with(
-        qsubs,
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda sv, j: F.transform(
-            F.sequence(F.lit(0), F.lit(ksub - 1)),
-            lambda c: _l2sq(sv, _centroid_slice(flat, j, c, ksub, dsub)),
-        ),
-    )
     q = queries.select(
-        F.col(id_col).alias("query_id"), adc.alias("adc")
+        F.col(id_col).alias("query_id"),
+        _adc_table(F.col(vec_col), codebooks).alias("adc"),
     )
     approx = (
         encoded.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "adist",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"), F.col("adc"),
-                    lambda code, row: F.element_at(row, code + 1),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("adist", _adc_dist(F.col("codes"), F.col("adc")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
     cand = (
@@ -260,13 +237,60 @@ def ann_pq_topk(
         .filter(F.col("arank") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank over the bounded candidate set
+    return _exact_rerank(cand, queries, raw, k, dim, id_col, vec_col)
+
+
+def _adc_table(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query m x ksub ADC lookup table:
+    adc[j][c] = ||q_sub_j - codebook[j][c]||^2."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    flat = _codebook_lit(codebooks)
+    qsubs = _sub_slices(_normalize(vec), m, dsub)
+    return F.zip_with(
+        qsubs,
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda sv, j: F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda c: _l2sq(sv, _centroid_slice(flat, j, c, ksub, dsub)),
+        ),
+    )
+
+
+def _adc_dist(codes: Column, adc: Column) -> Column:
+    """Approximate squared distance: sum of m table lookups by code."""
+    return F.aggregate(
+        F.zip_with(codes, adc, lambda code, row: F.element_at(row, code + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    raw: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine top-k over the bounded (query_id, neighbor_id)
+    candidate set. Query vectors come from the QUERIES frame (tiny by the
+    ANN contract — broadcast), so external query vectors absent from the
+    corpus still score instead of silently vanishing; neighbor vectors
+    come from ``raw`` via an UNHINTED join — the candidate side is
+    queries*rerank rows, so AQE broadcasts it from runtime stats, and the
+    corpus-side vector table is never broadcast (at 100 TB a forced
+    broadcast of it would OOM the driver — the anti-pattern the near-dup
+    verify joins also avoid)."""
     nb = raw.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         l2_norm(F.col(vec_col)).alias("cnorm"),
     )
-    qv = raw.select(
+    qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         l2_norm(F.col(vec_col)).alias("qnorm"),
@@ -276,11 +300,17 @@ def ann_pq_topk(
         .join(F.broadcast(qv), "query_id")
         .withColumn(
             "sim",
-            dot_product_unrolled(F.col("qvec"), F.col("cvec"), dim)
-            / (F.col("qnorm") * F.col("cnorm")),
+            # try_divide: zero-norm rows rank last (NULL sim) instead of
+            # raising an ANSI divide-by-zero
+            F.try_divide(
+                dot_product_unrolled(F.col("qvec"), F.col("cvec"), dim),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
@@ -361,10 +391,6 @@ def ann_ivfpq_topk(
 
     if dim is None:
         dim = _probe_dim(raw, vec_col)
-    m = len(codebooks)
-    ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0])
-    flat = _codebook_lit(codebooks)
     carr = _centroid_array(centroids)
     vec = F.col(vec_col)
     # ranking-only centroid score: ||q|| constant across centroids (same
@@ -386,34 +412,15 @@ def ann_ivfpq_topk(
         1,
         nprobe,
     )
-    qsubs = _sub_slices(_normalize(vec), m, dsub)
-    adc = F.zip_with(
-        qsubs,
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda sv, j: F.transform(
-            F.sequence(F.lit(0), F.lit(ksub - 1)),
-            lambda c: _l2sq(sv, _centroid_slice(flat, j, c, ksub, dsub)),
-        ),
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        adc.alias("adc"),
+        _adc_table(vec, codebooks).alias("adc"),
         F.explode(F.transform(probes, lambda p: p["cid"])).alias("centroid_id"),
     )
     approx = (
         index.join(F.broadcast(q), on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "adist",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"), F.col("adc"),
-                    lambda code, row: F.element_at(row, code + 1),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("adist", _adc_dist(F.col("codes"), F.col("adc")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
@@ -423,33 +430,7 @@ def ann_ivfpq_topk(
         .filter(F.col("arank") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    nb = raw.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col)).alias("cnorm"),
-    )
-    qv = raw.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        l2_norm(F.col(vec_col)).alias("qnorm"),
-    )
-    scored = (
-        cand.join(nb, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .withColumn(
-            "sim",
-            dot_product_unrolled(F.col("qvec"), F.col("cvec"), dim)
-            / (F.col("qnorm") * F.col("cnorm")),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _exact_rerank(cand, queries, raw, k, dim, id_col, vec_col)
 
 
 #: train-once memo for the coarse quantizer, same contract as _CODEBOOKS.

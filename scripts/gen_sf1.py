@@ -80,7 +80,10 @@ def main() -> None:
             df = replicate(df, KEY_COLS[t])
         n_files = 8 if t in BIG_TABLES else 4 if t in KEY_COLS else 1
         df.repartition(n_files).write.mode("overwrite").parquet(dest)
-        print(f"{t}: {df.count()} rows -> {dest} ({n_files} files)")
+        # count the WRITTEN parquet (footer metadata — free) instead of
+        # re-running the 10-way replicated union a second time per table
+        n = spark.read.parquet(dest).count()
+        print(f"{t}: {n} rows -> {dest} ({n_files} files)")
     spark.stop()
 
 

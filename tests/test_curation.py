@@ -141,3 +141,28 @@ def test_semantic_dedup_plan_is_cluster_blocked(spark):
     plan = CU.semantic_dedup(emb, dim=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_null_and_zero_vectors_survive(spark):
+    # NULL cosine can neither dominate nor be dominated: NULL/zero-norm
+    # rows must ALL survive, collapsed or not (the collapse routes them
+    # around the rep-grouping instead of dropping non-reps)
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # exact dups: keep 1 only
+        (3, None, 0), (4, None, 0),                # identical NULLs: keep both
+        (5, [0.0, 0.0], 0), (6, [0.0, 0.0], 0),    # identical zeros: keep both
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    for collapse in (True, False):
+        kept = {r["vec_id"] for r in CU.semantic_dedup(emb, dim=2, collapse_exact=collapse).collect()}
+        assert kept == {1, 3, 4, 5, 6}, (collapse, kept)
+
+
+def test_semantic_dedup_tau_ge_1_falls_back_to_uncollapsed(spark):
+    # at tau >= 1 the collapse proof doesn't hold (float self-cosine may
+    # round below 1) — the collapsed path must not silently diverge
+    rows = [(1, [1.0, 0.5, 0.25], 0), (2, [1.0, 0.5, 0.25], 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    on = {r["vec_id"] for r in CU.semantic_dedup(emb, tau=1.0, dim=3, collapse_exact=True).collect()}
+    off = {r["vec_id"] for r in CU.semantic_dedup(emb, tau=1.0, dim=3, collapse_exact=False).collect()}
+    assert on == off

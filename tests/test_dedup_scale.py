@@ -153,3 +153,40 @@ def test_exact_collapse_expansion_on_duplicated_corpus(spark, sf_dir):
     ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
     for d in ids:
         assert on.get((d, d + SHIFT)) == 1.0
+
+
+def test_collapse_does_not_emit_null_metric_pairs(spark):
+    """NULL texts / NULL and zero-norm vectors are dropped by the
+    uncollapsed paths (NULL metric never passes the verify filter) — the
+    collapse branch must not resurrect them as within-group pairs."""
+    from m12_kafkastreams_python_azure_spark.operators.api import (
+        embedding_near_dup_lsh,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a b"), (4, "a b"), (5, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    # minhash treats a NULL/short text as the single ''-shingle set (so
+    # identical NULLs legitimately pair at Jaccard 1.0 — in BOTH paths);
+    # the collapse branch must match the uncollapsed output exactly
+    mh_on = {tuple(r) for r in minhash_near_dup_pairs(docs, collapse_exact=True).collect()}
+    mh_off = {tuple(r) for r in minhash_near_dup_pairs(docs, collapse_exact=False).collect()}
+    assert mh_on == mh_off == {(3, 4, 1.0), (1, 2, 1.0)}
+    # simhash DROPS NULL-simhash (token-free) texts in the uncollapsed
+    # path — the collapse branch must not resurrect them
+    sh = simhash_near_dup_pairs(docs, collapse_exact=True).collect()
+    assert all(r["hamming"] is not None for r in sh)
+    assert not any(r["id_a"] in (1, 2) or r["id_b"] in (1, 2) for r in sh)
+    emb = spark.createDataFrame(
+        [(1, None), (2, None), (3, [0.0, 0.0]), (4, [0.0, 0.0]),
+         (5, [1.0, 0.0]), (6, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_dup_lsh(emb, dim=2, collapse_exact=True).collect()
+    assert all(r["sim"] is not None for r in pairs)
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(5, 6)}

@@ -104,3 +104,23 @@ def test_ivfpq_recall_and_no_crossjoin(spark, emb, codebooks):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     recall = len(g & e) / len(e)
     assert recall >= 0.5, f"IVFPQ recall@5 = {recall}"
+
+
+def test_external_queries_not_in_corpus_still_score(spark, emb, codebooks):
+    """Query vectors that are NOT corpus members (the normal ANN serving
+    shape) must be scored, not silently dropped: the exact re-rank takes
+    query vectors from the QUERIES frame, never by id-lookup in raw."""
+    ext = spark.createDataFrame(
+        [(10_000_000 + i, [float((i * 7 + j) % 5 - 2) for j in range(64)])
+         for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    encoded = PQ.encode_pq(emb, codebooks)
+    got = PQ.ann_pq_topk(encoded, ext, codebooks, emb, k=5, rerank=64)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {10_000_000, 10_000_001, 10_000_002}
+    assert all(len(v) == 5 for v in by_q.values())
+    assert all(r["sim"] is not None for r in rows)
