@@ -97,6 +97,7 @@ HEADLINE = [
     "semantic_dedup",
     "ann_pq",
     "ann_ivfpq",
+    "dup_span_coverage",
 ]
 
 

@@ -23,6 +23,10 @@ Beyond the reference surface (SURVEY.md §2 bottom note):
   ``label`` column stands in for the cluster id here; the production path
   derives clusters with the bounded k-means in ``ivf.py`` so cluster
   sizes stay capped and the in-cluster pairwise stays tractable.
+- ``dup_span_coverage`` — the duplicated-text-fraction signal: how much
+  of each doc is covered by OVERLAPPING word n-gram spans that also
+  appear in other docs (catches shifted boilerplate that fixed
+  segmentation misses); feeds quality filtering by dup_frac cutoff.
 
 Scale notes per operator are on the functions; none uses a Python UDF,
 a cartesian product, or an unpartitioned global window.
@@ -380,3 +384,108 @@ WHERE NOT EXISTS (
         >= {SEMANTIC_TAU}
 )
 """
+
+# ---------------------------------------------------------- dup span coverage
+
+DUP_SPAN_N = 8       # words per overlapping span
+DUP_SPAN_MIN_DOCS = 2
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    n: int = DUP_SPAN_N,
+    min_docs: int = DUP_SPAN_MIN_DOCS,
+) -> DataFrame:
+    """Per doc: how much of the text is covered by word n-gram spans that
+    also appear in other documents — the "duplicated text fraction"
+    signal (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499, approximated at n-gram rather than
+    suffix-array granularity). OVERLAPPING spans (stride 1) catch
+    shifted boilerplate that ``segment_dedup``'s fixed segmentation
+    misses; the output (n_words, n_covered, dup_frac) feeds quality
+    filtering (drop docs above a dup_frac cutoff) rather than rewriting
+    text.
+
+    Scale shape: the gram explode is the same stride-1 fan-out
+    ``decontaminate`` pays (inherent to the metric); frequency is a
+    gram-keyed groupBy + countDistinct (counter state, partial-agg
+    map-side — no collect_set window, no broadcast of the repeated-gram
+    set, which is corpus-sized in the worst case); coverage converts
+    each repeated span into its n word positions and counts DISTINCT
+    positions per doc — per-doc state bounded by doc length. Grams
+    shuffle as strings for DuckDB-oracle parity; a production variant
+    would key the shuffle on xxhash64(gram) (8 bytes, collision-tolerant
+    for a coverage metric)."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import word_ngrams
+
+    grams = docs.select(
+        "doc_id", F.posexplode(word_ngrams(F.col("text"), n)).alias("pos", "gram")
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(rep, "gram")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("w").alias("n_covered"))
+    )
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select("doc_id", n_words.cast("long").alias("n_words"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+            F.round(
+                F.coalesce(F.col("n_covered"), F.lit(0))
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_coverage(parallel_scan(load_table(spark, sf_dir, "documents")))
+
+
+def _oracle_dup_span_coverage() -> str:
+    # gram spelling mirrors corpus.word_ngrams (same trim + \\s+ split);
+    # spelled positionally here because the coverage math needs each
+    # gram's start index, which the list-of-grams form doesn't carry
+    n = DUP_SPAN_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1})) AS i) t
+  WHERE len(w) >= {n}
+),
+rep AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+),
+covered AS (
+  SELECT g.doc_id, count(DISTINCT g.pos + o.o) AS n_covered
+  FROM grams g JOIN rep USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, {n - 1})) AS o) o
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_words,
+       CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+       ROUND(coalesce(c.n_covered, 0)
+             / CAST(len(string_split_regex(trim(d.text), '\\s+')) AS DOUBLE), 6)
+         AS dup_frac
+FROM documents d LEFT JOIN covered c USING (doc_id)
+"""
+
+
+ORACLE_DUP_SPAN_COVERAGE = _oracle_dup_span_coverage()

@@ -166,3 +166,25 @@ def test_semantic_dedup_tau_ge_1_falls_back_to_uncollapsed(spark):
     on = {r["vec_id"] for r in CU.semantic_dedup(emb, tau=1.0, dim=3, collapse_exact=True).collect()}
     off = {r["vec_id"] for r in CU.semantic_dedup(emb, tau=1.0, dim=3, collapse_exact=False).collect()}
     assert on == off
+
+
+def test_dup_span_coverage_catches_shifted_boilerplate(spark):
+    """A boilerplate run that appears at DIFFERENT offsets in different
+    docs (which segment_dedup's fixed segmentation can miss) must still
+    be flagged by the overlapping-span metric; a fully unique doc scores
+    dup_frac 0."""
+    run = " ".join(f"b{i}" for i in range(CU.DUP_SPAN_N))  # 8-word boilerplate
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run} unique1a unique1b unique1c"),
+            (2, f"lead2a lead2b lead2c {run}"),       # same run, shifted offset
+            (3, "only original words appear in here nothing shared today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.dup_span_coverage(docs).collect()}
+    # docs 1 and 2: exactly the 8 boilerplate words covered
+    assert out[1]["n_covered"] == CU.DUP_SPAN_N
+    assert out[2]["n_covered"] == CU.DUP_SPAN_N
+    assert out[1]["dup_frac"] > 0.6 and out[2]["dup_frac"] > 0.6
+    assert out[3]["n_covered"] == 0 and out[3]["dup_frac"] == 0.0

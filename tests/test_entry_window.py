@@ -41,6 +41,7 @@ NEW_IN_R06 = [
     "semantic_dedup",
     "ann_pq",
     "ann_ivfpq",
+    "dup_span_coverage",
 ]
 
 # r05 first-evers keeping their window slots (median_aggregates,
@@ -52,7 +53,6 @@ KEPT_FROM_R05 = [
     "full_outer_activity",
     "unpivot_metrics",
     "orderkey_islands",
-    "region_revenue_share",
 ]
 KEPT_FIXED_R05 = ["event_pairs_10min", "latest_event_per_user"]
 
