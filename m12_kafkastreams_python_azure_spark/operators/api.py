@@ -118,26 +118,35 @@ def embedding_near_dup_lsh(
     pairs are broadcast back onto the (narrow) vector table for the verify.
     """
     if collapse_exact:
-        # parity with the uncollapsed path, which never emits NULL- or
-        # zero-norm-vector pairs (NULL sign-bits generate no band rows; a
-        # zero norm makes sim NULL and the verify filter drops it) — such
-        # rows must not re-enter as within-group pairs with a NULL metric
-        df = df.filter(
-            F.coalesce(l2_norm(F.col(vec_col)) > 0, F.lit(False))
-        )
         mapping, reps = _dedup.collapse_exact_groups(df, [vec_col], id_col)
         rep_pairs = embedding_near_dup_lsh(
             reps, threshold, id_col, vec_col, dim, planes_per_band, bands,
             max_bucket, collapse_exact=False,
         )
+        # parity with the uncollapsed path, which never emits NULL- or
+        # zero-norm-vector pairs (NULL sign-bits generate no band rows; a
+        # zero norm makes the verify sim NULL via try_divide): exclude
+        # those GROUPS from the expansion. Evaluated once per DISTINCT
+        # vector on the reps — not as a corpus-wide pre-filter (see the
+        # simhash collapse note). rep_pairs needs no filter: zero-norm
+        # pairs never survive its own cosine verify.
+        valid = reps.filter(
+            F.coalesce(l2_norm(F.col(vec_col)) > 0, F.lit(False))
+        ).select(F.col(id_col).alias("_rep_id"))
         # persist AFTER the inner pipeline released + rebuilt the registry
-        mapping = mapping.persist()
+        mapping = mapping.join(valid, "_rep_id").persist()
         _dedup.register_parallel_cache(mapping)
         self_sim = reps.select(
             F.col(id_col).alias("_rep_id"),
+            # try_divide: reps now include zero-norm rows (their groups are
+            # filtered OUT of mapping above, but the projection evaluates
+            # per rep before the join prunes) — NULL here instead of an
+            # ANSI divide-by-zero; no NULL ever reaches the output
             F.round(
-                dot_product(F.col(vec_col), F.col(vec_col))
-                / (l2_norm(F.col(vec_col)) * l2_norm(F.col(vec_col))),
+                F.try_divide(
+                    dot_product(F.col(vec_col), F.col(vec_col)),
+                    l2_norm(F.col(vec_col)) * l2_norm(F.col(vec_col)),
+                ),
                 6,
             ).alias("sim"),
         )

@@ -372,11 +372,11 @@ def minhash_near_dup_pairs(
     one on the pair ids for verification. No cross product anywhere.
     """
     if collapse_exact:
-        # parity with the uncollapsed path, which drops docs whose shingle
-        # set is empty (NULL text / fewer than shingle_n words) at the
-        # _parallel_shingles filter: such docs must not re-enter as
-        # within-group "exact-dup" pairs (their Jaccard is 0/0-undefined)
-        df = df.filter(F.size(shingles(F.col(text_col), shingle_n)) > 0)
+        # no parity pre-filter needed: ``shingles`` always yields >= 1
+        # element (short/NULL docs get the full-join single shingle), so
+        # the uncollapsed path's size(sh) > 0 filter never drops a doc —
+        # identical NULL/short texts legitimately pair at Jaccard 1.0 in
+        # BOTH paths (pinned in test_dedup_scale)
         mapping, reps = collapse_exact_groups(df, [text_col], id_col)
         rep_pairs = minhash_near_dup_pairs(
             reps, text_col, id_col, shingle_n, num_hashes, bands,
@@ -607,16 +607,24 @@ def simhash_near_dup_pairs(
     representative before banding and expand back afterwards at Hamming
     exactly 0 — see ``minhash_near_dup_pairs`` for the rationale."""
     if collapse_exact:
-        # parity with the uncollapsed path, where a NULL simhash (NULL or
-        # token-free text) yields a NULL hamming that the verify filter
-        # drops — such rows must not re-enter as within-group pairs
-        df = df.filter(simhash64(F.col(text_col)).isNotNull())
         mapping, reps = collapse_exact_groups(df, [text_col], id_col)
         rep_pairs = simhash_near_dup_pairs(
             reps, text_col, id_col, max_hamming, bands, max_bucket,
             collapse_exact=False,
         )
-        mapping = mapping.persist()
+        # parity with the uncollapsed path, where a NULL simhash yields a
+        # NULL hamming the verify filter drops: exclude those GROUPS from
+        # the expansion so their members don't re-enter as within-group
+        # pairs. simhash64 is NULL exactly when the TEXT is NULL (split of
+        # a trimmed empty string still yields one token), so the validity
+        # predicate is a plain IS NOT NULL — never re-run the 64-bit-vote
+        # expression as a filter (a corpus-wide simhash pre-filter
+        # measured ~5x on the whole query at sf0.1). rep_pairs needs no
+        # filter: NULL-signature pairs never survive its own verify.
+        valid = reps.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("_rep_id")
+        )
+        mapping = mapping.join(valid, "_rep_id").persist()
         register_parallel_cache(mapping)
         return expand_collapsed_pairs(
             rep_pairs, mapping, "hamming", F.lit(0), max_bucket
