@@ -16,10 +16,10 @@ Round-6 rotation: the 5 reference-surface queries stay first (every
 round), then the three round-5 additions that were appended outside the
 window and have never had a driver row (cms_merge_bound, vocab_encode,
 dataset_mix — vocab_encode also carries this round's top-V
-TakeOrderedAndProject fix), then the seven NEW round-6 operators
+TakeOrderedAndProject fix), then the eight NEW round-6 operators
 (segment_dedup, chunk_documents, domain_cap, semantic_dedup, ann_pq,
-ann_ivfpq, dup_span_coverage — added inside the window, never outside
-it), then the r05 first-evers that keep
+ann_ivfpq, dup_span_coverage, quality_percentile_filter — added inside
+the window, never outside it), then the r05 first-evers that keep
 their slots, then the training-data-pipeline core.  Entries with green
 driver rows in r05 (median_aggregates, arrow_byte_stats,
 string_functions2, cheapest_supplier, word_positions, and friends)
@@ -96,11 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": PQ.q_ann_pq,                   # rows-only (approx; exact twin ann_topk)
         "ann_ivfpq": PQ.q_ann_ivfpq,             # rows-only (approx; exact twin ann_topk)
         "dup_span_coverage": CU.q_dup_span_coverage,
+        "quality_percentile_filter": CU.q_quality_percentile_filter,
         # r05 first-evers keeping their slots this round
         "trailing_hour_counts": A9.q_trailing_hour_counts,
         "full_outer_activity": A10.q_full_outer_activity,
         "unpivot_metrics": A10.q_unpivot_metrics,
-        "orderkey_islands": A12.q_orderkey_islands,
         # red in r03/r04 (TIMESTAMP_NTZ), fixed this round — must re-check
         "event_pairs_10min": J.q_event_pairs_10min,
         "latest_event_per_user": A10.q_latest_event_per_user,
@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_battery": A13.q_corr_battery,
         "benford_digits": A13.q_benford_digits,
         "region_revenue_share": A12.q_region_revenue_share,
+        "orderkey_islands": A12.q_orderkey_islands,
         # analytics green in CORRECTNESS_r01 + r02 (rotated to the back)
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mix": A10.ORACLE_DATASET_MIX,
         "segment_dedup": CU.ORACLE_SEGMENT_DEDUP,
         "dup_span_coverage": CU.ORACLE_DUP_SPAN_COVERAGE,
+        "quality_percentile_filter": CU.ORACLE_QUALITY_PERCENTILE_FILTER,
         "chunk_documents": CU.ORACLE_CHUNK_DOCUMENTS,
         "domain_cap": CU.ORACLE_DOMAIN_CAP,
         "semantic_dedup": CU.ORACLE_SEMANTIC_DEDUP,

@@ -98,6 +98,7 @@ HEADLINE = [
     "ann_pq",
     "ann_ivfpq",
     "dup_span_coverage",
+    "quality_percentile_filter",
 ]
 
 

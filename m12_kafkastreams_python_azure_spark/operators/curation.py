@@ -27,6 +27,9 @@ Beyond the reference surface (SURVEY.md §2 bottom note):
   of each doc is covered by OVERLAPPING word n-gram spans that also
   appear in other docs (catches shifted boilerplate that fixed
   segmentation misses); feeds quality filtering by dup_frac cutoff.
+- ``quality_percentile_filter`` — keep each language's top quality
+  quantile (classifier-threshold curation, stratified by lang so one
+  language's score distribution cannot starve another's).
 
 Scale notes per operator are on the functions; none uses a Python UDF,
 a cartesian product, or an unpartitioned global window.
@@ -489,3 +492,75 @@ FROM documents d LEFT JOIN covered c USING (doc_id)
 
 
 ORACLE_DUP_SPAN_COVERAGE = _oracle_dup_span_coverage()
+
+# ------------------------------------------------- quality percentile filter
+
+QUALITY_PCT = 0.75
+
+
+def quality_percentile_filter(
+    docs: DataFrame, pct: float = QUALITY_PCT
+) -> DataFrame:
+    """Keep each language's top quality quantile: the classifier-threshold
+    curation stage (FineWeb-Edu-style "keep above a per-slice score
+    cutoff"), stratified by ``lang`` so one language's score distribution
+    cannot starve another's.
+
+    Scale shape: the cutoffs are a per-lang aggregate (a handful of rows)
+    joined back onto the scored table — AQE broadcasts them; the filter
+    runs scan-side. Exact ``percentile`` here for DuckDB-oracle parity
+    (quantile_cont semantics); at web scale swap in ``percentile_approx``
+    — a mergeable t-digest-style sketch with bounded memory per group,
+    which the exact aggregate does not guarantee on billions of rows per
+    language. The >= comparison uses the UNROUNDED score on both engines
+    so the boundary row set is identical."""
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_cols,
+    )
+
+    scored = docs.select(
+        "doc_id", "lang",
+        quality_score_cols(F.col("text"))["quality_score"].alias("q"),
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("q", F.lit(pct)).alias("cut")
+    )
+    return (
+        scored.join(cuts, "lang")
+        .filter(F.col("q") >= F.col("cut"))
+        .select(
+            "doc_id", "lang",
+            F.round("q", 6).alias("quality_score"),
+            F.round("cut", 6).alias("lang_cut"),
+        )
+    )
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_percentile_filter(
+        parallel_scan(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _oracle_quality_percentile_filter() -> str:
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_sql,
+    )
+
+    q = quality_score_sql("text")["quality_score"]
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {q} AS q FROM documents
+),
+cuts AS (
+  SELECT lang, quantile_cont(q, {QUALITY_PCT}) AS cut FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang,
+       ROUND(s.q, 6) AS quality_score,
+       ROUND(c.cut, 6) AS lang_cut
+FROM scored s JOIN cuts c USING (lang)
+WHERE s.q >= c.cut
+"""
+
+
+ORACLE_QUALITY_PERCENTILE_FILTER = _oracle_quality_percentile_filter()

@@ -42,6 +42,7 @@ NEW_IN_R06 = [
     "ann_pq",
     "ann_ivfpq",
     "dup_span_coverage",
+    "quality_percentile_filter",
 ]
 
 # r05 first-evers keeping their window slots (median_aggregates,
@@ -52,7 +53,6 @@ KEPT_FROM_R05 = [
     "trailing_hour_counts",
     "full_outer_activity",
     "unpivot_metrics",
-    "orderkey_islands",
 ]
 KEPT_FIXED_R05 = ["event_pairs_10min", "latest_event_per_user"]
 
