@@ -188,3 +188,24 @@ def test_dup_span_coverage_catches_shifted_boilerplate(spark):
     assert out[2]["n_covered"] == CU.DUP_SPAN_N
     assert out[1]["dup_frac"] > 0.6 and out[2]["dup_frac"] > 0.6
     assert out[3]["n_covered"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_quality_percentile_filter_is_per_language(spark):
+    """The cutoff must be per-LANG: a language whose scores are uniformly
+    low still keeps its own top quantile (stratification — one language's
+    distribution cannot starve another's)."""
+    # lang 'aa': clean alpha text (high score); lang 'zz': digit-heavy
+    # (low alpha_ratio -> low score). Both must appear in the output.
+    rows = [(i, "the quick brown fox jumps over the lazy dog again", "aa")
+            for i in range(8)]
+    rows += [(100 + i, "00 11 22 33 44 55 66 77 88 99 " + "0" * (i + 1), "zz")
+             for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = CU.quality_percentile_filter(docs).collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {"aa", "zz"}
+    # every emitted row's score >= its own language's cutoff
+    assert all(r["quality_score"] >= r["lang_cut"] for r in out)
+    # the low-scoring language's cutoff is strictly below the high one's
+    cuts = {r["lang"]: r["lang_cut"] for r in out}
+    assert cuts["zz"] < cuts["aa"]
