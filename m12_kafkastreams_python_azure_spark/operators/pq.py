@@ -318,12 +318,32 @@ def _exact_rerank(
     )
 
 
-#: train-once memo per corpus dir. A PQ codebook is an OFFLINE artifact
-#: (Faiss trains once and serializes it; queries only encode + ADC-scan) —
-#: retraining on every query call would mis-charge the query path with
-#: index-build cost. Training is deterministic (test_pq pins it), so the
-#: memoized value is bit-identical to a retrain.
-_CODEBOOKS: dict[str, list[list[list[float]]]] = {}
+#: train-once memo per corpus FINGERPRINT. A PQ codebook is an OFFLINE
+#: artifact (Faiss trains once and serializes it; queries only encode +
+#: ADC-scan) — retraining on every query call would mis-charge the query
+#: path with index-build cost. Training is deterministic (test_pq pins
+#: it), so the memoized value is bit-identical to a retrain. The key
+#: includes the parquet file's (mtime_ns, size), not just the dir path,
+#: so regenerating data under the same path in-process invalidates the
+#: memo instead of serving stale codebooks.
+_CODEBOOKS: dict[tuple, list[list[list[float]]]] = {}
+
+
+def _corpus_key(sf_dir: str, table: str = "embeddings") -> tuple:
+    import glob as _glob
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    paths = sorted(_glob.glob(_os.path.join(path, "*.parquet"))) \
+        if _os.path.isdir(path) else [path]
+    sig = []
+    for p in paths:
+        try:
+            st = _os.stat(p)
+            sig.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((p, None, None))
+    return (sf_dir, tuple(sig))
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,9 +351,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate by design; recall vs the exact baseline is asserted in
     tests/test_pq.py, and the exact twin ``ann_topk`` is oracle-green)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    codebooks = _CODEBOOKS.get(sf_dir)
+    mkey = _corpus_key(sf_dir)
+    codebooks = _CODEBOOKS.get(mkey)
     if codebooks is None:
-        codebooks = _CODEBOOKS[sf_dir] = train_pq(emb)
+        codebooks = _CODEBOOKS[mkey] = train_pq(emb)
     encoded = encode_pq(emb, codebooks)
     return ann_pq_topk(
         encoded, emb.filter(F.col("vec_id") < 8), codebooks, emb, k=5, rerank=64
@@ -433,8 +454,9 @@ def ann_ivfpq_topk(
     return _exact_rerank(cand, queries, raw, k, dim, id_col, vec_col)
 
 
-#: train-once memo for the coarse quantizer, same contract as _CODEBOOKS.
-_IVF_CENTROIDS: dict[str, list[tuple[int, list[float]]]] = {}
+#: train-once memo for the coarse quantizer, same contract as _CODEBOOKS
+#: (fingerprint-keyed — see _corpus_key).
+_IVF_CENTROIDS: dict[tuple, list[tuple[int, list[float]]]] = {}
 
 
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,12 +466,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m12_kafkastreams_python_azure_spark.operators.ivf import train_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codebooks = _CODEBOOKS.get(sf_dir)
+    mkey = _corpus_key(sf_dir)
+    codebooks = _CODEBOOKS.get(mkey)
     if codebooks is None:
-        codebooks = _CODEBOOKS[sf_dir] = train_pq(emb)
-    centroids = _IVF_CENTROIDS.get(sf_dir)
+        codebooks = _CODEBOOKS[mkey] = train_pq(emb)
+    centroids = _IVF_CENTROIDS.get(mkey)
     if centroids is None:
-        centroids = _IVF_CENTROIDS[sf_dir] = train_ivf(emb, k=16, iters=2)
+        centroids = _IVF_CENTROIDS[mkey] = train_ivf(emb, k=16, iters=2)
     index = build_ivfpq_index(emb, centroids, codebooks)
     return ann_ivfpq_topk(
         index, emb.filter(F.col("vec_id") < 8), centroids, codebooks, emb,

@@ -209,13 +209,23 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = toks.join(F.broadcast(vocab), "word", "left").select(
         "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).cast("long").alias("id")
     )
+    # ids is emitted as a CSV STRING, not array<long>: the driver's
+    # canonicalizer sorts frames in pandas, where a raw list column is
+    # unhashable (the one red row of r06 was exactly this). Same
+    # convention as array_set_ops (analytics9.py) and
+    # normalize_embeddings (vectorops.py): canonicalize arrays to
+    # scalars before they leave the query. Loses nothing — the CSV is a
+    # bijective encoding of the id sequence.
     return (
         enc.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "id"))),
-                lambda s: s["id"],
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
             ).alias("ids"),
         )
     )
@@ -239,6 +249,6 @@ enc AS (
   FROM toks t LEFT JOIN vocab v USING (word)
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       list(id ORDER BY pos) AS ids
+       array_to_string(list(id ORDER BY pos), ',') AS ids
 FROM enc GROUP BY doc_id
 """

@@ -163,9 +163,13 @@ def test_semantic_dedup_tau_ge_1_falls_back_to_uncollapsed(spark):
     # round below 1) — the collapsed path must not silently diverge
     rows = [(1, [1.0, 0.5, 0.25], 0), (2, [1.0, 0.5, 0.25], 0)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    on = {r["vec_id"] for r in CU.semantic_dedup(emb, tau=1.0, dim=3, collapse_exact=True).collect()}
-    off = {r["vec_id"] for r in CU.semantic_dedup(emb, tau=1.0, dim=3, collapse_exact=False).collect()}
-    assert on == off
+    # tau = 1.0 exactly, and tau inside the float-rounding band just
+    # below 1 (where a self-cosine can round below tau): both must fall
+    # back to the uncollapsed plan rather than diverge
+    for tau in (1.0, 1.0 - 1e-12):
+        on = {r["vec_id"] for r in CU.semantic_dedup(emb, tau=tau, dim=3, collapse_exact=True).collect()}
+        off = {r["vec_id"] for r in CU.semantic_dedup(emb, tau=tau, dim=3, collapse_exact=False).collect()}
+        assert on == off, tau
 
 
 def test_dup_span_coverage_catches_shifted_boilerplate(spark):
@@ -209,3 +213,39 @@ def test_quality_percentile_filter_is_per_language(spark):
     # the low-scoring language's cutoff is strictly below the high one's
     cuts = {r["lang"]: r["lang_cut"] for r in out}
     assert cuts["zz"] < cuts["aa"]
+
+
+def test_quality_percentile_approx_matches_exact_on_driver_tier(spark, sf_dir):
+    """The production default (percentile_approx, bounded per-group sketch
+    memory) and the oracle-parity exact path must select the same rows on
+    the test tier — the documented tolerance is <=1 boundary row per
+    language at accuracy 1e4 (observed-value vs interpolated-cut
+    disagreement exactly at the quantile boundary)."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = CU.parallel_scan(load_table(spark, sf_dir, "documents"))
+    approx = {r["doc_id"] for r in
+              CU.quality_percentile_filter(docs, approx=True).collect()}
+    exact = {r["doc_id"] for r in
+             CU.quality_percentile_filter(docs, approx=False).collect()}
+    n_langs = docs.select("lang").distinct().count()
+    assert len(approx ^ exact) <= n_langs, (
+        f"approx/exact diverge by {len(approx ^ exact)} rows "
+        f"(> {n_langs} languages)"
+    )
+
+
+def test_dup_span_hashed_grams_match_string_grams(spark, sf_dir):
+    """use_hashed_grams=True (8-byte shuffle keys, the production default)
+    must produce byte-identical output to the string-gram path the DuckDB
+    oracle mirrors — on real driver-tier text, not just planted docs."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = CU.parallel_scan(load_table(spark, sf_dir, "documents"))
+    hashed = sorted(
+        CU.dup_span_coverage(docs, use_hashed_grams=True).collect()
+    )
+    strings = sorted(
+        CU.dup_span_coverage(docs, use_hashed_grams=False).collect()
+    )
+    assert hashed == strings

@@ -23,38 +23,36 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# Round-6 rotation: the three round-5 additions that had never had a
-# driver row (appended outside the window in r05 — the exact mistake this
-# file exists to prevent); vocab_encode also carries the r06 top-V fix.
-ROTATED_IN_R06 = [
-    "cms_merge_bound",
+# Code changed in round 7 — each needs a fresh driver row (vocab_encode:
+# ids canonicalized to CSV; dup_span_coverage: hashed-gram default;
+# quality_percentile_filter: approx front door, oracle pinned exact;
+# semantic_dedup: collapse guard widened; ann_pq/ann_ivfpq:
+# fingerprint-keyed memo).
+CHANGED_IN_R07 = [
     "vocab_encode",
-    "dataset_mix",
-]
-
-# NEW in round 6: the curation wave, added INSIDE the window (never
-# appended outside it — the rule this file enforces).
-NEW_IN_R06 = [
-    "segment_dedup",
-    "chunk_documents",
-    "domain_cap",
+    "dup_span_coverage",
+    "quality_percentile_filter",
     "semantic_dedup",
     "ann_pq",
     "ann_ivfpq",
-    "dup_span_coverage",
-    "quality_percentile_filter",
 ]
 
-# r05 first-evers keeping their window slots (median_aggregates,
-# bitwise_aggregates, array_set_ops, arrow_byte_stats, string_functions2,
-# cheapest_supplier, word_positions, corr_battery, benford_digits rotated
-# out — green rows in r05).
-KEPT_FROM_R05 = [
-    "trailing_hour_counts",
-    "full_outer_activity",
-    "unpivot_metrics",
+# Oldest-green entries rotated back IN for post-refactor re-confirmation
+# (last driver rows r01–r04; the exact-collapse / shared-ADC /
+# parity-filter refactors touched shared code under them since). They
+# displace ten r06-green entries whose code is untouched this round.
+ROTATED_IN_R07 = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "top_customers",
+    "window_top_orders",
+    "events_daily",
+    "window_functions",
+    "string_functions",
+    "math_functions",
+    "sessionize_events",
 ]
-KEPT_FIXED_R05 = ["event_pairs_10min", "latest_event_per_user"]
 
 # Training-data-pipeline core: stays inside the window (the judge grades
 # these as first-class components).
@@ -107,8 +105,7 @@ ROWS_ONLY = {
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + ROTATED_IN_R06 + NEW_IN_R06
-        + KEPT_FROM_R05 + KEPT_FIXED_R05 + LLM_PIPELINE
+        REFERENCE_SURFACE + CHANGED_IN_R07 + ROTATED_IN_R07 + LLM_PIPELINE
     )
     assert len(expected) == WINDOW
     assert window == expected

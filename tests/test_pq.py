@@ -68,10 +68,16 @@ def test_pq_rerank_sims_are_exact(emb, codebooks):
     esims = {
         (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()
     }
+    n_compared = 0
     for r in got.collect():
         key = (r["query_id"], r["neighbor_id"])
         if key in esims:  # pair deep enough in the exact list to compare
             assert abs(r["sim"] - esims[key]) < 1e-6
+            n_compared += 1
+    # if candidate sets ever drifted so no emitted pair landed in the
+    # exact top-50, the loop above would make zero comparisons and the
+    # test would vacuously pass — require a floor
+    assert n_compared >= 10, f"only {n_compared} pairs compared"
 
 
 def test_train_rejects_indivisible_dim(spark):
