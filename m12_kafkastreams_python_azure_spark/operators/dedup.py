@@ -56,6 +56,57 @@ GROUP BY 1
 """
 
 
+def dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+) -> DataFrame:
+    """Per-slice duplication audit: the report a curation run emits BEFORE
+    deciding to dedup — (n_docs, n_distinct, dup_factor, max_clone) per
+    ``by`` slice, where max_clone is the largest single duplicate group.
+    A slice with dup_factor 1.0 needs no dedup pass at all; one with a
+    huge max_clone has boilerplate, not organic duplication, and wants
+    ``segment_dedup`` instead of document-level removal.
+
+    Scale shape: two chained aggregations — (by, fingerprint) counts
+    (the same single fingerprint-keyed shuffle ``dedup_exact`` pays, with
+    map-side partials), then a per-slice rollup over the already-small
+    group table. No distinct-count sketch needed: the second agg counts
+    rows of the first. Cardinality of the output is |slices|."""
+    groups = (
+        df.select(
+            F.col(by), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy(by, "fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.groupBy(by).agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(F.sum("n") / F.count(F.lit(1)), 6).alias("dup_factor"),
+        F.max("n").cast("long").alias("max_clone"),
+    )
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_STATS = """
+WITH groups AS (
+  SELECT source, md5(text) AS fingerprint, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(SUM(n) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_factor,
+       CAST(MAX(n) AS BIGINT) AS max_clone
+FROM groups GROUP BY source
+"""
+
+
 # ------------------------------------------------------------------ shingles / minhash
 
 

@@ -182,6 +182,96 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
 """
 
 
+# ------------------------------------------------------------------ kNN label vote
+
+KNN_VOTE_K = 10
+
+
+def knn_label_vote(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = KNN_VOTE_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """kNN majority-vote classification over embeddings: predict each
+    unlabeled vector's label as the most frequent label among its k
+    nearest labeled neighbors (cosine) — the distillation-free quality
+    classifier used to label web documents from a small seed set (e.g.
+    FineWeb-Edu scores its corpus with a classifier trained on seed
+    annotations; the kNN vote is the model-free version of that stage).
+    Ties break toward the SMALLER label id, so the output is
+    deterministic. Output: (query_id, pred_label, votes, k_used).
+
+    Scale shape: the neighbor search is ``ann_bruteforce_topk`` — the
+    query side (seed-labelable docs needing labels per batch) broadcasts,
+    the labeled corpus streams partition-local, and only k rows per query
+    survive into the vote. The vote itself is a (query_id, label) count +
+    per-query argmax window — k·|Q| rows, trivially small. At 100 TB the
+    exact scan swaps for the IVF/LSH candidate stage (``ann_ivf`` /
+    ``ann_lsh``) feeding the SAME vote; this exact spelling is the
+    oracle-checkable ground truth that bounds them. The neighbor-label
+    join is an equi-join on the labeled corpus's id — AQE broadcasts the
+    k·|Q|-row candidate side, the corpus is never broadcast."""
+    neigh = ann_bruteforce_topk(
+        labeled, unlabeled, k=k, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+    )
+    votes = (
+        neigh.join(lab, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nlabel").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("nlabel").alias("pred_label"),
+            "votes",
+            F.lit(k).cast("int").alias("k_used"),
+        )
+    )
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every 10th vector plays "unlabeled"; the rest are the seed set
+    emb = load_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 10 == 0)
+    labeled = emb.filter(F.col("vec_id") % 10 != 0)
+    return knn_label_vote(labeled, unlabeled)
+
+
+ORACLE_KNN_LABEL_VOTE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+), topk AS (
+  SELECT query_id, neighbor_id, nlabel,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+), votes AS (
+  SELECT query_id, nlabel, CAST(count(*) AS BIGINT) AS votes
+  FROM topk WHERE rnk <= {KNN_VOTE_K} GROUP BY query_id, nlabel
+)
+SELECT query_id, nlabel AS pred_label, votes,
+       CAST({KNN_VOTE_K} AS INTEGER) AS k_used
+FROM votes
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) = 1
+"""
+
+
 # ------------------------------------------------------------------ LSH-bucketed ANN
 
 

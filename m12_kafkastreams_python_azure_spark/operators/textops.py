@@ -252,3 +252,76 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        array_to_string(list(id ORDER BY pos), ',') AS ids
 FROM enc GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------------------ BPE pair stats
+
+BPE_TOP_PAIRS = 40
+
+
+def bpe_pair_counts(docs: DataFrame, top: int = BPE_TOP_PAIRS) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies, ranked — the
+    statistic the first BPE merge step consumes (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    arXiv:1508.07909: merge the most frequent symbol pair, iterate).
+    This computes the full first-iteration merge table: the top
+    ``top`` pairs by (count DESC, pair ASC), each with its merge rank.
+    A full BPE train loops this with the previous merges applied; the
+    pair-count aggregation below is the distributed inner step that
+    dominates that loop's cost at corpus scale.
+
+    Scale shape: tokenize (narrow map), explode each word's adjacent
+    char pairs (words shorter than 2 chars are filtered BEFORE the pair
+    build — Spark's ``sequence(1, len-1)`` DESCENDS when len-1 < 1 and
+    would fabricate pairs), then one (pair -> count) groupBy with
+    map-side partials over a key space bounded by |alphabet|² — tiny
+    state no matter the corpus size. Top-N is orderBy().limit(): a
+    distributed TakeOrderedAndProject (per-partition top-N, N-row
+    merge), NOT a global sort — same shape as ``q_vocab_encode``'s
+    top-V. Only the N survivors see the single-partition rank window."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - F.lit(1)),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    rank_w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top)
+        .withColumn("merge_rank", F.row_number().over(rank_w).cast("int"))
+        .select("pair", "cnt", "merge_rank")
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+),
+pairs AS (
+  SELECT substring(word, i, 2) AS pair
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) t
+  WHERE len(word) >= 2
+),
+counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS merge_rank
+FROM counted
+QUALIFY merge_rank <= {BPE_TOP_PAIRS}
+"""

@@ -54,6 +54,16 @@ ROTATED_IN_R07 = [
     "sessionize_events",
 ]
 
+# NEW in round 7, added INSIDE the window: kNN majority-vote labeling
+# over embeddings, the BPE first-merge pair table, and the per-source
+# duplication audit. They displace hll_merge_bound /
+# quantile_sketch_bound / heavy_hitters (green since r01, untouched).
+NEW_IN_R07 = [
+    "knn_label_vote",
+    "bpe_pair_counts",
+    "dedup_stats",
+]
+
 # Training-data-pipeline core: stays inside the window (the judge grades
 # these as first-class components).
 LLM_PIPELINE = [
@@ -80,9 +90,6 @@ LLM_PIPELINE = [
     "bigram_lm_score",
     "pack_sequences",
     "media_features",
-    "hll_merge_bound",
-    "quantile_sketch_bound",
-    "heavy_hitters",
     "rollup_merge",
     "record_linkage",
     "scd2_history",
@@ -105,7 +112,8 @@ ROWS_ONLY = {
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + CHANGED_IN_R07 + ROTATED_IN_R07 + LLM_PIPELINE
+        REFERENCE_SURFACE + CHANGED_IN_R07 + ROTATED_IN_R07
+        + NEW_IN_R07 + LLM_PIPELINE
     )
     assert len(expected) == WINDOW
     assert window == expected
