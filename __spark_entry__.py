@@ -65,6 +65,7 @@ from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import pq as PQ
 from m12_kafkastreams_python_azure_spark.operators import joins as J
 from m12_kafkastreams_python_azure_spark.operators import quality as Q
+from m12_kafkastreams_python_azure_spark.operators import retrieval as R
 from m12_kafkastreams_python_azure_spark.operators import vectorops as V
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
 from m12_kafkastreams_python_azure_spark.operators import textops as T
@@ -113,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": S.q_knn_label_vote,
         "bpe_pair_counts": T.q_bpe_pair_counts,
         "dedup_stats": D.q_dedup_stats,
+        "bm25_retrieval": R.q_bm25_retrieval,
+        "sq_error_stats": PQ.q_sq_error_stats,
         # training-data pipeline: dedup
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -128,10 +131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,  # rows-only (approx)
         "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
         "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
-        # training-data pipeline: text analysis
+        # training-data pipeline: text analysis (lang_id / doc_fingerprint
+        # rotated out this round — narrow per-row maps, green since r01)
         "text_quality": T.q_text_quality,
-        "lang_id": T.q_lang_id,
-        "doc_fingerprint": T.q_doc_fingerprint,
         "clean_corpus": T.q_clean_corpus,
         # training-data pipeline: corpus hygiene
         "decontaminate": C.q_decontaminate,
@@ -157,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_bound": SK.q_quantile_sketch_bound,
         "heavy_hitters": SK.q_heavy_hitters,
         "cms_merge_bound": SK.q_cms_merge_bound,
+        "lang_id": T.q_lang_id,
+        "doc_fingerprint": T.q_doc_fingerprint,
         "dataset_mix": A10.q_dataset_mix,
         "segment_dedup": CU.q_segment_dedup,
         "chunk_documents": CU.q_chunk_documents,
@@ -346,6 +350,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stats": D.ORACLE_DEDUP_STATS,
         "knn_label_vote": S.ORACLE_KNN_LABEL_VOTE,
         "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
+        "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
+        "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,
         "pagerank_parts": G.ORACLE_PAGERANK_PARTS,

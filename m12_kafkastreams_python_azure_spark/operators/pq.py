@@ -478,3 +478,84 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, emb.filter(F.col("vec_id") < 8), centroids, codebooks, emb,
         k=5, nprobe=8, rerank=64,
     )
+
+
+# ------------------------------------------------------------------ int8 scalar quantization
+
+SQ_LEVELS = 255  # uint8 code range
+
+
+def sq_error_stats(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-vector distortion report for int8 SCALAR quantization — the
+    Faiss ``SQ8`` storage mode (per-dimension affine codes), the simpler
+    sibling of PQ's subvector codebooks: code_i = round-half-up of
+    (x_i - min_i) / (max_i - min_i) * 255. Emits what an index operator
+    needs to DECIDE whether SQ8 suffices before paying PQ training:
+    (n_dims, mean_abs_err, cos_orig_dequant) per vector.
+
+    Scale shape: pass 1 is posexplode -> groupBy(dim) min/max — partial
+    aggregation collapses every partition to |dim| rows before the
+    shuffle, so the exchange moves |dim| x partitions rows regardless of
+    corpus size. The |dim|-row stats table re-joins the exploded stream
+    via broadcast; pass 2 regroups per vec_id (one group per vector, no
+    skew). Fully codegen — no HOF lambdas, no Python. Rounding is
+    floor(x + 0.5) in BOTH engines (Spark ROUND is HALF_UP, DuckDB's is
+    banker's-adjacent — spelling it out keeps the oracle exact)."""
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("i", "v_raw"),
+    ).select(id_col, "i", F.col("v_raw").cast("double").alias("v"))
+    dims = ex.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = ex.join(F.broadcast(dims), "i")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                * SQ_LEVELS + 0.5),
+    ).otherwise(F.lit(0))
+    r = F.col("mn") + code * (F.col("mx") - F.col("mn")) / SQ_LEVELS
+    scored = j.select(
+        F.col(id_col), "v", r.alias("r")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.round(F.avg(F.abs(F.col("v") - F.col("r"))), 6).alias("mean_abs_err"),
+            F.round(
+                F.sum(F.col("v") * F.col("r"))
+                / (F.sqrt(F.sum(F.col("v") * F.col("v")))
+                   * F.sqrt(F.sum(F.col("r") * F.col("r")))),
+                6,
+            ).alias("cos_orig_dequant"),
+        )
+    )
+
+
+def q_sq_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sq_error_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_SQ_ERROR_STATS = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i
+),
+scored AS (
+  SELECT e.vec_id, e.v,
+         d.mn + (CASE WHEN d.mx > d.mn
+                      THEN floor((e.v - d.mn) / (d.mx - d.mn) * {SQ_LEVELS} + 0.5)
+                      ELSE 0 END) * (d.mx - d.mn) / {SQ_LEVELS} AS r
+  FROM ex e JOIN dims d USING (i)
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       ROUND(avg(abs(v - r)), 6) AS mean_abs_err,
+       ROUND(sum(v * r) / (sqrt(sum(v * v)) * sqrt(sum(r * r))), 6)
+         AS cos_orig_dequant
+FROM scored GROUP BY vec_id
+"""

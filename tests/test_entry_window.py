@@ -62,6 +62,11 @@ NEW_IN_R07 = [
     "knn_label_vote",
     "bpe_pair_counts",
     "dedup_stats",
+    # wave 2: BM25 lexical retrieval + int8 scalar-quantization distortion
+    # report (displacing lang_id / doc_fingerprint — narrow per-row maps,
+    # green since r01, untouched this round)
+    "bm25_retrieval",
+    "sq_error_stats",
 ]
 
 # Training-data-pipeline core: stays inside the window (the judge grades
@@ -81,8 +86,6 @@ LLM_PIPELINE = [
     "normalize_embeddings",
     "geomean_prices",
     "text_quality",
-    "lang_id",
-    "doc_fingerprint",
     "clean_corpus",
     "decontaminate",
     "gopher_quality",

@@ -93,3 +93,77 @@ def test_dedup_stats_counts_planted_clones(spark):
     assert web["dup_factor"] == 2.0
     assert (books["n_docs"], books["n_distinct"], books["max_clone"]) == (2, 2, 1)
     assert books["dup_factor"] == 1.0
+
+
+def test_bm25_rewards_tf_and_ignores_nonmatching_docs(spark):
+    from m12_kafkastreams_python_azure_spark.operators.retrieval import (
+        bm25_retrieval,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "nothing relevant in here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bm25_retrieval(docs, query_terms=["spark"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 never appears
+    assert out[1]["bm25"] > out[2]["bm25"]  # tf saturates but still orders
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+
+
+def test_bm25_rarer_term_scores_higher_idf(spark):
+    from m12_kafkastreams_python_azure_spark.operators.retrieval import (
+        bm25_retrieval,
+    )
+
+    # 'rare' hits 1 of 10 docs, 'common' hits all 10; same tf, same doc
+    # length -> the rare-term doc must outrank every common-only doc
+    rows = [(i, "common pad pad pad") for i in range(9)]
+    rows.append((9, "rare pad pad pad"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_retrieval(docs, query_terms=["rare", "common"]).collect()
+    top = min(out, key=lambda r: r["rank"])
+    assert top["doc_id"] == 9
+
+
+def test_sq_error_stats_zero_error_on_axis_grid(spark):
+    from m12_kafkastreams_python_azure_spark.operators.pq import sq_error_stats
+
+    # values land EXACTLY on the 255-level grid (min=0, max=255 per dim,
+    # integer values) -> reconstruction is exact; constant dim (third)
+    # exercises the mx == mn guard
+    rows = [(i, [float(i * 51), float(255 - i * 51), 7.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in sq_error_stats(emb).collect():
+        assert r["n_dims"] == 3
+        assert r["mean_abs_err"] == 0.0
+        assert r["cos_orig_dequant"] == 1.0
+
+
+def test_sq_error_is_bounded_by_half_step(spark, sf_dir):
+    from m12_kafkastreams_python_azure_spark.operators.pq import (
+        SQ_LEVELS,
+        sq_error_stats,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = sq_error_stats(emb)
+    # per-element error is <= (mx-mn)/255/2; bound the mean by the worst
+    # dimension's half-step on the real corpus
+    ex = emb.select(F.posexplode("embedding").alias("i", "v"))
+    worst = (
+        ex.groupBy("i")
+        .agg(((F.max("v") - F.min("v")) / SQ_LEVELS / 2).alias("half"))
+        .agg(F.max("half"))
+        .first()[0]
+    )
+    bad = stats.filter(F.col("mean_abs_err") > worst + 1e-9).count()
+    assert bad == 0
+    # quantization at 8 bits must not meaningfully rotate vectors
+    assert stats.agg(F.min("cos_orig_dequant")).first()[0] > 0.999
