@@ -117,14 +117,17 @@ def run_headline(spark, queries, names, sf_dir=None):
     errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        # Two runs, report the best: the first run pays one-time JIT costs
-        # (Janino codegen compile of large generated expressions) that are
-        # amortized away in any sustained workload; the second run measures
-        # the plan. count() materializes the full plan; for top-k/agg
-        # queries the result is tiny, for wide ones we avoid driver
-        # transfer cost.
+        # Three runs, report the best: the first run pays one-time JIT
+        # costs (Janino codegen compile of large generated expressions)
+        # that are amortized away in any sustained workload; later runs
+        # measure the plan. Best-of-3 (not median — contention/GC noise is
+        # strictly additive, so min estimates true plan cost and median
+        # would bake half the noise back in) after the r07 driver artifact
+        # drifted 1.36x on untouched code from sandbox contention. count()
+        # materializes the full plan; for top-k/agg queries the result is
+        # tiny, for wide ones we avoid driver transfer cost.
         try:
-            for _ in range(2):
+            for _ in range(3):
                 df = queries[name](spark, sf_dir)
                 t0 = time.perf_counter()
                 df.count()
@@ -176,9 +179,9 @@ def main() -> None:
     timings, errors = run_headline(spark, queries, names)
 
     try:
-        streaming_eps = _streaming_throughput(spark)
+        streaming_eps, streaming_eps_untuned = _streaming_throughput(spark)
     except Exception as e:  # noqa: BLE001
-        streaming_eps = None
+        streaming_eps = streaming_eps_untuned = None
         errors["__streaming__"] = f"{type(e).__name__}: {e}"[:500]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -214,19 +217,29 @@ def main() -> None:
         out["errors"] = errors
         out["partial"] = True
     sidecar = dict(out)
+    # The tuned/untuned PAIR keeps methodology-vs-engine attribution
+    # honest: the headline streaming number runs with shuffle.partitions
+    # sized to the agg's key cardinality (standard stateful-streaming
+    # sizing, disclosed below); the control replays the same pipeline at
+    # the session default so the tuning's share of the number is always
+    # visible next to it.
+    sidecar["streaming_events_per_sec_untuned"] = streaming_eps_untuned
     # Recorded so round-over-round artifacts are comparable without
     # re-deriving the harness's discipline from the code (the r02->r05
     # delta was a methodology change — cold caches between queries —
     # not a regression, and cost a review cycle to attribute).
     sidecar["methodology"] = {
-        "batch": "best-of-2 runs per query; caches cleared between "
+        "batch": "best-of-3 runs per query (min, not median — "
+                 "contention noise is additive); caches cleared between "
                  "queries (clearCache + persist-registry release) so "
                  "no query rides an earlier query's cache",
         "streaming": "1 untimed warm-up replay, then best-of-5 timed "
                      "replays, fresh checkpoint each; source split into 32 "
                      "files; shuffle.partitions=8 during replays (state "
                      "partition count sized to the ~5-key agg, restored "
-                     "after); memory-sink table dropped between replays",
+                     "after); memory-sink table dropped between replays; "
+                     "streaming_events_per_sec_untuned is a best-of-2 "
+                     "control at the session-default shuffle partitions",
         "warmup": "one flagship query + one mapInPandas no-op before "
                   "timing (JIT + Python-worker spin-up)",
         "materialization": "df.count() per run",
@@ -286,7 +299,7 @@ def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:
     return out
 
 
-def _streaming_throughput(spark) -> float:
+def _streaming_throughput(spark) -> tuple[float, float | None]:
     """Events/s through the flagship-shaped streaming aggregation: the
     events table replayed through a file-source update-mode keyed count
     (state store + shuffle, the reference's analyze-stage profile). The
@@ -333,8 +346,7 @@ def _streaming_throughput(spark) -> float:
         # the cheapest variance reduction available). After the 50-query
         # batch suite the first replay can read 30-40% low while the JVM
         # settles (observed).
-        best = float("inf")
-        for i in range(6):
+        def _replay(tag: str, ck: str) -> float:
             stream = (
                 spark.readStream.schema(
                     "event_id long, ts timestamp, user_id long, "
@@ -349,20 +361,34 @@ def _streaming_throughput(spark) -> float:
             )
             q = (
                 stream.writeStream.format("memory")
-                .queryName(f"bench_stream_{i}")
+                .queryName(f"bench_stream_{tag}")
                 .outputMode("update")
-                .option("checkpointLocation", f"{work}/ck{i}")
+                .option("checkpointLocation", ck)
                 .start()
             )
             t0 = time.perf_counter()
             q.processAllAvailable()
-            if i > 0:  # replay 0 is the warm-up
-                best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
             q.stop()
             # memory-sink tables accumulate driver heap across replays;
-            # drop each so replay i+1 doesn't pay replay i's GC pressure
-            spark.sql(f"DROP TABLE IF EXISTS bench_stream_{i}")
-        return round(n / best, 1)
+            # drop each so the next replay doesn't pay this one's GC
+            spark.sql(f"DROP TABLE IF EXISTS bench_stream_{tag}")
+            return elapsed
+
+        best = float("inf")
+        for i in range(6):
+            elapsed = _replay(str(i), f"{work}/ck{i}")
+            if i > 0:  # replay 0 is the warm-up
+                best = min(best, elapsed)
+        # UNTUNED CONTROL: same pipeline at the session-default shuffle
+        # partition count (warm JVM — the tuned replays already paid
+        # cold-start), best-of-2. Published next to the tuned number so
+        # the state-partition sizing's contribution is always on record.
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        best_untuned = float("inf")
+        for i in range(2):
+            best_untuned = min(best_untuned, _replay(f"u{i}", f"{work}/cku{i}"))
+        return round(n / best, 1), round(n / best_untuned, 1)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(work, ignore_errors=True)

@@ -469,10 +469,16 @@ def dup_span_coverage(
 
 
 def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hashed grams stay ON for the driver row: a 64-bit gram collision at
-    # sf0.01 is ~10^-11-probable, and the parity test pins hashed==string
-    # output on the test tier — so the row exercises the production path.
-    return dup_span_coverage(parallel_scan(load_table(spark, sf_dir, "documents")))
+    # use_hashed_grams=False HERE ONLY: the oracle SQL mirrors the
+    # string-gram spelling, so the driver's parity row must exercise the
+    # exact same computation rather than lean on 64-bit-collision odds
+    # (r07 ADVICE). The hashed PRODUCTION default is pinned against this
+    # path by tests/test_curation.py::
+    # test_dup_span_hashed_grams_match_string_grams.
+    return dup_span_coverage(
+        parallel_scan(load_table(spark, sf_dir, "documents")),
+        use_hashed_grams=False,
+    )
 
 
 def _oracle_dup_span_coverage() -> str:

@@ -10,10 +10,12 @@ a production system fuses both.
 Scale shape (100 TB): the token explode is filtered to the QUERY TERMS
 while still narrow — the (doc, term) tf aggregate only ever sees rows
 matching the handful of query words, so its shuffle is proportional to
-the hit set, not the corpus. Corpus stats (N, avgdl) are one tiny
-all-up aggregate (broadcast as a literal join); df per term is a
-|terms|-row aggregate. Top-k is orderBy().limit() — a distributed
-TakeOrderedAndProject, never a global sort.
+the hit set, not the corpus. Doc length rides the tf aggregation keys
+(one shared split per scan, CSE'd by codegen — no separate dl join).
+Corpus stats (N, avgdl) are one tiny all-up aggregate (broadcast as a
+literal join); df per term is a |terms|-row aggregate. Top-k is
+orderBy().limit() — a distributed TakeOrderedAndProject, never a
+global sort.
 """
 
 from __future__ import annotations
@@ -43,21 +45,31 @@ def bm25_retrieval(
     negative. tf saturates via k1; b length-normalizes against the
     corpus mean doc length. Ties break on doc_id for determinism."""
     terms = query_terms or BM25_QUERY
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    # ONE tokenization per scan: doc length and the exploded tokens both
+    # derive from the same `words` projection, so whole-stage codegen's
+    # common-subexpression elimination evaluates split() once per document
+    # (previously the tf path and the dl path each re-split every doc).
+    # Carrying dl through the tf groupBy keys (functionally dependent on
+    # doc_id) also deletes the tf⋈dl shuffle join the old plan paid.
+    toked = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("words")
+    )
+    toks = toked.select(
+        "doc_id",
+        F.size("words").cast("double").alias("dl"),
+        F.explode("words").alias("word"),
     )
     # filter BEFORE the aggregate: the tf shuffle carries only query-term
     # hits (isin over a literal handful — scan-side, codegen'd)
     tf = (
         toks.filter(F.col("word").isin(terms))
-        .groupBy("doc_id", "word")
+        .groupBy("doc_id", "dl", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("dl"),
-    )
-    stats = dl.agg(
+    # corpus stats need ALL docs (the hit-filtered tf stream can't supply
+    # avgdl) — a second scan, but a split-once one; at 100 TB this pair
+    # (N, avgdl) is a corpus constant you'd memoize alongside the data.
+    stats = toked.select(F.size("words").cast("double").alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -72,7 +84,6 @@ def bm25_retrieval(
     )
     scored = (
         tf.join(F.broadcast(idf), "word")
-        .join(dl, "doc_id")
         .withColumn(
             "contrib",
             F.col("idf")
