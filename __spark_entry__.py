@@ -12,23 +12,25 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-7 rotation: the 5 reference-surface queries stay first (every
-round), then the six entries whose CODE changed this round and need a
-fresh driver row (vocab_encode — ids now canonicalized to a CSV string
-so the driver's pandas lexsort can't crash on array<long>;
-dup_span_coverage — hashed-gram shuffle keys now the default;
-quality_percentile_filter — approx front-door default, oracle entry
-pinned exact; semantic_dedup — collapse guard widened to the float
-rounding band below tau=1; ann_pq / ann_ivfpq — fingerprint-keyed
-training memo), then TEN of the oldest-green entries rotated back in
-for post-refactor re-confirmation (pricing_summary and friends were
-last driver-checked in r01–r04, before the exact-collapse / shared
-ADC / parity-filter refactors), then the training-data-pipeline core.
-The ten r06-green entries they displace (cms_merge_bound, dataset_mix,
-segment_dedup, chunk_documents, domain_cap, trailing_hour_counts,
-full_outer_activity, unpivot_metrics, event_pairs_10min,
-latest_event_per_user) rotate to the back — their hard rows are on
-record and their code is untouched this round.
+Round-8 rotation: the 5 reference-surface queries stay first (every
+round), then the three entries whose CODE changed this round and need
+a fresh driver row (dup_span_coverage — oracle entry now runs string
+grams, the exact oracle spelling, per r07 ADVICE; bm25_retrieval —
+single shared tokenization, dl carried through the tf keys;
+knn_label_vote — vote stage extracted for the new api front door),
+then the NEW bpe_merges (iterated BPE merge loop — the Sennrich
+training step bpe_pair_counts only did one round of), then the TWELVE
+entries that have missed a round rotated back in (the ten r06-green
+entries displaced in r07 — cms_merge_bound, dataset_mix, segment_dedup,
+chunk_documents, domain_cap, trailing_hour_counts, full_outer_activity,
+unpivot_metrics, event_pairs_10min, latest_event_per_user — plus
+lang_id / doc_fingerprint), then the training-data-pipeline core and
+five r07-green holds. Displaced to the back this round, all with hard
+green rows on record and code untouched: the ten r01–r04 entries
+re-confirmed green in r07 (pricing_summary … sessionize_events),
+ann_pq / ann_ivfpq (rows-only; bounded by in-window ann_topk), and
+bpe_pair_counts (its pair-count stage IS bpe_merges' first iteration,
+which is in-window with a full oracle).
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -88,34 +90,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,                     # F1
         "stay_enrich": A.q_stay_enrich,                     # F3-F5
         "hotels_count": A.q_hotels_count,                   # K2-K4 flagship
-        # code changed in round 7 — need a fresh driver row (see docstring)
-        "vocab_encode": T.q_vocab_encode,
+        # code changed in round 8 — need a fresh driver row (see docstring)
         "dup_span_coverage": CU.q_dup_span_coverage,
-        "quality_percentile_filter": CU.q_quality_percentile_filter,
-        "semantic_dedup": CU.q_semantic_dedup,
-        "ann_pq": PQ.q_ann_pq,                   # rows-only (approx; exact twin ann_topk)
-        "ann_ivfpq": PQ.q_ann_ivfpq,             # rows-only (approx; exact twin ann_topk)
-        # oldest-green entries rotated back IN for post-refactor
-        # re-confirmation (last driver rows r01–r04)
-        "pricing_summary": A.q_pricing_summary,
-        "top_revenue_orders": A.q_top_revenue_orders,
-        "region_revenue": A.q_region_revenue,
-        "top_customers": A.q_top_customers,
-        "window_top_orders": A.q_window_top_orders,
-        "events_daily": A.q_events_daily,
-        "window_functions": A3.q_window_functions,
-        "string_functions": A2.q_string_functions,
-        "math_functions": A2.q_math_functions,
-        "sessionize_events": A2.q_sessionize_events,
-        # NEW in round 7: kNN label vote (seed-classifier labeling), BPE
-        # first-merge pair table, per-source duplication audit — added
-        # INSIDE the window (displacing hll/quantile/heavy-hitter sketch
-        # entries, green since r01 and untouched this round)
-        "knn_label_vote": S.q_knn_label_vote,
-        "bpe_pair_counts": T.q_bpe_pair_counts,
-        "dedup_stats": D.q_dedup_stats,
         "bm25_retrieval": R.q_bm25_retrieval,
-        "sq_error_stats": PQ.q_sq_error_stats,
+        "knn_label_vote": S.q_knn_label_vote,
+        # NEW in round 8: the iterated BPE merge loop (3 unrolled
+        # count->merge->recount rounds; chained-CTE oracle)
+        "bpe_merges": T.q_bpe_merges,
+        # missed-a-round entries rotated back IN (displaced in r07;
+        # last driver rows r06)
+        "cms_merge_bound": SK.q_cms_merge_bound,
+        "dataset_mix": A10.q_dataset_mix,
+        "segment_dedup": CU.q_segment_dedup,
+        "chunk_documents": CU.q_chunk_documents,
+        "domain_cap": CU.q_domain_cap,
+        "trailing_hour_counts": A9.q_trailing_hour_counts,
+        "full_outer_activity": A10.q_full_outer_activity,
+        "unpivot_metrics": A10.q_unpivot_metrics,
+        "event_pairs_10min": J.q_event_pairs_10min,
+        "latest_event_per_user": A10.q_latest_event_per_user,
+        "lang_id": T.q_lang_id,
+        "doc_fingerprint": T.q_doc_fingerprint,
         # training-data pipeline: dedup
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -152,24 +147,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": LK.q_record_linkage,
         # lakehouse dimension maintenance: SCD2 interval build
         "scd2_history": SCD.q_scd2_history,
+        # r07-green holds (one more round in-window before rotating out)
+        "vocab_encode": T.q_vocab_encode,
+        "quality_percentile_filter": CU.q_quality_percentile_filter,
+        "semantic_dedup": CU.q_semantic_dedup,
+        "dedup_stats": D.q_dedup_stats,
+        "sq_error_stats": PQ.q_sq_error_stats,
         # ---- entries 51+: outside the driver window this round ----
-        # r06-green, code untouched in r07 (rotated out to free slots for
-        # the post-refactor re-confirmations above)
+        # re-confirmed green in r07 / green rows on record, code untouched
+        # (rotated out to free slots for the 12 missed-a-round returns)
+        "pricing_summary": A.q_pricing_summary,
+        "top_revenue_orders": A.q_top_revenue_orders,
+        "region_revenue": A.q_region_revenue,
+        "top_customers": A.q_top_customers,
+        "window_top_orders": A.q_window_top_orders,
+        "events_daily": A.q_events_daily,
+        "window_functions": A3.q_window_functions,
+        "string_functions": A2.q_string_functions,
+        "math_functions": A2.q_math_functions,
+        "sessionize_events": A2.q_sessionize_events,
+        "ann_pq": PQ.q_ann_pq,                   # rows-only (exact twin ann_topk, in-window)
+        "ann_ivfpq": PQ.q_ann_ivfpq,             # rows-only (exact twin ann_topk, in-window)
+        "bpe_pair_counts": T.q_bpe_pair_counts,  # first iteration of in-window bpe_merges
         "hll_merge_bound": SK.q_hll_merge_bound,
         "quantile_sketch_bound": SK.q_quantile_sketch_bound,
         "heavy_hitters": SK.q_heavy_hitters,
-        "cms_merge_bound": SK.q_cms_merge_bound,
-        "lang_id": T.q_lang_id,
-        "doc_fingerprint": T.q_doc_fingerprint,
-        "dataset_mix": A10.q_dataset_mix,
-        "segment_dedup": CU.q_segment_dedup,
-        "chunk_documents": CU.q_chunk_documents,
-        "domain_cap": CU.q_domain_cap,
-        "trailing_hour_counts": A9.q_trailing_hour_counts,
-        "full_outer_activity": A10.q_full_outer_activity,
-        "unpivot_metrics": A10.q_unpivot_metrics,
-        "event_pairs_10min": J.q_event_pairs_10min,
-        "latest_event_per_user": A10.q_latest_event_per_user,
         # green in BOTH r03 and r04 (rotated out to make room for the 14
         # first-ever rows above; their hard driver rows are on record)
         "zorder_key": L.q_zorder_key,
@@ -350,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stats": D.ORACLE_DEDUP_STATS,
         "knn_label_vote": S.ORACLE_KNN_LABEL_VOTE,
         "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
+        "bpe_merges": T.ORACLE_BPE_MERGES,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -101,6 +101,7 @@ HEADLINE = [
     "quality_percentile_filter",
     "knn_label_vote",
     "bpe_pair_counts",
+    "bpe_merges",
     "dedup_stats",
     "bm25_retrieval",
     "sq_error_stats",

@@ -311,3 +311,57 @@ def ann_topk(
             candidates, queries, k=k, id_col=id_col, vec_col=vec_col, dim=dim
         )
     raise ValueError(f"unknown ANN method: {method!r} (auto|lsh|ivf|exact)")
+
+
+# ------------------------------------------------------------ kNN label vote
+
+
+def knn_label_vote(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    method: str = "ivf",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **kwargs,
+) -> DataFrame:
+    """kNN majority-vote labeling with a swappable candidate stage.
+
+    The vote (``similarity.label_vote``: per-(query,label) count +
+    per-query argmax) is IDENTICAL for every method — only the neighbor
+    search changes:
+
+    - ``ivf`` (default): k-means inverted lists, each query scans
+      ~nprobe/train_k of the labeled corpus — the 100 TB path. Options
+      forward to ``ann_topk(method="ivf")`` (train_k, iters, nprobe,
+      sample_fraction); full-probe (nprobe=train_k) reproduces the exact
+      vote bit-for-bit (pinned in tests/test_round8_ops.py).
+    - ``lsh``: sign-LSH buckets, one bucket-id equi-join.
+    - ``exact``: brute-force scan (``similarity.knn_label_vote``) — the
+      oracle-checkable ground truth that bounds both approximations;
+      O(|corpus| * |Q|), validation use only at scale.
+
+    All paths are cartesian-free: candidates ship through equi-joins
+    (bucket id / centroid id) or a broadcast of the bounded query set.
+    """
+    if method == "exact":
+        dim = kwargs.pop("dim", None)
+        if kwargs:
+            raise TypeError(
+                f"knn_label_vote(method='exact') accepts only 'dim'; "
+                f"got {sorted(kwargs)}"
+            )
+        return _sim.knn_label_vote(
+            labeled, unlabeled, k=k, id_col=id_col, vec_col=vec_col,
+            label_col=label_col, dim=dim,
+        )
+    if method not in ("ivf", "lsh"):
+        raise ValueError(
+            f"unknown kNN label-vote method: {method!r} (ivf|lsh|exact)"
+        )
+    neigh = ann_topk(
+        labeled, unlabeled, method=method, k=k,
+        id_col=id_col, vec_col=vec_col, **kwargs,
+    )
+    return _sim.label_vote(neigh, labeled, k=k, id_col=id_col, label_col=label_col)

@@ -210,14 +210,33 @@ def knn_label_vote(
     the labeled corpus streams partition-local, and only k rows per query
     survive into the vote. The vote itself is a (query_id, label) count +
     per-query argmax window — k·|Q| rows, trivially small. At 100 TB the
-    exact scan swaps for the IVF/LSH candidate stage (``ann_ivf`` /
-    ``ann_lsh``) feeding the SAME vote; this exact spelling is the
-    oracle-checkable ground truth that bounds them. The neighbor-label
+    exact scan swaps for the IVF/LSH candidate stage feeding the SAME
+    vote — that front door is ``api.knn_label_vote(method="ivf"|"lsh")``,
+    and ``tests/test_round8_ops.py`` pins vote(exact) == vote(ivf,
+    full-probe); this exact spelling is the oracle-checkable ground truth
+    that bounds them. The neighbor-label
     join is an equi-join on the labeled corpus's id — AQE broadcasts the
     k·|Q|-row candidate side, the corpus is never broadcast."""
     neigh = ann_bruteforce_topk(
         labeled, unlabeled, k=k, id_col=id_col, vec_col=vec_col, dim=dim
     )
+    return label_vote(neigh, labeled, k=k, id_col=id_col, label_col=label_col)
+
+
+def label_vote(
+    neigh: DataFrame,
+    labeled: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """The vote stage shared by every kNN candidate generator: join the
+    (query_id, neighbor_id) candidate rows onto the labeled corpus's
+    labels, count votes per (query, label), argmax per query (ties to the
+    smaller label id). ``api.knn_label_vote`` feeds this from the exact,
+    IVF, or LSH candidate stage — the vote itself never changes, so
+    swapping the neighbor search at scale cannot alter the labeling
+    semantics, only the candidate recall."""
     lab = labeled.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
     )

@@ -325,3 +325,156 @@ SELECT pair, cnt,
 FROM counted
 QUALIFY merge_rank <= {BPE_TOP_PAIRS}
 """
+
+
+# ------------------------------------------------------------------ BPE merges
+
+BPE_MERGE_ITERS = 3
+
+
+def bpe_merges(docs: DataFrame, iters: int = BPE_MERGE_ITERS) -> DataFrame:
+    """The actual BPE training loop (Sennrich et al., arXiv:1508.07909),
+    ``iters`` iterations unrolled: count adjacent symbol pairs, merge the
+    globally most frequent pair everywhere, recount. Output is the merge
+    table — one row per iteration: (merge_step, pair, merged, cnt), the
+    artifact a BPE tokenizer ships.
+
+    Spark-first shape — the distributed-BPE standard:
+
+    - The corpus collapses to the WORD-COUNT table first (one corpus
+      shuffle, cached: it is vocab-sized). Every later pass runs over
+      |vocab| rows with frequencies as weights, never the corpus again.
+    - Symbol sequences are space-delimited strings ("h e l l o"); words
+      come from a whitespace split, so the delimiter can never collide
+      with symbol content.
+    - Pair counting: zip_with over two shifted slices (HOF ARGUMENTS
+      evaluate once per row — no per-element re-eval of the split), then
+      a (pair -> sum(wcnt)) aggregate whose key space is bounded by the
+      live symbol-pair diversity, with map-side partials.
+    - Top-1 per iteration is orderBy().limit(1): TakeOrderedAndProject.
+    - The merge APPLIES as a pure-plan literal-string replace: the 1-row
+      winner crossJoin-broadcasts onto the vocab and ``F.replace`` (not
+      regex — symbols may contain regex metachars) rewrites
+      " p1 p2 " -> " p1p2 " on the padded sequence, TWICE: left-to-right
+      non-overlapping replacement can skip an occurrence whose leading
+      delimiter was consumed by the previous match, but any two
+      originally-adjacent occurrences can't both survive pass one, so
+      remaining matches are isolated and pass two catches all of them.
+      No driver round-trip anywhere — the merge table never leaves the
+      cluster until the final 3-row result.
+
+    Semantics note: on a run of IDENTICAL symbols ("a a a a"), greedy
+    delimited replace groups occurrences differently from the textbook
+    rescan-after-merge spelling — but identically to the DuckDB oracle's
+    ``replace``, which is the contract this operator is checked against
+    (both engines are left-to-right non-overlapping).
+
+    At 100 TB: the corpus scan happens once (word count); each iteration
+    is a vocab-sized narrow pass + one bounded-key aggregate. A real
+    tokenizer train runs ~50k iterations with the vocab table persisted
+    between steps — this unrolled spelling is the per-step plan."""
+    wc = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        # vocab-sized; every iteration re-reads it, so one corpus scan total
+        .cache()
+    )
+    vocab = wc.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "wcnt"
+    )
+    merge_rows = []
+    for step in range(1, iters + 1):
+        with_syms = vocab.select(F.split("sym", " ").alias("syms"), "wcnt")
+        pairs = with_syms.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+                    F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+            "wcnt",
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wcnt").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        merge_rows.append(
+            top1.select(
+                F.lit(step).cast("int").alias("merge_step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "cnt",
+            )
+        )
+        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        search = F.concat(F.lit(" "), F.col("_mp"), F.lit(" "))
+        repl = F.concat(
+            F.lit(" "), F.replace(F.col("_mp"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top1.select(F.col("pair").alias("_mp"))))
+            .select(
+                F.trim(F.replace(F.replace(padded, search, repl), search, repl)).alias(
+                    "sym"
+                ),
+                "wcnt",
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_step")
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_bpe_merges(iters: int = BPE_MERGE_ITERS) -> str:
+    # chained CTEs, one (pairs -> top-1 -> apply) block per iteration —
+    # the same unrolled spelling pagerank_parts' oracle uses for its
+    # fixed-round loop
+    ctes = ["""wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents)
+  GROUP BY word
+)""", """sym0 AS (
+  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, wcnt FROM wc
+)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT arr[i] || ' ' || arr[i+1] AS pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+  FROM (SELECT string_split(sym, ' ') AS arr, wcnt FROM sym{i - 1}) s,
+       LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) t
+  GROUP BY pair
+)""")
+        ctes.append(f"""m{i} AS (
+  SELECT {i} AS step, pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+)""")
+        if i < iters:
+            ctes.append(f"""sym{i} AS (
+  SELECT trim(replace(replace(' ' || s.sym || ' ',
+                              ' ' || m.pair || ' ',
+                              ' ' || replace(m.pair, ' ', '') || ' '),
+                      ' ' || m.pair || ' ',
+                      ' ' || replace(m.pair, ' ', '') || ' ')) AS sym,
+         s.wcnt
+  FROM sym{i - 1} s, m{i} m
+)""")
+    union = "\nUNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, iters + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(step AS INTEGER) AS merge_step, pair,
+       replace(pair, ' ', '') AS merged, cnt
+FROM ({union})
+ORDER BY merge_step
+"""
+    )
+
+
+ORACLE_BPE_MERGES = _oracle_bpe_merges()

@@ -1,0 +1,108 @@
+"""Behavioral invariants for the round-8 additions on PLANTED data —
+``bpe_merges`` (textops.py) and the ``api.knn_label_vote`` front door.
+The oracle sweep (test_oracle.py) covers driver-table parity for
+bpe_merges; these pin the semantics the oracle can't see failing (a
+merge that rewrites the wrong occurrences, an IVF/LSH vote that drifts
+from the exact ground truth, a cartesian sneaking into a default path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.operators import api
+from m12_kafkastreams_python_azure_spark.operators.similarity import (
+    knn_label_vote as knn_exact,
+)
+from m12_kafkastreams_python_azure_spark.operators.textops import (
+    bpe_merges,
+    bpe_pair_counts,
+)
+from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bpe_merges_planted_corpus(spark):
+    # corpus: "aaab" x3, "ab" x2 — fully hand-computable.
+    # chars: a a a b (x3), a b (x2)
+    # iter1 pairs: "a a" x6, "a b" x5 -> merge "a a" (cnt 6)
+    # after: "aa a b" x3, "a b" x2
+    # iter2 pairs: "aa a" x3, "a b" x5 -> merge "a b" (cnt 5)
+    # after: "aa ab" x3, "ab" x2
+    # iter3 pairs: "aa ab" x3 -> merge "aa ab" (cnt 3)
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    rows = bpe_merges(docs, iters=3).collect()
+    got = [(r["merge_step"], r["pair"], r["merged"], r["cnt"]) for r in rows]
+    assert got == [
+        (1, "a a", "aa", 6),
+        (2, "a b", "ab", 5),
+        (3, "aa ab", "aaab", 3),
+    ]
+
+
+def test_bpe_merges_two_pass_replace_catches_adjacent_runs(spark):
+    # "abababab": after merging pair "a b", ALL four occurrences must
+    # merge even though greedy single-pass replace on the delimited
+    # string would skip every other one (delimiter consumed by the
+    # previous match) — the two-pass replace exists exactly for this.
+    docs = spark.createDataFrame([(1, "abababab")], "doc_id long, text string")
+    rows = bpe_merges(docs, iters=2).collect()
+    assert rows[0]["pair"] == "a b" and rows[0]["cnt"] == 4
+    # iter2 sees "ab ab ab ab" -> pair ("ab","ab") x3
+    assert rows[1]["pair"] == "ab ab" and rows[1]["cnt"] == 3
+
+
+def test_bpe_merges_first_step_matches_pair_counts(spark):
+    # internal consistency: merge #1 IS bpe_pair_counts' rank-1 row
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the quick brown fox", "the lazy dog the end", "quick quick"]
+        )],
+        "doc_id long, text string",
+    )
+    top_pair = bpe_pair_counts(docs, top=1).collect()[0]
+    merge1 = bpe_merges(docs, iters=1).collect()[0]
+    assert merge1["merged"] == top_pair["pair"]
+    assert merge1["cnt"] == top_pair["cnt"]
+
+
+def test_knn_front_door_ivf_full_probe_matches_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 10 == 0)
+    labeled = emb.filter(F.col("vec_id") % 10 != 0)
+    exact = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_exact(labeled, unlabeled, k=5).collect()
+    }
+    # full probe (nprobe == train_k) scans every inverted list -> the
+    # candidate set equals the exact scan's, so the vote is identical
+    ivf = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in api.knn_label_vote(
+            labeled, unlabeled, method="ivf", k=5, train_k=8, nprobe=8
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_knn_front_door_default_and_lsh_are_cartesian_free(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 10 == 0)
+    labeled = emb.filter(F.col("vec_id") % 10 != 0)
+    for method, kw in (("ivf", {"train_k": 8, "nprobe": 2}), ("lsh", {})):
+        plan = _plan(api.knn_label_vote(labeled, unlabeled, method=method, **kw))
+        assert "CartesianProduct" not in plan, method
+        assert "BroadcastNestedLoopJoin" not in plan, method
+
+
+def test_knn_front_door_rejects_unknown_method(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="ivf|lsh|exact"):
+        api.knn_label_vote(emb, emb, method="flann")
