@@ -59,6 +59,25 @@ SECTIONS = [
      "The probe is an EQUI-join on centroid_id (queries broadcast with "
      "their per-query ADC tables); the scan side reads codes, not "
      "vectors; exact re-rank touches only the bounded survivor set."),
+    ("bm25_retrieval", "BM25 retrieval — hit-set-proportional shuffles",
+     "One tokenization per scan (codegen CSE over the shared split "
+     "projection); the isin(term) filter lands scan-side so the tf "
+     "aggregate shuffles only query-term hits; dl rides the tf keys (no "
+     "dl join); idf and corpus stats broadcast; top-k is "
+     "TakeOrderedAndProject, never a global sort."),
+    ("bpe_merges", "Iterated BPE merges — vocab-bounded training loop",
+     "The corpus collapses to the word-count table in ONE shuffle "
+     "(cached); each of the 3 unrolled iterations is a vocab-sized "
+     "narrow pass (shifted-slice zip_with pair build), a bounded-key "
+     "aggregate, a TakeOrderedAndProject top-1, and a 1-row broadcast "
+     "crossJoin applying the merge as a literal string replace — no "
+     "driver round-trip anywhere."),
+    ("knn_label_vote", "kNN label vote — broadcast query side + tiny vote",
+     "The exact ground-truth spelling: labeled corpus streams "
+     "partition-local against the broadcast query set; only k rows per "
+     "query reach the (query,label) vote aggregate and per-query argmax "
+     "window. The api front door swaps the candidate stage for IVF/LSH "
+     "equi-join plans at scale (same vote, cartesian-free asserted)."),
 ]
 
 
