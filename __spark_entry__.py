@@ -18,8 +18,9 @@ a fresh driver row (dup_span_coverage — oracle entry now runs string
 grams, the exact oracle spelling, per r07 ADVICE; bm25_retrieval —
 single shared tokenization, dl carried through the tf keys;
 knn_label_vote — vote stage extracted for the new api front door),
-then the NEW bpe_merges (iterated BPE merge loop — the Sennrich
-training step bpe_pair_counts only did one round of), then the TWELVE
+then the NEW bpe_merges / bpe_encode pair (iterated BPE merge loop —
+the Sennrich training step bpe_pair_counts only did one round of — and
+its apply step: per-doc post-merge token counts), then the TWELVE
 entries that have missed a round rotated back in (the ten r06-green
 entries displaced in r07 — cms_merge_bound, dataset_mix, segment_dedup,
 chunk_documents, domain_cap, trailing_hour_counts, full_outer_activity,
@@ -95,8 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": R.q_bm25_retrieval,
         "knn_label_vote": S.q_knn_label_vote,
         # NEW in round 8: the iterated BPE merge loop (3 unrolled
-        # count->merge->recount rounds; chained-CTE oracle)
+        # count->merge->recount rounds; chained-CTE oracle) and its apply
+        # step (per-doc post-merge token counts)
         "bpe_merges": T.q_bpe_merges,
+        "bpe_encode": T.q_bpe_encode,
         # missed-a-round entries rotated back IN (displaced in r07;
         # last driver rows r06)
         "cms_merge_bound": SK.q_cms_merge_bound,
@@ -152,8 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_filter": CU.q_quality_percentile_filter,
         "semantic_dedup": CU.q_semantic_dedup,
         "dedup_stats": D.q_dedup_stats,
-        "sq_error_stats": PQ.q_sq_error_stats,
         # ---- entries 51+: outside the driver window this round ----
+        # r07-green, untouched; displaced by bpe_encode
+        "sq_error_stats": PQ.q_sq_error_stats,
+        # bench/scale entry: IVF production path of knn_label_vote
+        # (approximate — bounded by the in-window exact twin + parity test)
+        "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
         # re-confirmed green in r07 / green rows on record, code untouched
         # (rotated out to free slots for the 12 missed-a-round returns)
         "pricing_summary": A.q_pricing_summary,
@@ -353,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_vote": S.ORACLE_KNN_LABEL_VOTE,
         "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
         "bpe_merges": T.ORACLE_BPE_MERGES,
+        "bpe_encode": T.ORACLE_BPE_ENCODE,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -102,6 +102,8 @@ HEADLINE = [
     "knn_label_vote",
     "bpe_pair_counts",
     "bpe_merges",
+    "bpe_encode",
+    "knn_label_vote_ivf",
     "dedup_stats",
     "bm25_retrieval",
     "sq_error_stats",

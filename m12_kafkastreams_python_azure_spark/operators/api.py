@@ -365,3 +365,19 @@ def knn_label_vote(
         id_col=id_col, vec_col=vec_col, **kwargs,
     )
     return _sim.label_vote(neigh, labeled, k=k, id_col=id_col, label_col=label_col)
+
+
+def q_knn_label_vote_ivf(spark, sf_dir: str) -> DataFrame:
+    """The PRODUCTION spelling of kNN labeling: IVF candidate stage
+    (16 inverted lists, 4 probed) feeding the shared vote. Bench/scale
+    entry — approximate by design, so no oracle; correctness is bounded
+    by the oracle-checked exact twin ``knn_label_vote`` plus the
+    full-probe == exact parity test (test_round8_ops.py)."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 10 == 0)
+    labeled = emb.filter(F.col("vec_id") % 10 != 0)
+    return knn_label_vote(
+        labeled, unlabeled, method="ivf", k=10, train_k=16, nprobe=4
+    )

@@ -373,6 +373,17 @@ def bpe_merges(docs: DataFrame, iters: int = BPE_MERGE_ITERS) -> DataFrame:
     is a vocab-sized narrow pass + one bounded-key aggregate. A real
     tokenizer train runs ~50k iterations with the vocab table persisted
     between steps — this unrolled spelling is the per-step plan."""
+    merge_rows, _ = _bpe_train(docs, iters)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_step")
+
+
+def _bpe_train(docs: DataFrame, iters: int):
+    """Shared BPE training loop: returns (per-iteration merge-row
+    DataFrames, final word -> symbol-sequence vocab). ``bpe_merges``
+    publishes the former, ``bpe_encode`` applies the latter."""
     wc = (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
         .groupBy("word")
@@ -381,7 +392,7 @@ def bpe_merges(docs: DataFrame, iters: int = BPE_MERGE_ITERS) -> DataFrame:
         .cache()
     )
     vocab = wc.select(
-        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "wcnt"
+        "word", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "wcnt"
     )
     merge_rows = []
     for step in range(1, iters + 1):
@@ -418,33 +429,77 @@ def bpe_merges(docs: DataFrame, iters: int = BPE_MERGE_ITERS) -> DataFrame:
         vocab = (
             vocab.crossJoin(F.broadcast(top1.select(F.col("pair").alias("_mp"))))
             .select(
+                "word",
                 F.trim(F.replace(F.replace(padded, search, repl), search, repl)).alias(
                     "sym"
                 ),
                 "wcnt",
             )
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("merge_step")
+    return merge_rows, vocab.select("word", "sym")
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load_table(spark, sf_dir, "documents"))
 
 
-def _oracle_bpe_merges(iters: int = BPE_MERGE_ITERS) -> str:
+def bpe_encode(docs: DataFrame, iters: int = BPE_MERGE_ITERS) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus — the tokenizer
+    APPLY step that pairs with ``bpe_merges``' train step. Per document:
+    word count and post-merge token count (what sequence-packing and
+    context-length budgeting consume; the n_tokens/n_words ratio is the
+    compression the merge table bought).
+
+    Scale shape: training cost is ``_bpe_train`` (one corpus shuffle,
+    then vocab-sized passes); application is ONE equi-join of the
+    exploded corpus tokens against the word -> symbols vocab (AQE
+    broadcasts it when small; at web scale it stays a shuffle join — the
+    vocab is |distinct words|, never corpus-sized) and a per-doc
+    aggregate. No per-document re-tokenization: every distinct word's
+    merge sequence is computed exactly once, on the vocab."""
+    _, vocab = _bpe_train(docs, iters)
+    enc = vocab.select(
+        "word", F.size(F.split("sym", " ")).cast("long").alias("word_tokens")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    return (
+        toks.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_cte_chain(iters: int, syms_through: int) -> list[str]:
     # chained CTEs, one (pairs -> top-1 -> apply) block per iteration —
     # the same unrolled spelling pagerank_parts' oracle uses for its
-    # fixed-round loop
+    # fixed-round loop. ``syms_through`` controls how many apply steps are
+    # emitted: the merge table needs iters-1 (the last merge is never
+    # applied), the encoder needs all iters.
     ctes = ["""wc AS (
   SELECT word, CAST(count(*) AS BIGINT) AS wcnt
   FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
         FROM documents)
   GROUP BY word
 )""", """sym0 AS (
-  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, wcnt FROM wc
+  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, wcnt
+  FROM wc
 )"""]
     for i in range(1, iters + 1):
         ctes.append(f"""p{i} AS (
@@ -456,9 +511,10 @@ def _oracle_bpe_merges(iters: int = BPE_MERGE_ITERS) -> str:
         ctes.append(f"""m{i} AS (
   SELECT {i} AS step, pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
 )""")
-        if i < iters:
+        if i <= syms_through:
             ctes.append(f"""sym{i} AS (
-  SELECT trim(replace(replace(' ' || s.sym || ' ',
+  SELECT s.word,
+         trim(replace(replace(' ' || s.sym || ' ',
                               ' ' || m.pair || ' ',
                               ' ' || replace(m.pair, ' ', '') || ' '),
                       ' ' || m.pair || ' ',
@@ -466,6 +522,11 @@ def _oracle_bpe_merges(iters: int = BPE_MERGE_ITERS) -> str:
          s.wcnt
   FROM sym{i - 1} s, m{i} m
 )""")
+    return ctes
+
+
+def _oracle_bpe_merges(iters: int = BPE_MERGE_ITERS) -> str:
+    ctes = _bpe_cte_chain(iters, syms_through=iters - 1)
     union = "\nUNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, iters + 1))
     return (
         "WITH " + ",\n".join(ctes) + f"""
@@ -478,3 +539,29 @@ ORDER BY merge_step
 
 
 ORACLE_BPE_MERGES = _oracle_bpe_merges()
+
+
+def _oracle_bpe_encode(iters: int = BPE_MERGE_ITERS) -> str:
+    ctes = _bpe_cte_chain(iters, syms_through=iters)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+enc AS (
+  SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS word_tokens
+  FROM sym{iters}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.word_tokens) AS BIGINT) AS n_tokens,
+       ROUND(sum(e.word_tokens) / CAST(count(*) AS DOUBLE), 6)
+         AS tokens_per_word
+FROM toks t JOIN enc e USING (word)
+GROUP BY t.doc_id
+"""
+    )
+
+
+ORACLE_BPE_ENCODE = _oracle_bpe_encode()

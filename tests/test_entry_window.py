@@ -34,9 +34,11 @@ CHANGED_IN_R08 = [
 ]
 
 # NEW in round 8: the iterated BPE merge loop (3 unrolled
-# count -> merge -> recount rounds, chained-CTE oracle).
+# count -> merge -> recount rounds, chained-CTE oracle) and its apply
+# step (per-doc post-merge token counts — the tokenizer train/apply pair).
 NEW_IN_R08 = [
     "bpe_merges",
+    "bpe_encode",
 ]
 
 # Entries that missed round 7 rotated back in: the ten r06-green entries
@@ -85,13 +87,13 @@ LLM_PIPELINE = [
     "scd2_history",
 ]
 
-# r07-green holds: one more round in-window before rotating out.
+# r07-green holds: one more round in-window before rotating out
+# (sq_error_stats rotated out instead — displaced by bpe_encode).
 HELD_FROM_R07 = [
     "vocab_encode",
     "quality_percentile_filter",
     "semantic_dedup",
     "dedup_stats",
-    "sq_error_stats",
 ]
 
 # The only window entries allowed to lack a DuckDB oracle: LSH banding and

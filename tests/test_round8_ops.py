@@ -106,3 +106,25 @@ def test_knn_front_door_rejects_unknown_method(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="ivf|lsh|exact"):
         api.knn_label_vote(emb, emb, method="flann")
+
+
+def test_bpe_encode_planted_corpus(spark):
+    # same corpus as the merges test; with iters=2 the learned merges are
+    # ("a a" -> aa) then ("a b" -> ab), so "aaab" -> [aa, ab] (2 tokens)
+    # and "ab" -> [ab] (1 token)
+    from m12_kafkastreams_python_azure_spark.operators.textops import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["tokens_per_word"])
+        for r in bpe_encode(docs, iters=2).collect()
+    }
+    assert got[1] == (3, 5, round(5 / 3, 6))
+    assert got[2] == (2, 3, 1.5)
+    # iters=3 additionally merges ("aa ab" -> aaab): every word is one token
+    full = {
+        r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, iters=3).collect()
+    }
+    assert full == {1: 3, 2: 2}
