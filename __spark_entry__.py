@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # step (per-doc post-merge token counts)
         "bpe_merges": T.q_bpe_merges,
         "bpe_encode": T.q_bpe_encode,
+        # NEW in round 8: PMI collocation mining (word2phrase-style vocab
+        # augmentation signal)
+        "pmi_bigrams": T.q_pmi_bigrams,
         # missed-a-round entries rotated back IN (displaced in r07;
         # last driver rows r06)
         "cms_merge_bound": SK.q_cms_merge_bound,
@@ -128,7 +131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
         "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,  # rows-only (approx)
         "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
-        "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
         # training-data pipeline: text analysis (lang_id / doc_fingerprint
         # rotated out this round — narrow per-row maps, green since r01)
         "text_quality": T.q_text_quality,
@@ -161,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bench/scale entry: IVF production path of knn_label_vote
         # (approximate — bounded by the in-window exact twin + parity test)
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
+        # multi-round green, untouched; displaced by pmi_bigrams
+        "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
         # re-confirmed green in r07 / green rows on record, code untouched
         # (rotated out to free slots for the 12 missed-a-round returns)
         "pricing_summary": A.q_pricing_summary,
@@ -361,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
         "bpe_merges": T.ORACLE_BPE_MERGES,
         "bpe_encode": T.ORACLE_BPE_ENCODE,
+        "pmi_bigrams": T.ORACLE_PMI_BIGRAMS,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -103,6 +103,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_merges",
     "bpe_encode",
+    "pmi_bigrams",
     "knn_label_vote_ivf",
     "dedup_stats",
     "bm25_retrieval",
@@ -236,7 +237,7 @@ def main() -> None:
                  "contention noise is additive); caches cleared between "
                  "queries (clearCache + persist-registry release) so "
                  "no query rides an earlier query's cache",
-        "streaming": "1 untimed warm-up replay, then best-of-5 timed "
+        "streaming": "1 untimed warm-up replay, then best-of-7 timed "
                      "replays, fresh checkpoint each; source split into 32 "
                      "files; shuffle.partitions=8 during replays (state "
                      "partition count sized to the ~5-key agg, restored "
@@ -343,12 +344,10 @@ def _streaming_throughput(spark) -> tuple[float, float | None]:
         # bench-only trick; a million-key pipeline would size UP the same
         # way. Disclosed in the methodology field.
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        # Replay 0 is the deterministic warm-up (untimed); replays 1-5 are
-        # measured, best-of-5 (was 3 — sub-second replays carry a heavy
-        # right tail from GC/scheduling, and two extra ~0.7s replays are
-        # the cheapest variance reduction available). After the 50-query
-        # batch suite the first replay can read 30-40% low while the JVM
-        # settles (observed).
+        # Replay 0 is the deterministic warm-up (untimed); the rest are
+        # measured, best-of-N (sub-second replays carry a heavy right
+        # tail from GC/scheduling). After the batch suite the first
+        # replay can read 30-40% low while the JVM settles (observed).
         def _replay(tag: str, ck: str) -> float:
             stream = (
                 spark.readStream.schema(
@@ -378,8 +377,13 @@ def _streaming_throughput(spark) -> tuple[float, float | None]:
             spark.sql(f"DROP TABLE IF EXISTS bench_stream_{tag}")
             return elapsed
 
+        # best-of-7 (was 5): per-replay fixed costs (queryPlanning,
+        # walCommit, addBatch scheduling) measured fluctuating ~2.5x
+        # run-to-run on this sandbox (0.67s..1.6s for the identical
+        # replay); two more ~1s replays are the cheapest way to keep the
+        # best estimate stable across rounds.
         best = float("inf")
-        for i in range(6):
+        for i in range(8):
             elapsed = _replay(str(i), f"{work}/ck{i}")
             if i > 0:  # replay 0 is the warm-up
                 best = min(best, elapsed)

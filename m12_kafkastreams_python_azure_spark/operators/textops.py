@@ -565,3 +565,132 @@ GROUP BY t.doc_id
 
 
 ORACLE_BPE_ENCODE = _oracle_bpe_encode()
+
+
+# ------------------------------------------------------------------ PMI bigrams
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 40
+
+
+def pmi_bigrams(
+    docs: DataFrame, min_count: int = PMI_MIN_COUNT, top: int = PMI_TOP
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent word
+    pairs whose joint frequency beats the independence assumption —
+    PMI = ln( (c12/N2) / ((c1/N1)(c2/N1)) ) (Church & Hanks 1990, the
+    phrase-mining statistic behind word2phrase-style vocab augmentation:
+    high-PMI bigrams become single tokens). ``min_count`` drops the
+    low-frequency noise PMI notoriously amplifies; ties break on the
+    pair for determinism.
+
+    Scale shape: bigrams build per document from ONE tokenization
+    (shifted-slice zip_with — HOF arguments evaluate once per row), then
+    one (w1,w2)-keyed aggregate with map-side partials; unigrams are a
+    second single-split scan and a vocab-sized aggregate. The marginal
+    joins run bigram-table x vocab-table — AQE broadcasts the unigram
+    side when it fits, and at web scale both sides are
+    frequency-filtered long before the join. Totals (N1, N2) are
+    single-row aggregates broadcast via crossJoin. Top-k is
+    orderBy().limit(): TakeOrderedAndProject."""
+    words = docs.select(F.split(F.trim("text"), r"\s+").alias("words"))
+    bigrams = (
+        words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("words"), F.lit(1), F.size("words") - 1),
+                    F.slice(F.col("words"), F.lit(2), F.size("words") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    unigrams = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # totals count ALL tokens/bigrams, not the min_count-filtered ones;
+    # bigrams per doc = nw - 1 (empty docs still split to one
+    # empty-string token, so nw >= 1 always)
+    totals = (
+        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("nw"))
+        .agg(
+            F.sum("nw").cast("double").alias("n1"),
+            F.sum(F.col("nw") - 1).cast("double").alias("n2"),
+        )
+    )
+    scored = (
+        bigrams.join(
+            unigrams.select(F.col("word").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(
+            unigrams.select(F.col("word").alias("w2"), F.col("c").alias("c2")), "w2"
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("n2"))
+                    / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .select("w1", "w2", "c12", "pmi", "rank")
+    )
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_PMI_BIGRAMS = f"""
+WITH ws AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+bigrams AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+  GROUP BY w1, w2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+),
+unigrams AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS word FROM ws)
+  GROUP BY word
+),
+totals AS (
+  SELECT CAST(sum(len(w)) AS DOUBLE) AS n1,
+         CAST(sum(len(w) - 1) AS DOUBLE) AS n2
+  FROM ws
+),
+scored AS (
+  SELECT b.w1, b.w2, b.c12,
+         ROUND(ln((b.c12 / t.n2)
+               / ((u1.c / t.n1) * (u2.c / t.n1))), 6) AS pmi
+  FROM bigrams b
+  JOIN unigrams u1 ON b.w1 = u1.word
+  JOIN unigrams u2 ON b.w2 = u2.word
+  CROSS JOIN totals t
+)
+SELECT w1, w2, c12, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {PMI_TOP}
+"""

@@ -39,6 +39,10 @@ CHANGED_IN_R08 = [
 NEW_IN_R08 = [
     "bpe_merges",
     "bpe_encode",
+    # PMI collocation mining (displacing geomean_prices — multi-round
+    # green, untouched; the grouped-agg-UDF family stays represented
+    # in-window by normalize_embeddings)
+    "pmi_bigrams",
 ]
 
 # Entries that missed round 7 rotated back in: the ten r06-green entries
@@ -73,7 +77,6 @@ LLM_PIPELINE = [
     "ann_ivf",
     "embedding_near_dup_lsh",
     "normalize_embeddings",
-    "geomean_prices",
     "text_quality",
     "clean_corpus",
     "decontaminate",

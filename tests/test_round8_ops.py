@@ -128,3 +128,33 @@ def test_bpe_encode_planted_corpus(spark):
         r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, iters=3).collect()
     }
     assert full == {1: 3, 2: 2}
+
+
+def test_pmi_bigrams_planted_corpus(spark):
+    # "new york" always co-occurs (PMI max); "the cat"/"the dog" split
+    # "the"'s mass (lower PMI). min_count=2 drops singletons.
+    from math import log
+
+    from m12_kafkastreams_python_azure_spark.operators.textops import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york new york"),
+            (2, "the cat the cat"),
+            (3, "the dog the dog"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = pmi_bigrams(docs, min_count=2, top=10).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    # corpus: n1 = 14 tokens, n2 = 11 bigrams
+    # "new york" c12=3, c(new)=3, c(york)=3 -> pmi = ln((3/11)/((3/14)^2))
+    exp_ny = round(log((3 / 11) / ((3 / 14) * (3 / 14))), 6)
+    assert by_pair[("new", "york")]["pmi"] == exp_ny
+    assert by_pair[("new", "york")]["rank"] == 1
+    # "the cat": c12=2, c(the)=4, c(cat)=2
+    exp_tc = round(log((2 / 11) / ((4 / 14) * (2 / 14))), 6)
+    assert by_pair[("the", "cat")]["pmi"] == exp_tc
+    # cross-doc bigram ("york new" within doc 1 counts; "cat the" does) —
+    # but nothing spans documents: no ("york", "the") pair exists
+    assert ("york", "the") not in by_pair
