@@ -169,10 +169,12 @@ def main() -> None:
     ).count()
 
     # SPARK_GRAFT_EXCLUDE: comma-separated queries to skip, recorded in the
-    # output (never silent). Used by the sf1 tier to skip embedding_near_dup
-    # — the quadratic-BY-DESIGN oracle twin whose production path is the
-    # included LSH variant; at 20k vectors the exact twin is pure O(n^2)
-    # ground-truth machinery, not a plan anyone would run at scale.
+    # output (never silent). Used by the sf1 tier to skip the
+    # quadratic-BY-DESIGN oracle twins whose production paths ARE included:
+    # embedding_near_dup (LSH variant runs) and knn_label_vote (the exact
+    # brute-force candidate scan; knn_label_vote_ivf runs). At sf1 each
+    # exact twin is pure O(n^2) ground-truth machinery, not a plan anyone
+    # would run at scale.
     exclude = {
         s.strip() for s in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",")
         if s.strip()

@@ -369,15 +369,22 @@ def knn_label_vote(
 
 def q_knn_label_vote_ivf(spark, sf_dir: str) -> DataFrame:
     """The PRODUCTION spelling of kNN labeling: IVF candidate stage
-    (16 inverted lists, 4 probed) feeding the shared vote. Bench/scale
-    entry — approximate by design, so no oracle; correctness is bounded
-    by the oracle-checked exact twin ``knn_label_vote`` plus the
-    full-probe == exact parity test (test_round8_ops.py)."""
+    feeding the shared vote. Bench/scale entry — approximate by design,
+    so no oracle; correctness is bounded by the oracle-checked exact
+    twin ``knn_label_vote`` plus the full-probe == exact parity test
+    (test_round8_ops.py).
+
+    64 lists / 8 probed: labeling every 10th vector makes the query set
+    corpus-proportional, so scored candidates grow as
+    |Q| * |corpus| * nprobe/train_k — the list count must grow with the
+    corpus (the classic sqrt(n) IVF sizing) or the prune ratio decays
+    into a near-exact scan. 16/4 cost 22.6 s at sf1; 64/8 halves the
+    candidate volume and keeps the same probe fraction budget."""
     from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     unlabeled = emb.filter(F.col("vec_id") % 10 == 0)
     labeled = emb.filter(F.col("vec_id") % 10 != 0)
     return knn_label_vote(
-        labeled, unlabeled, method="ivf", k=10, train_k=16, nprobe=4
+        labeled, unlabeled, method="ivf", k=10, train_k=64, nprobe=8
     )

@@ -158,3 +158,35 @@ def test_pmi_bigrams_planted_corpus(spark):
     # cross-doc bigram ("york new" within doc 1 counts; "cat the" does) —
     # but nothing spans documents: no ("york", "the") pair exists
     assert ("york", "the") not in by_pair
+
+
+def test_knn_front_door_ivf_pruned_probe_recovers_planted_labels(spark):
+    # pruning must not break labeling where labels MEAN something: two
+    # well-separated clusters, 30 labeled points each; every query sits
+    # inside one cluster. With 8 lists / 2 probed the probe stage must
+    # still rank a same-cluster list first — a centroid-ranking or
+    # dropped-list regression would scatter predictions. (No agreement
+    # floor on the near-random driver embeddings: there the exact vote's
+    # argmax is itself noise, so agreement measures nothing.)
+    rows = []
+    for i in range(30):  # label 0: x-axis cone
+        rows.append((i, [50.0 + i, float(i % 5), 0.0], 0))
+    for i in range(30):  # label 1: y-axis cone
+        rows.append((100 + i, [float(i % 5), 50.0 + i, 0.0], 1))
+    labeled = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(1000 + j, [30.0 + j, 1.0, 0.0]) for j in range(5)]
+        + [(2000 + j, [1.0, 30.0 + j, 0.0]) for j in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["query_id"]: r["pred_label"]
+        for r in api.knn_label_vote(
+            labeled, queries, method="ivf", k=5, train_k=8, nprobe=2
+        ).collect()
+    }
+    assert len(out) == 10
+    assert all(out[1000 + j] == 0 for j in range(5))
+    assert all(out[2000 + j] == 1 for j in range(5))
