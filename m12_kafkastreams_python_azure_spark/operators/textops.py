@@ -613,6 +613,10 @@ def pmi_bigrams(
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
+        # consumed by BOTH marginal joins; without this the corpus-wide
+        # explode+aggregate subtree executes twice (vocab-sized table —
+        # same trade as _bpe_train's word-count cache)
+        .cache()
     )
     # totals count ALL tokens/bigrams, not the min_count-filtered ones;
     # bigrams per doc = nw - 1 (empty docs still split to one
