@@ -112,7 +112,7 @@ HEADLINE = [
 
 
 def run_headline(spark, queries, names, sf_dir=None):
-    """Time each named query (best of two runs), with per-query fault
+    """Time each named query (best of three runs), with per-query fault
     isolation: one broken query must never zero out the whole bench
     artifact — its error is recorded and the rest keep running.
     Returns (timings, errors)."""
@@ -311,7 +311,7 @@ def _streaming_throughput(spark) -> tuple[float, float | None]:
     (state store + shuffle, the reference's analyze-stage profile). The
     reference's producer ran at 1 rec/s (producer-app-data.yaml:36).
 
-    One untimed warm-up replay, then best of three timed replays (fresh
+    One untimed warm-up replay, then best of seven timed replays (fresh
     checkpoint each): the warm-up pays the one-time costs (state-store
     init, streaming codegen, JIT of the streaming aggregation loop) that a
     sustained pipeline amortizes away, so the timed replays measure steady

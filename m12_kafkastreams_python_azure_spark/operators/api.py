@@ -344,6 +344,13 @@ def knn_label_vote(
 
     All paths are cartesian-free: candidates ship through equi-joins
     (bucket id / centroid id) or a broadcast of the bounded query set.
+
+    Coverage contract: the approximate stages can produce ZERO
+    candidates for a query (an LSH bucket with no labeled co-occupant;
+    an IVF probe landing only on empty lists). Those queries are still
+    emitted — ``pred_label`` NULL, ``votes`` 0 — never silently
+    dropped; ``k_used`` is always the REQUESTED k, the per-query vote
+    support is ``votes``.
     """
     if method == "exact":
         dim = kwargs.pop("dim", None)
@@ -364,7 +371,10 @@ def knn_label_vote(
         labeled, unlabeled, method=method, k=k,
         id_col=id_col, vec_col=vec_col, **kwargs,
     )
-    return _sim.label_vote(neigh, labeled, k=k, id_col=id_col, label_col=label_col)
+    return _sim.label_vote(
+        neigh, labeled, k=k, id_col=id_col, label_col=label_col,
+        all_queries=unlabeled,
+    )
 
 
 def q_knn_label_vote_ivf(spark, sf_dir: str) -> DataFrame:

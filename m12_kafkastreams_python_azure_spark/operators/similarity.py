@@ -229,6 +229,7 @@ def label_vote(
     k: int,
     id_col: str = "vec_id",
     label_col: str = "label",
+    all_queries: DataFrame | None = None,
 ) -> DataFrame:
     """The vote stage shared by every kNN candidate generator: join the
     (query_id, neighbor_id) candidate rows onto the labeled corpus's
@@ -236,7 +237,16 @@ def label_vote(
     smaller label id). ``api.knn_label_vote`` feeds this from the exact,
     IVF, or LSH candidate stage — the vote itself never changes, so
     swapping the neighbor search at scale cannot alter the labeling
-    semantics, only the candidate recall."""
+    semantics, only the candidate recall.
+
+    ``k_used`` is the REQUESTED k (per-query support is ``votes`` — an
+    approximate candidate stage may have surfaced fewer than k
+    neighbors). ``all_queries``: approximate candidate stages (LSH
+    bucket with no labeled co-occupant; IVF probe hitting only empty
+    lists) can yield ZERO candidates for a query — pass the original
+    query frame and such queries are emitted with ``pred_label`` NULL
+    and ``votes`` 0 instead of silently vanishing, so a labeling sweep
+    can never lose documents unannounced."""
     lab = labeled.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
     )
@@ -248,16 +258,23 @@ def label_vote(
     w = Window.partitionBy("query_id").orderBy(
         F.col("votes").desc(), F.col("nlabel").asc()
     )
-    return (
+    out = (
         votes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
             "query_id",
             F.col("nlabel").alias("pred_label"),
             "votes",
-            F.lit(k).cast("int").alias("k_used"),
         )
     )
+    if all_queries is not None:
+        qs = all_queries.select(F.col(id_col).alias("query_id")).distinct()
+        out = qs.join(out, "query_id", "left").select(
+            "query_id",
+            "pred_label",
+            F.coalesce("votes", F.lit(0)).cast("long").alias("votes"),
+        )
+    return out.withColumn("k_used", F.lit(k).cast("int"))
 
 
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:

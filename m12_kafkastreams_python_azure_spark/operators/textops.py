@@ -336,8 +336,11 @@ def bpe_merges(docs: DataFrame, iters: int = BPE_MERGE_ITERS) -> DataFrame:
     """The actual BPE training loop (Sennrich et al., arXiv:1508.07909),
     ``iters`` iterations unrolled: count adjacent symbol pairs, merge the
     globally most frequent pair everywhere, recount. Output is the merge
-    table — one row per iteration: (merge_step, pair, merged, cnt), the
-    artifact a BPE tokenizer ships.
+    table — one row per iteration with pairs remaining:
+    (merge_step, pair, merged, cnt), the artifact a BPE tokenizer ships.
+    If the corpus exhausts its mergeable pairs before ``iters`` (every
+    word fully merged), later iterations are no-ops and emit no row —
+    the oracle's chained CTEs behave identically.
 
     Spark-first shape — the distributed-BPE standard:
 
@@ -384,12 +387,18 @@ def _bpe_train(docs: DataFrame, iters: int):
     """Shared BPE training loop: returns (per-iteration merge-row
     DataFrames, final word -> symbol-sequence vocab). ``bpe_merges``
     publishes the former, ``bpe_encode`` applies the latter."""
-    wc = (
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
+
+    # vocab-sized; every iteration re-reads it, so one corpus scan total.
+    # Registered (not bare .cache()) so the FIFO persist registry frees it
+    # across a long query sweep — library callers never leak storage.
+    wc = register_parallel_cache(
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
-        # vocab-sized; every iteration re-reads it, so one corpus scan total
-        .cache()
+        .persist()
     )
     vocab = wc.select(
         "word", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "wcnt"
@@ -426,13 +435,27 @@ def _bpe_train(docs: DataFrame, iters: int):
         repl = F.concat(
             F.lit(" "), F.replace(F.col("_mp"), F.lit(" "), F.lit("")), F.lit(" ")
         )
+        # LEFT join on a constant key, not crossJoin: when the corpus runs
+        # out of mergeable pairs before `iters` (every word fully merged),
+        # top1 is EMPTY — a crossJoin would wipe the whole vocab and
+        # silently drop every document downstream (caught by round-8
+        # review); the left join makes the exhausted iteration a no-op.
         vocab = (
-            vocab.crossJoin(F.broadcast(top1.select(F.col("pair").alias("_mp"))))
+            vocab.withColumn("_k", F.lit(1))
+            .join(
+                F.broadcast(
+                    top1.select(F.lit(1).alias("_k"), F.col("pair").alias("_mp"))
+                ),
+                "_k",
+                "left",
+            )
             .select(
                 "word",
-                F.trim(F.replace(F.replace(padded, search, repl), search, repl)).alias(
-                    "sym"
-                ),
+                F.when(F.col("_mp").isNull(), F.col("sym"))
+                .otherwise(
+                    F.trim(F.replace(F.replace(padded, search, repl), search, repl))
+                )
+                .alias("sym"),
                 "wcnt",
             )
         )
@@ -512,15 +535,20 @@ def _bpe_cte_chain(iters: int, syms_through: int) -> list[str]:
   SELECT {i} AS step, pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
 )""")
         if i <= syms_through:
+            # LEFT JOIN ON TRUE mirrors the Spark side's
+            # exhausted-iteration no-op: an empty m{i} must keep the
+            # vocab intact, not annihilate it
             ctes.append(f"""sym{i} AS (
   SELECT s.word,
-         trim(replace(replace(' ' || s.sym || ' ',
+         CASE WHEN m.pair IS NULL THEN s.sym
+              ELSE trim(replace(replace(' ' || s.sym || ' ',
                               ' ' || m.pair || ' ',
                               ' ' || replace(m.pair, ' ', '') || ' '),
                       ' ' || m.pair || ' ',
-                      ' ' || replace(m.pair, ' ', '') || ' ')) AS sym,
+                      ' ' || replace(m.pair, ' ', '') || ' '))
+         END AS sym,
          s.wcnt
-  FROM sym{i - 1} s, m{i} m
+  FROM sym{i - 1} s LEFT JOIN m{i} m ON TRUE
 )""")
     return ctes
 
@@ -609,24 +637,30 @@ def pmi_bigrams(
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= min_count)
     )
-    unigrams = (
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
+
+    # consumed by BOTH marginal joins AND the totals aggregate; without
+    # the persist the corpus-wide explode+aggregate subtree executes once
+    # per consumer (vocab-sized table — same trade as _bpe_train's
+    # word-count cache). Registered so the FIFO persist registry frees it.
+    unigrams = register_parallel_cache(
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
-        # consumed by BOTH marginal joins; without this the corpus-wide
-        # explode+aggregate subtree executes twice (vocab-sized table —
-        # same trade as _bpe_train's word-count cache)
-        .cache()
+        .persist()
     )
-    # totals count ALL tokens/bigrams, not the min_count-filtered ones;
-    # bigrams per doc = nw - 1 (empty docs still split to one
-    # empty-string token, so nw >= 1 always)
+    # totals count ALL tokens/bigrams, not the min_count-filtered ones.
+    # Derived from the persisted unigram table instead of a third corpus
+    # tokenization: n1 = sum of unigram counts; n2 = sum(nw - 1) over
+    # docs = n1 - |docs| (empty docs still split to one empty-string
+    # token, so nw >= 1 always and the identity is exact). The doc count
+    # is a split-free scan.
     totals = (
-        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("nw"))
-        .agg(
-            F.sum("nw").cast("double").alias("n1"),
-            F.sum(F.col("nw") - 1).cast("double").alias("n2"),
-        )
+        unigrams.agg(F.sum("c").cast("double").alias("n1"))
+        .crossJoin(docs.agg(F.count(F.lit(1)).cast("double").alias("nd")))
+        .select("n1", (F.col("n1") - F.col("nd")).alias("n2"))
     )
     scored = (
         bigrams.join(

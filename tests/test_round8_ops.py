@@ -190,3 +190,60 @@ def test_knn_front_door_ivf_pruned_probe_recovers_planted_labels(spark):
     assert len(out) == 10
     assert all(out[1000 + j] == 0 for j in range(5))
     assert all(out[2000 + j] == 1 for j in range(5))
+
+
+def test_bpe_exhausted_merges_are_noops(spark):
+    # corpus exhausts mergeable pairs after ONE merge ("a b" -> ab leaves
+    # every word a single symbol): iterations 2-3 must be no-ops, not
+    # vocab-annihilating empty crossJoins (round-8 review regression)
+    from m12_kafkastreams_python_azure_spark.operators.textops import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    merges = bpe_merges(docs, iters=3).collect()
+    assert [(r["merge_step"], r["merged"]) for r in merges] == [(1, "ab")]
+    enc = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode(docs, iters=3).collect()}
+    assert enc == {1: (2, 2), 2: (1, 1)}  # was: {} before the fix
+    # the oracle's chained CTEs must share the no-op semantics
+    import duckdb
+    import pandas as pd
+
+    from m12_kafkastreams_python_azure_spark.operators.textops import (
+        ORACLE_BPE_ENCODE,
+        ORACLE_BPE_MERGES,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [1, 2], "text": ["ab ab", "ab"]})
+    )
+    om = con.execute(ORACLE_BPE_MERGES).df()
+    assert list(om["merged"]) == ["ab"]
+    oe = con.execute(ORACLE_BPE_ENCODE).df().set_index("doc_id")
+    assert oe.loc[1, "n_tokens"] == 2 and oe.loc[2, "n_tokens"] == 1
+
+
+def test_knn_front_door_emits_uncovered_queries_as_null(spark):
+    # a query OPPOSITE to every labeled vector flips every LSH sign bit:
+    # its bucket holds no labeled candidate, so pre-fix it vanished from
+    # the output; now it must surface with pred_label NULL / votes 0
+    labeled = spark.createDataFrame(
+        [(i, [10.0 + i, 5.0, 1.0], 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [11.0, 5.5, 1.0]), (200, [-10.0, -5.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["query_id"]: r
+        for r in api.knn_label_vote(
+            labeled, queries, method="lsh", k=3, dim=3
+        ).collect()
+    }
+    assert set(out) == {100, 200}
+    assert out[100]["pred_label"] == 0 and out[100]["votes"] > 0
+    assert out[200]["pred_label"] is None and out[200]["votes"] == 0
+    assert out[200]["k_used"] == 3
