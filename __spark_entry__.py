@@ -20,7 +20,8 @@ single shared tokenization, dl carried through the tf keys;
 knn_label_vote — vote stage extracted for the new api front door),
 then the NEW bpe_merges / bpe_encode pair (iterated BPE merge loop —
 the Sennrich training step bpe_pair_counts only did one round of — and
-its apply step: per-doc post-merge token counts), then the TWELVE
+its apply step: per-doc post-merge token counts — plus, in wave 3,
+pmi_bigrams / dedup_keep_best / token_budget_select), then the TWELVE
 entries that have missed a round rotated back in (the ten r06-green
 entries displaced in r07 — cms_merge_bound, dataset_mix, segment_dedup,
 chunk_documents, domain_cap, trailing_hour_counts, full_outer_activity,
@@ -101,8 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": T.q_bpe_merges,
         "bpe_encode": T.q_bpe_encode,
         # NEW in round 8: PMI collocation mining (word2phrase-style vocab
-        # augmentation signal)
+        # augmentation signal), keep-best near-dup curation, token-budget
+        # selection
         "pmi_bigrams": T.q_pmi_bigrams,
+        "dedup_keep_best": G.q_dedup_keep_best,
+        "token_budget_select": CU.q_token_budget_select,
         # missed-a-round entries rotated back IN (displaced in r07;
         # last driver rows r06)
         "cms_merge_bound": SK.q_cms_merge_bound,
@@ -153,11 +157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lakehouse dimension maintenance: SCD2 interval build
         "scd2_history": SCD.q_scd2_history,
         # r07-green holds (one more round in-window before rotating out)
-        "vocab_encode": T.q_vocab_encode,
-        "quality_percentile_filter": CU.q_quality_percentile_filter,
         "semantic_dedup": CU.q_semantic_dedup,
         "dedup_stats": D.q_dedup_stats,
         # ---- entries 51+: outside the driver window this round ----
+        # r07-green, untouched; displaced by dedup_keep_best /
+        # token_budget_select
+        "vocab_encode": T.q_vocab_encode,
+        "quality_percentile_filter": CU.q_quality_percentile_filter,
         # r07-green, untouched; displaced by bpe_encode
         "sq_error_stats": PQ.q_sq_error_stats,
         # bench/scale entry: IVF production path of knn_label_vote
@@ -366,6 +372,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": T.ORACLE_BPE_MERGES,
         "bpe_encode": T.ORACLE_BPE_ENCODE,
         "pmi_bigrams": T.ORACLE_PMI_BIGRAMS,
+        "dedup_keep_best": G.ORACLE_DEDUP_KEEP_BEST,
+        "token_budget_select": CU.ORACLE_TOKEN_BUDGET_SELECT,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -104,6 +104,8 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "pmi_bigrams",
+    "dedup_keep_best",
+    "token_budget_select",
     "knn_label_vote_ivf",
     "dedup_stats",
     "bm25_retrieval",

@@ -606,3 +606,117 @@ WHERE s.q >= c.cut
 
 
 ORACLE_QUALITY_PERCENTILE_FILTER = _oracle_quality_percentile_filter()
+
+
+# ------------------------------------------------------- token budget select
+
+TOKEN_BUDGET = 20_000
+TB_BUCKETS = 1000
+
+
+def token_budget_select(
+    docs: DataFrame, budget: int = TOKEN_BUDGET, buckets: int = TB_BUCKETS
+) -> DataFrame:
+    """Fill a token budget with the best documents: rank by
+    ``quality_score`` (desc, doc_id tiebreak) and keep documents while
+    the running token total stays within ``budget`` — the "train on the
+    best N tokens" selection step (the FineWeb-Edu/phi-style recipe:
+    score everything, spend the compute budget top-down).
+
+    Spark-first shape — NO GLOBAL SORT: the naive spelling is a
+    corpus-wide cumulative-sum window over an unpartitioned ORDER BY
+    quality, which funnels every row through one task. Instead,
+    two-phase bucket selection (exactly the distributed top-K-by-weight
+    discipline):
+
+    1. bucket each doc by ``floor(quality * buckets)`` (narrow map);
+    2. aggregate per-bucket token totals (``buckets`` rows), running-sum
+       them best-bucket-down in a bounded window (state = ``buckets``
+       rows, NOT the corpus), broadcast back;
+    3. buckets whose running total fits the budget are kept WHOLE with
+       no per-doc window at all; the single boundary bucket — the only
+       place doc order matters — gets the exact per-doc cumulative sum
+       over just its own rows.
+
+    Because floor(quality * buckets) is monotone in quality, the result
+    is IDENTICAL to the naive global-cumsum spelling (which is what the
+    DuckDB oracle runs): full buckets sit strictly above the boundary in
+    the global order, and within the boundary bucket the ordering is the
+    same (quality desc, doc_id). Degenerate case: a quality plateau puts
+    a large population in ONE bucket and the boundary window grows with
+    it — raise ``buckets`` (state stays buckets-bounded) or pre-jitter
+    the score if a corpus ever scores constant."""
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_cols,
+    )
+
+    cols = quality_score_cols(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        cols["n_tokens"].cast("long").alias("n_tokens"),
+        cols["quality_score"].alias("q"),
+    ).withColumn(
+        "bucket",
+        F.least(F.lit(buckets - 1), F.floor(F.col("q") * buckets)).cast("int"),
+    )
+    bw = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # |buckets| rows total: the single-partition window is bounded by the
+    # bucket count, never the corpus
+    btot = (
+        scored.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .withColumn("run", F.sum("bt").over(bw))
+        .withColumn("prev", F.col("run") - F.col("bt"))
+        .select("bucket", "run", "prev")
+    )
+    joined = scored.join(F.broadcast(btot), "bucket")
+    full = joined.filter(F.col("run") <= budget)
+    in_w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        joined.filter((F.col("prev") < budget) & (F.col("run") > budget))
+        .withColumn("cum_in", F.sum("n_tokens").over(in_w))
+        .filter(F.col("prev") + F.col("cum_in") <= budget)
+        .drop("cum_in")
+    )
+    return (
+        full.unionByName(boundary)
+        .select("doc_id", "n_tokens", F.round("q", 6).alias("quality_score"))
+    )
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_select(parallel_scan(load_table(spark, sf_dir, "documents")))
+
+
+def _oracle_token_budget_select() -> str:
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_sql,
+    )
+
+    s = quality_score_sql("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST({s['n_tokens']} AS BIGINT) AS n_tokens,
+         {s['quality_score']} AS q
+  FROM documents
+),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+)
+SELECT doc_id, n_tokens, ROUND(q, 6) AS quality_score
+FROM c WHERE cum <= {TOKEN_BUDGET}
+"""
+
+
+ORACLE_TOKEN_BUDGET_SELECT = _oracle_token_budget_select()

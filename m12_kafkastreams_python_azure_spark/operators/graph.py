@@ -274,3 +274,140 @@ WITH e0 AS (
 )
 SELECT node, ROUND(rank, 6) AS rank FROM r3
 """
+
+
+# --------------------------------------------------------- dedup + keep-best
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    prefix_len: int = 20,
+    method: str = "prefix",
+) -> DataFrame:
+    """The near-dup stage a curation pipeline actually runs END TO END:
+    cluster transitive near-duplicates, then keep ONE document per
+    cluster — the highest ``quality_score`` (tie -> min id), not the
+    arbitrary min-id keeper plain dedup uses. Documents in no cluster
+    keep themselves (cluster = own id, size 1). Output:
+    (doc_id, cluster, cluster_size, quality_score) — the curated keep
+    list.
+
+    ``method="prefix"`` (default, oracle-checkable): deterministic
+    prefix-bucket blocking + exact 3-gram Jaccard, the same candidate
+    stage as ``dedup_clusters``. ``method="minhash"``: the 100 TB
+    candidate stage (``dedup.minhash_near_dup_pairs`` — banded LSH,
+    exact-Jaccard verify, collapse pre-pass) feeding the IDENTICAL
+    CC + argmax tail, so swapping in the scale path cannot change the
+    keep semantics, only candidate recall.
+
+    Scale shape: pairs are bucketed equi-joins (never all-pairs); CC is
+    the pointer-jumping fixpoint; the keep step is one quality window
+    per cluster — state bounded by cluster size, keyed on cluster id
+    (uniform unless the corpus is one giant near-dup family, which the
+    mega-bucket star guard linearizes upstream)."""
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_cols,
+    )
+
+    if method == "minhash":
+        from .dedup import minhash_near_dup_pairs
+
+        pairs = minhash_near_dup_pairs(
+            docs, text_col, id_col, jaccard_threshold=jaccard_threshold
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    elif method == "prefix":
+        sh = docs.select(
+            F.col(id_col).alias("id"),
+            F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
+            shingles(F.col(text_col)).alias("sh"),
+        )
+        a = sh.select(F.col("id").alias("id_a"), "pfx", F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), "pfx", F.col("sh").alias("sh_b"))
+        pairs = (
+            a.join(b, "pfx")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= jaccard_threshold)
+            .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+    else:
+        raise ValueError(f"unknown dedup_keep_best method: {method!r} (prefix|minhash)")
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs)
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        quality_score_cols(F.col(text_col))["quality_score"].alias("q"),
+    )
+    labeled = scored.join(comps, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("cluster"), "q"
+    )
+    size_w = Window.partitionBy("cluster")
+    rank_w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("id"))
+    return (
+        labeled.withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.round("q", 6).alias("quality_score"),
+        )
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keep_best(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_dedup_keep_best() -> str:
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_sql,
+    )
+
+    q = quality_score_sql("text")["quality_score"]
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, substr(text, 1, 20) AS pfx,
+         {_DUCK_SHINGLES.format(t='text')} AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (
+  SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+),
+scored AS (
+  SELECT doc_id AS id, {q} AS q FROM documents
+),
+labeled AS (
+  SELECT s.id, COALESCE(c.comp, s.id) AS cluster, s.q
+  FROM scored s LEFT JOIN comp c USING (id)
+)
+SELECT id AS doc_id, cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+       ROUND(q, 6) AS quality_score
+FROM labeled
+QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY q DESC, id) = 1
+"""
+
+
+ORACLE_DEDUP_KEEP_BEST = _oracle_dedup_keep_best()

@@ -43,6 +43,11 @@ NEW_IN_R08 = [
     # green, untouched; the grouped-agg-UDF family stays represented
     # in-window by normalize_embeddings)
     "pmi_bigrams",
+    # keep-best near-dup curation + token-budget selection (displacing
+    # the vocab_encode / quality_percentile_filter holds — both r07-green
+    # with untouched code)
+    "dedup_keep_best",
+    "token_budget_select",
 ]
 
 # Entries that missed round 7 rotated back in: the ten r06-green entries
@@ -91,10 +96,9 @@ LLM_PIPELINE = [
 ]
 
 # r07-green holds: one more round in-window before rotating out
-# (sq_error_stats rotated out instead — displaced by bpe_encode).
+# (sq_error_stats / vocab_encode / quality_percentile_filter rotated out
+# instead — displaced by the round-8 additions).
 HELD_FROM_R07 = [
-    "vocab_encode",
-    "quality_percentile_filter",
     "semantic_dedup",
     "dedup_stats",
 ]

@@ -247,3 +247,100 @@ def test_knn_front_door_emits_uncovered_queries_as_null(spark):
     assert out[100]["pred_label"] == 0 and out[100]["votes"] > 0
     assert out[200]["pred_label"] is None and out[200]["votes"] == 0
     assert out[200]["k_used"] == 3
+
+
+def test_dedup_keep_best_keeps_highest_quality(spark):
+    # docs 1 and 2 share a 20-char prefix and most 3-grams (same cluster);
+    # doc 3 is unrelated (singleton). Expected keeper computed with the
+    # same quality function, independently of the clustering plumbing.
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_cols,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.graph import dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " 111 222 333 444"),  # numeral tail -> lower alpha ratio
+            (2, base),
+            (3, "completely different content about spark shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {
+        r["doc_id"]: r["qq"]
+        for r in docs.select(
+            "doc_id", quality_score_cols(F.col("text"))["quality_score"].alias("qq")
+        ).collect()
+    }
+    expected_keeper = max([1, 2], key=lambda d: (q[d], -d))
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs).collect()}
+    assert set(out) == {expected_keeper, 3}
+    assert out[expected_keeper]["cluster_size"] == 2
+    assert out[expected_keeper]["cluster"] == 1  # min-id cluster label
+    assert out[3]["cluster_size"] == 1 and out[3]["cluster"] == 3
+
+
+def test_dedup_keep_best_minhash_path_matches_prefix_on_planted(spark):
+    # the production candidate stage must produce the same keep list when
+    # the near-dups are blatant (identical docs collide in every band)
+    from m12_kafkastreams_python_azure_spark.operators.graph import dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "unrelated words entirely here okay")],
+        "doc_id long, text string",
+    )
+    pfx = {(r["doc_id"], r["cluster"], r["cluster_size"])
+           for r in dedup_keep_best(docs, method="prefix").collect()}
+    mh = {(r["doc_id"], r["cluster"], r["cluster_size"])
+          for r in dedup_keep_best(docs, method="minhash").collect()}
+    assert pfx == mh == {(1, 1, 2), (3, 3, 1)}
+
+
+def test_token_budget_select_matches_global_cumsum(spark):
+    # expected keep set derived independently: score every doc with the
+    # same quality function, global sort + cumsum in Python, cut at the
+    # budget. buckets=4 forces multi-doc buckets and a mid-bucket cut.
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_cols,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        token_budget_select,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "111 222 333 444 555 666",
+        "a decent sentence with ordinary words inside it",
+        "zz",
+        "another perfectly reasonable document with several words",
+        "@@ ## $$ %% ^^ &&",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = quality_score_cols(F.col("text"))
+    scored = sorted(
+        (
+            (r["q"], -r["doc_id"], r["doc_id"], r["nt"])
+            for r in docs.select(
+                "doc_id",
+                cols["n_tokens"].alias("nt"),
+                cols["quality_score"].alias("q"),
+            ).collect()
+        ),
+        reverse=True,
+    )
+    budget = 15
+    expected, cum = set(), 0
+    for q, _, doc_id, nt in scored:
+        if cum + nt > budget:
+            break
+        cum += nt
+        expected.add(doc_id)
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(docs, budget=budget, buckets=4).collect()
+    }
+    assert got == expected and 0 < len(got) < len(texts)
