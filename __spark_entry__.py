@@ -59,6 +59,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics11 as A11
 from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import analytics13 as A13
 from m12_kafkastreams_python_azure_spark.operators import api as API
+from m12_kafkastreams_python_azure_spark.operators import audits as AU
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
 from m12_kafkastreams_python_azure_spark.operators import curation as CU
 from m12_kafkastreams_python_azure_spark.operators import linkage as LK
@@ -107,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": T.q_pmi_bigrams,
         "dedup_keep_best": G.q_dedup_keep_best,
         "token_budget_select": CU.q_token_budget_select,
+        # NEW in round 8: source-level composition audits
+        "source_overlap": AU.q_source_overlap,
+        "source_length_drift": AU.q_source_length_drift,
         # missed-a-round entries rotated back IN (displaced in r07;
         # last driver rows r06)
         "cms_merge_bound": SK.q_cms_merge_bound,
@@ -142,9 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: corpus hygiene
         "decontaminate": C.q_decontaminate,
         "gopher_quality": C.q_gopher_quality,
-        "pii_scrub": C.q_pii_scrub,
-        "bigram_lm_score": C.q_bigram_lm_score,
         # training-data pipeline: sequence packing
+        # (pii_scrub / bigram_lm_score displaced to 51+ — multi-round green)
         "pack_sequences": C.q_pack_sequences,
         # training-data pipeline: multimodal (Arrow/mapInPandas path)
         "media_features": M.q_media_features,
@@ -164,6 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_budget_select
         "vocab_encode": T.q_vocab_encode,
         "quality_percentile_filter": CU.q_quality_percentile_filter,
+        "pii_scrub": C.q_pii_scrub,
+        "bigram_lm_score": C.q_bigram_lm_score,
         # r07-green, untouched; displaced by bpe_encode
         "sq_error_stats": PQ.q_sq_error_stats,
         # bench/scale entry: IVF production path of knn_label_vote
@@ -374,6 +379,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": T.ORACLE_PMI_BIGRAMS,
         "dedup_keep_best": G.ORACLE_DEDUP_KEEP_BEST,
         "token_budget_select": CU.ORACLE_TOKEN_BUDGET_SELECT,
+        "source_overlap": AU.ORACLE_SOURCE_OVERLAP,
+        "source_length_drift": AU.ORACLE_SOURCE_LENGTH_DRIFT,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

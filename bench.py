@@ -106,6 +106,8 @@ HEADLINE = [
     "pmi_bigrams",
     "dedup_keep_best",
     "token_budget_select",
+    "source_overlap",
+    "source_length_drift",
     "knn_label_vote_ivf",
     "dedup_stats",
     "bm25_retrieval",

@@ -1,0 +1,253 @@
+"""Corpus-composition audits over the ``documents`` table: the
+distribution- and contamination-level checks a curation stack runs
+BEFORE committing a training mix (the per-doc and per-pair operators
+live in ``corpus.py`` / ``dedup.py`` / ``curation.py``; these look at
+whole SOURCES against each other).
+
+- ``source_overlap`` — cross-source contamination matrix: for every
+  source pair, how many distinct word n-gram spans they share, and the
+  containment fraction (shared / smaller source's gram vocabulary).
+  The "is source B scraped from source A" signal that decides whether
+  two sources may both enter a mix at full weight.
+- ``source_length_drift`` — per-source length-distribution drift vs the
+  whole corpus as a Kolmogorov-Smirnov statistic over BUCKETED token
+  counts: the cheap distribution-shift alarm for a source whose docs
+  suddenly run short (truncation bug) or long (concatenation bug).
+
+Scale notes on the functions; no Python UDFs, no cartesian products,
+no corpus-sized windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+OVERLAP_NGRAM = 8
+
+DRIFT_BUCKET_WORDS = 8   # bucket width in tokens
+DRIFT_MAX_BUCKET = 32    # lengths >= 256 tokens collapse into the top bucket
+
+
+def source_overlap(
+    docs: DataFrame, n: int = OVERLAP_NGRAM
+) -> DataFrame:
+    """(source_a, source_b, shared_grams, containment) for every source
+    pair sharing at least one distinct word ``n``-gram; source_a <
+    source_b lexicographically; containment = shared / min(|grams_a|,
+    |grams_b|), the asymmetric-size-robust overlap measure (Broder's
+    containment, the right statistic when one source is tiny).
+
+    Scale shape: ONE distinct over (gram, source) — the gram explode is
+    the same fan-out every n-gram operator pays, immediately collapsed
+    to the per-source gram vocabulary. The pair build is a self
+    equi-join ON GRAM of that distinct table: rows per gram =
+    |sources carrying it| choose 2, bounded by the SOURCE count squared
+    (never the corpus), and typically 0-1 because most grams live in
+    one source. Per-source totals are a |sources|-row aggregate,
+    broadcast back. Output is at most |sources| choose 2 rows."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import word_ngrams
+
+    gs = (
+        docs.select(
+            "source", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+        )
+        .distinct()
+    )
+    totals = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = gs.select(F.col("source").alias("source_a"), "gram")
+    b = gs.select(F.col("source").alias("source_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_grams").alias("ga"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_grams").alias("gb"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams")
+                / F.least(F.col("ga"), F.col("gb")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_source_overlap(n: int = OVERLAP_NGRAM) -> str:
+    # gram spelling mirrors corpus.word_ngrams (trim + \s+ split, space
+    # join), as in the dup_span_coverage oracle
+    return f"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+gs AS (
+  SELECT DISTINCT source,
+         array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1})) AS i) t
+  WHERE len(w) >= {n}
+),
+totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM gs GROUP BY source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.shared_grams,
+       ROUND(s.shared_grams / CAST(least(ta.n_grams, tb.n_grams) AS DOUBLE), 6)
+         AS containment
+FROM shared s
+JOIN totals ta ON s.source_a = ta.source
+JOIN totals tb ON s.source_b = tb.source
+"""
+
+
+ORACLE_SOURCE_OVERLAP = _oracle_source_overlap()
+
+
+def source_length_drift(
+    docs: DataFrame,
+    bucket_words: int = DRIFT_BUCKET_WORDS,
+    max_bucket: int = DRIFT_MAX_BUCKET,
+) -> DataFrame:
+    """(source, n_docs, ks_stat): per-source Kolmogorov-Smirnov distance
+    between the source's token-length distribution and the whole
+    corpus's, computed over fixed-width length buckets — the bucketing
+    makes the statistic fully distributive (the alternative, exact
+    per-source ECDFs, needs every length value in one place).
+
+    Scale shape: one narrow pass buckets each doc
+    (``least(max_bucket, len/bucket_words)``); histograms are
+    (source, bucket) / (bucket) aggregates — at most |sources| *
+    (max_bucket+1) rows ever exist past the scan. The CDF windows run
+    over the DENSE bucket spine (a generated |sources| x (max_bucket+1)
+    grid left-joined onto the histogram), so per-window state is
+    max_bucket+1 rows regardless of corpus size; the KS max-abs-diff is
+    a final |sources|-group aggregate."""
+    nt = F.size(F.split(F.trim("text"), r"\s+"))
+    bucketed = docs.select(
+        "source",
+        F.least(
+            F.lit(max_bucket), F.floor(nt / F.lit(bucket_words)).cast("int")
+        ).alias("bucket"),
+    )
+    hist = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ghist = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("gc"))
+    n_total = bucketed.agg(F.count(F.lit(1)).alias("nt_all"))
+    src_totals = bucketed.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    spine = src_totals.select(
+        "source",
+        "ns",
+        F.explode(F.sequence(F.lit(0), F.lit(max_bucket))).alias("bucket"),
+    )
+    grid = (
+        spine.join(hist, ["source", "bucket"], "left")
+        .join(F.broadcast(ghist), "bucket", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "source",
+            "bucket",
+            "ns",
+            "nt_all",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("gc", F.lit(0)).alias("gc"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdfs = grid.select(
+        "source",
+        "ns",
+        (F.sum("c").over(w) / F.col("ns")).alias("cdf_s"),
+        (F.sum("gc").over(w) / F.col("nt_all")).alias("cdf_g"),
+    )
+    return (
+        cdfs.groupBy("source")
+        .agg(
+            F.first("ns").alias("n_docs"),
+            F.round(F.max(F.abs(F.col("cdf_s") - F.col("cdf_g"))), 6).alias(
+                "ks_stat"
+            ),
+        )
+        .select("source", F.col("n_docs").cast("long").alias("n_docs"), "ks_stat")
+    )
+
+
+def q_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_length_drift(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_source_length_drift(
+    bucket_words: int = DRIFT_BUCKET_WORDS, max_bucket: int = DRIFT_MAX_BUCKET
+) -> str:
+    return f"""
+WITH bucketed AS (
+  SELECT source,
+         least({max_bucket},
+               CAST(floor(len(string_split_regex(trim(text), '\\s+'))
+                          / {bucket_words}) AS INTEGER)) AS bucket
+  FROM documents
+),
+hist AS (
+  SELECT source, bucket, count(*) AS c FROM bucketed GROUP BY source, bucket
+),
+ghist AS (
+  SELECT bucket, count(*) AS gc FROM bucketed GROUP BY bucket
+),
+src_totals AS (
+  SELECT source, count(*) AS ns FROM bucketed GROUP BY source
+),
+n_total AS (
+  SELECT count(*) AS nt_all FROM bucketed
+),
+spine AS (
+  SELECT s.source, s.ns, b.bucket
+  FROM src_totals s,
+       LATERAL (SELECT unnest(generate_series(0, {max_bucket})) AS bucket) b
+),
+grid AS (
+  SELECT sp.source, sp.bucket, sp.ns, n.nt_all,
+         coalesce(h.c, 0) AS c, coalesce(g.gc, 0) AS gc
+  FROM spine sp
+  LEFT JOIN hist h ON sp.source = h.source AND sp.bucket = h.bucket
+  LEFT JOIN ghist g ON sp.bucket = g.bucket
+  CROSS JOIN n_total n
+),
+cdfs AS (
+  SELECT source, ns,
+         SUM(c) OVER (PARTITION BY source ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) / CAST(ns AS DOUBLE) AS cdf_s,
+         SUM(gc) OVER (PARTITION BY source ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING) / CAST(nt_all AS DOUBLE) AS cdf_g
+  FROM grid
+)
+SELECT source, CAST(min(ns) AS BIGINT) AS n_docs,
+       ROUND(max(abs(cdf_s - cdf_g)), 6) AS ks_stat
+FROM cdfs
+GROUP BY source
+"""
+
+
+ORACLE_SOURCE_LENGTH_DRIFT = _oracle_source_length_drift()

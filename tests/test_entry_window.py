@@ -48,6 +48,11 @@ NEW_IN_R08 = [
     # with untouched code)
     "dedup_keep_best",
     "token_budget_select",
+    # source-level composition audits (displacing pii_scrub /
+    # bigram_lm_score — multi-round green; corpus hygiene stays
+    # represented in-window by decontaminate / gopher_quality)
+    "source_overlap",
+    "source_length_drift",
 ]
 
 # Entries that missed round 7 rotated back in: the ten r06-green entries
@@ -86,8 +91,6 @@ LLM_PIPELINE = [
     "clean_corpus",
     "decontaminate",
     "gopher_quality",
-    "pii_scrub",
-    "bigram_lm_score",
     "pack_sequences",
     "media_features",
     "rollup_merge",

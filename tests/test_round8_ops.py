@@ -344,3 +344,46 @@ def test_token_budget_select_matches_global_cumsum(spark):
         for r in token_budget_select(docs, budget=budget, buckets=4).collect()
     }
     assert got == expected and 0 < len(got) < len(texts)
+
+
+def test_source_overlap_counts_planted_shared_grams(spark):
+    # A and B share one 8-word sentence (one 8-gram at stride 1 per doc,
+    # deduped per source); C shares nothing
+    from m12_kafkastreams_python_azure_spark.operators.audits import source_overlap
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " aaa bbb", "A"),
+            (2, shared + " ccc ddd", "B"),
+            (3, "totally disjoint words here never overlap anything else", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    # grams per doc: 10 words -> 3 overlapping 8-grams; shared ones are
+    # exactly the ones fully inside the common prefix: just gram@pos0
+    assert r["shared_grams"] == 1
+    assert r["containment"] == round(1 / 3, 6)
+
+
+def test_source_length_drift_flags_the_outlier_source(spark):
+    from m12_kafkastreams_python_azure_spark.operators.audits import (
+        source_length_drift,
+    )
+
+    short = " ".join(["w"] * 8)     # bucket 1
+    long = " ".join(["w"] * 200)    # bucket 25
+    docs = spark.createDataFrame(
+        [(i, short, "A") for i in range(3)]
+        + [(100 + i, long, "B") for i in range(2)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_length_drift(docs).collect()}
+    # cdf_A hits 1.0 at bucket 1 while the corpus is at 3/5 -> ks = 0.4;
+    # cdf_B is 0 through bucket 24 while the corpus sits at 3/5 -> ks = 0.6
+    assert out["A"]["n_docs"] == 3 and out["A"]["ks_stat"] == 0.4
+    assert out["B"]["n_docs"] == 2 and out["B"]["ks_stat"] == 0.6
