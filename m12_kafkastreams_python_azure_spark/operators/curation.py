@@ -649,15 +649,29 @@ def token_budget_select(
     from m12_kafkastreams_python_azure_spark.functions.text import (
         quality_score_cols,
     )
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
 
     cols = quality_score_cols(F.col("text"))
-    scored = docs.select(
-        "doc_id",
-        cols["n_tokens"].cast("long").alias("n_tokens"),
-        cols["quality_score"].alias("q"),
-    ).withColumn(
-        "bucket",
-        F.least(F.lit(buckets - 1), F.floor(F.col("q") * buckets)).cast("int"),
+    # Persisted (registry): the quality battery is the expensive part
+    # (regex token counts over every doc — measured ~15x the cost of the
+    # rest of this plan at sf1) and BOTH the bucket-total aggregate and
+    # the per-doc keep pass consume it; without the persist each subtree
+    # re-runs the scoring. 4 narrow columns — the standard materialized
+    # projection for multi-pass consumption, same trade as
+    # dedup._parallel_text.
+    scored = register_parallel_cache(
+        docs.select(
+            "doc_id",
+            cols["n_tokens"].cast("long").alias("n_tokens"),
+            cols["quality_score"].alias("q"),
+        )
+        .withColumn(
+            "bucket",
+            F.least(F.lit(buckets - 1), F.floor(F.col("q") * buckets)).cast("int"),
+        )
+        .persist()
     )
     bw = (
         Window.orderBy(F.desc("bucket"))
@@ -672,21 +686,27 @@ def token_budget_select(
         .withColumn("prev", F.col("run") - F.col("bt"))
         .select("bucket", "run", "prev")
     )
-    joined = scored.join(F.broadcast(btot), "bucket")
-    full = joined.filter(F.col("run") <= budget)
     in_w = (
         Window.partitionBy("bucket")
         .orderBy(F.desc("q"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    boundary = (
-        joined.filter((F.col("prev") < budget) & (F.col("run") > budget))
-        .withColumn("cum_in", F.sum("n_tokens").over(in_w))
-        .filter(F.col("prev") + F.col("cum_in") <= budget)
-        .drop("cum_in")
-    )
+    # ONE pass decides both cases (no full/boundary union re-reading the
+    # corpus twice): a whole-kept bucket passes on run <= budget alone;
+    # the boundary bucket passes on prev + in-bucket cumsum; everything
+    # below the boundary has prev >= budget and can never pass. The
+    # in-bucket window state is bounded by the largest bucket, keyed on
+    # bucket id.
     return (
-        full.unionByName(boundary)
+        scored.join(F.broadcast(btot), "bucket")
+        .withColumn("cum_in", F.sum("n_tokens").over(in_w))
+        .filter(
+            (F.col("run") <= budget)
+            | (
+                (F.col("prev") < budget)
+                & (F.col("prev") + F.col("cum_in") <= budget)
+            )
+        )
         .select("doc_id", "n_tokens", F.round("q", 6).alias("quality_score"))
     )
 
