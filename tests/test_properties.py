@@ -139,3 +139,104 @@ def test_confluent_frame_round_trip_any_payload(spark, payload, schema_id):
     assert len(out) == 1
     assert out[0].schema_id == schema_id
     assert bytes(out[0].value or b"") == payload
+
+
+# ---------------------------------------------------------------- round 8
+
+_WORDS = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=12
+)
+
+
+def _bpe_reference(word_counts: dict[str, int], iters: int):
+    """Pure-Python reference of the delimited two-pass-replace BPE train:
+    same semantics the Spark plan and the DuckDB oracle implement."""
+    vocab = {" ".join(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(iters):
+        pairs: dict[str, int] = {}
+        for sym, c in vocab.items():
+            parts = sym.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                pairs[f"{a} {b}"] = pairs.get(f"{a} {b}", 0) + c
+        if not pairs:
+            break
+        # tie-break: count DESC then pair ASC
+        best_pair, best_cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((best_pair, best_pair.replace(" ", ""), best_cnt))
+        merged = best_pair.replace(" ", "")
+        new_vocab: dict[str, int] = {}
+        for sym, c in vocab.items():
+            padded = f" {sym} "
+            padded = padded.replace(f" {best_pair} ", f" {merged} ")
+            padded = padded.replace(f" {best_pair} ", f" {merged} ")
+            new_vocab[padded.strip()] = new_vocab.get(padded.strip(), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+@settings(max_examples=8, deadline=None)
+@given(_WORDS)
+def test_bpe_merges_matches_python_reference(spark, words):
+    from collections import Counter
+
+    from m12_kafkastreams_python_azure_spark.operators.textops import bpe_merges
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = [
+        (r["pair"], r["merged"], r["cnt"])
+        for r in bpe_merges(docs, iters=3).collect()
+    ]
+    expected = _bpe_reference(Counter(words), iters=3)
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc xyz", min_size=1, max_size=40),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=60),
+)
+def test_token_budget_select_is_maximal_prefix(spark, rows, budget):
+    """Kept set == the maximal quality-ordered prefix fitting the budget:
+    total tokens <= budget, and the best-ranked EXCLUDED doc would not
+    have fit."""
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_cols,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        token_budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t if t.strip() else "x") for i, (t, _) in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    cols = quality_score_cols(F.col("text"))
+    scored = sorted(
+        (
+            (-r["q"], r["doc_id"], r["nt"])
+            for r in docs.select(
+                "doc_id", cols["n_tokens"].alias("nt"), cols["quality_score"].alias("q")
+            ).collect()
+        ),
+    )
+    kept = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_budget_select(docs, budget=budget, buckets=16).collect()
+    }
+    assert sum(kept.values()) <= budget
+    cum = 0
+    for _, doc_id, nt in scored:
+        if cum + nt <= budget:
+            assert doc_id in kept, f"doc {doc_id} fits but was dropped"
+            cum += nt
+        else:
+            assert doc_id not in kept, f"doc {doc_id} overflows but was kept"
+            break  # everything after is excluded by the prefix rule
