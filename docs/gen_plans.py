@@ -72,6 +72,18 @@ SECTIONS = [
      "aggregate, a TakeOrderedAndProject top-1, and a 1-row broadcast "
      "crossJoin applying the merge as a literal string replace — no "
      "driver round-trip anywhere."),
+    ("token_budget_select", "Token-budget selection — no global sort",
+     "The naive spelling is an unpartitioned corpus-wide cumsum window; "
+     "this plan buckets by quality, running-sums |buckets| rows in a "
+     "bounded window, broadcasts the totals back, and decides every "
+     "keep in ONE bucket-partitioned windowed pass. The scored "
+     "projection is registry-persisted: the quality battery runs once."),
+    ("dedup_keep_best", "Keep-best near-dup curation — CC + quality argmax",
+     "Prefix-bucket equi-join candidates (never all-pairs), exact "
+     "Jaccard verify, pointer-jumping connected components, then one "
+     "cluster-partitioned quality window picks the keeper; singletons "
+     "ride the left join untouched. method='minhash' swaps the "
+     "candidate stage for the banded-LSH pipeline, same tail."),
     ("knn_label_vote", "kNN label vote — broadcast query side + tiny vote",
      "The exact ground-truth spelling: labeled corpus streams "
      "partition-local against the broadcast query set; only k rows per "
