@@ -70,8 +70,9 @@ SECTIONS = [
      "(cached); each of the 3 unrolled iterations is a vocab-sized "
      "narrow pass (shifted-slice zip_with pair build), a bounded-key "
      "aggregate, a TakeOrderedAndProject top-1, and a 1-row broadcast "
-     "crossJoin applying the merge as a literal string replace — no "
-     "driver round-trip anywhere."),
+     "LEFT join on a constant key applying the merge as a literal string "
+     "replace (crossJoin would annihilate the vocab when merges are "
+     "exhausted) — no driver round-trip anywhere."),
     ("token_budget_select", "Token-budget selection — no global sort",
      "The naive spelling is an unpartitioned corpus-wide cumsum window; "
      "this plan buckets by quality, running-sums |buckets| rows in a "

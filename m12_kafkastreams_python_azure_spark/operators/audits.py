@@ -142,7 +142,12 @@ def source_length_drift(
     max_bucket+1 rows regardless of corpus size; the KS max-abs-diff is
     a final |sources|-group aggregate."""
     nt = F.size(F.split(F.trim("text"), r"\s+"))
-    bucketed = docs.select(
+    # NULL text is excluded up front (identically in the oracle): the two
+    # engines disagree on what bucket a NULL length lands in (Spark's
+    # size(NULL) is NULL -> NULL bucket outside the spine grid; DuckDB's
+    # least skips the NULL -> max_bucket), and a doc with no text has no
+    # length to drift anyway — r8 ADVICE.
+    bucketed = docs.filter(F.col("text").isNotNull()).select(
         "source",
         F.least(
             F.lit(max_bucket), F.floor(nt / F.lit(bucket_words)).cast("int")
@@ -209,6 +214,7 @@ WITH bucketed AS (
                CAST(floor(len(string_split_regex(trim(text), '\\s+'))
                           / {bucket_words}) AS INTEGER)) AS bucket
   FROM documents
+  WHERE text IS NOT NULL
 ),
 hist AS (
   SELECT source, bucket, count(*) AS c FROM bucketed GROUP BY source, bucket

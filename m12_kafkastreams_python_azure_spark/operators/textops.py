@@ -356,7 +356,10 @@ def bpe_merges(docs: DataFrame, iters: int = BPE_MERGE_ITERS) -> DataFrame:
       live symbol-pair diversity, with map-side partials.
     - Top-1 per iteration is orderBy().limit(1): TakeOrderedAndProject.
     - The merge APPLIES as a pure-plan literal-string replace: the 1-row
-      winner crossJoin-broadcasts onto the vocab and ``F.replace`` (not
+      winner broadcast-LEFT-joins onto the vocab on a constant key (NOT a
+      crossJoin — when the corpus exhausts its mergeable pairs the winner
+      is EMPTY, and a crossJoin would annihilate the vocab; the left join
+      makes the exhausted iteration a no-op) and ``F.replace`` (not
       regex — symbols may contain regex metachars) rewrites
       " p1 p2 " -> " p1p2 " on the padded sequence, TWICE: left-to-right
       non-overlapping replacement can skip an occurrence whose leading
@@ -654,12 +657,17 @@ def pmi_bigrams(
     # totals count ALL tokens/bigrams, not the min_count-filtered ones.
     # Derived from the persisted unigram table instead of a third corpus
     # tokenization: n1 = sum of unigram counts; n2 = sum(nw - 1) over
-    # docs = n1 - |docs| (empty docs still split to one empty-string
-    # token, so nw >= 1 always and the identity is exact). The doc count
-    # is a split-free scan.
+    # docs = n1 - |docs with text| (empty docs still split to one
+    # empty-string token, so nw >= 1 for every NON-NULL text and the
+    # identity is exact; a NULL text contributes zero unigrams, so the
+    # doc count MUST exclude it or n2 skews low — r8 ADVICE). The doc
+    # count is a split-free scan.
     totals = (
         unigrams.agg(F.sum("c").cast("double").alias("n1"))
-        .crossJoin(docs.agg(F.count(F.lit(1)).cast("double").alias("nd")))
+        .crossJoin(
+            docs.filter(F.col("text").isNotNull())
+            .agg(F.count(F.lit(1)).cast("double").alias("nd"))
+        )
         .select("n1", (F.col("n1") - F.col("nd")).alias("n2"))
     )
     scored = (

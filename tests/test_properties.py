@@ -233,10 +233,15 @@ def test_token_budget_select_is_maximal_prefix(spark, rows, budget):
     }
     assert sum(kept.values()) <= budget
     cum = 0
+    boundary_hit = False
     for _, doc_id, nt in scored:
-        if cum + nt <= budget:
+        if not boundary_hit and cum + nt <= budget:
             assert doc_id in kept, f"doc {doc_id} fits but was dropped"
             cum += nt
         else:
-            assert doc_id not in kept, f"doc {doc_id} overflows but was kept"
-            break  # everything after is excluded by the prefix rule
+            # STRICT prefix rule: once one doc overflows, every
+            # lower-ranked doc is excluded too — even one that would fit
+            # (a knapsack-style keeper must fail here, not pass via an
+            # early break — r8 ADVICE).
+            boundary_hit = True
+            assert doc_id not in kept, f"doc {doc_id} is past the boundary but was kept"
