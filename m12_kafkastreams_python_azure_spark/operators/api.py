@@ -267,39 +267,67 @@ def ann_topk(
     """Top-k nearest neighbors per query vector.
 
     ``auto`` (default) routes to the sign-LSH bucketed path — sublinear
-    per-query work, no training step. ``ivf`` trains a k-means coarse
-    quantizer and probes inverted lists (the best layout when the index is
-    built once and queried many times; persist it partitioned by
-    centroid_id). ``exact`` is the crossJoin brute-force baseline — oracle
+    per-query work, no training step. ``ivf`` probes k-means inverted
+    lists (the best layout when the index is built once and queried many
+    times). ``exact`` is the crossJoin brute-force baseline — oracle
     ground truth ONLY; its cost is O(n * |Q|).
+
+    IVF lifecycle options:
+
+    - ``train_k`` (default None): inverted-list count; None derives
+      ``ceil(sqrt(n))`` from the corpus (``ivf.default_train_k``) so the
+      prune ratio does not decay as the corpus grows.
+    - ``index_path``: persist-and-reuse. When the path holds a saved
+      index (``ivf.save_ivf_index`` layout) it is LOADED and probed —
+      no retraining, no corpus re-assignment; otherwise the index is
+      built once and saved there for every later call.
+    - ``prune_lists``: statically filter the index to the probed list
+      ids (bounded driver collect) so a persisted index's un-probed
+      partitions are file-pruned.
     """
     if method == "auto" or method == "lsh":
         return _sim.ann_lsh_topk(
             candidates, queries, k=k, id_col=id_col, vec_col=vec_col, **kwargs
         )
     if method == "ivf":
-        train_k = kwargs.pop("train_k", 16)
+        train_k = kwargs.pop("train_k", None)
         iters = kwargs.pop("iters", 2)
         nprobe = kwargs.pop("nprobe", 4)
         sample_fraction = kwargs.pop("sample_fraction", 1.0)
+        index_path = kwargs.pop("index_path", None)
+        prune_lists = kwargs.pop("prune_lists", False)
         if kwargs:
             # silently dropping an option means the caller thinks it took
             # effect — reject anything the ivf path doesn't understand
             raise TypeError(
                 f"ann_topk(method='ivf') got unexpected options {sorted(kwargs)} "
-                "(accepted: train_k, iters, nprobe, sample_fraction)"
+                "(accepted: train_k, iters, nprobe, sample_fraction, "
+                "index_path, prune_lists)"
             )
-        centroids = _ivf.train_ivf(
-            candidates,
-            k=train_k,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            sample_fraction=sample_fraction,
-        )
-        index = _ivf.build_ivf_index(candidates, centroids, id_col=id_col, vec_col=vec_col)
+        if index_path is not None and _ivf.ivf_index_exists(index_path):
+            index, centroids = _ivf.load_ivf_index(
+                candidates.sparkSession, index_path
+            )
+        else:
+            centroids = _ivf.train_ivf(
+                candidates,
+                k=train_k,
+                iters=iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                sample_fraction=sample_fraction,
+            )
+            index = _ivf.build_ivf_index(
+                candidates, centroids, id_col=id_col, vec_col=vec_col
+            )
+            if index_path is not None:
+                _ivf.save_ivf_index(index, centroids, index_path)
+                index, centroids = _ivf.load_ivf_index(
+                    candidates.sparkSession, index_path
+                )
         return _ivf.ann_ivf_topk(
-            index, queries, centroids, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+            index, queries, centroids, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col, prune_lists=prune_lists,
         )
     if method == "exact":
         dim = kwargs.pop("dim", None)  # None -> probed from the data
@@ -377,6 +405,21 @@ def knn_label_vote(
     )
 
 
+def ivf_index_dir(sf_dir: str, tag: str) -> str:
+    """Fingerprint-keyed on-disk location for a persisted IVF index (under
+    the gitignored spark-warehouse/). The key includes the corpus parquet's
+    (mtime, size) — regenerated data under the same path gets a fresh
+    index, never a stale one (same contract as pq._corpus_key memos)."""
+    import hashlib
+    import os
+
+    from m12_kafkastreams_python_azure_spark.operators.pq import _corpus_key
+
+    digest = hashlib.sha256(repr((tag, _corpus_key(sf_dir))).encode()).hexdigest()[:16]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, "spark-warehouse", "ivf_index", digest)
+
+
 def q_knn_label_vote_ivf(spark, sf_dir: str) -> DataFrame:
     """The PRODUCTION spelling of kNN labeling: IVF candidate stage
     feeding the shared vote. Bench/scale entry — approximate by design,
@@ -384,17 +427,26 @@ def q_knn_label_vote_ivf(spark, sf_dir: str) -> DataFrame:
     twin ``knn_label_vote`` plus the full-probe == exact parity test
     (test_round8_ops.py).
 
-    64 lists / 8 probed: labeling every 10th vector makes the query set
-    corpus-proportional, so scored candidates grow as
-    |Q| * |corpus| * nprobe/train_k — the list count must grow with the
-    corpus (the classic sqrt(n) IVF sizing) or the prune ratio decays
-    into a near-exact scan. 16/4 cost 22.6 s at sf1; 64/8 halves the
-    candidate volume and keeps the same probe fraction budget."""
+    Full index lifecycle (closes the r08 scale caveat, api.py history:
+    8.3x per 10x data on a FIXED 64-list index retrained per call):
+
+    - list count derives from the corpus — ceil(sqrt(n)) lists
+      (``ivf.default_train_k``), so the prune ratio nprobe/k tightens as
+      the corpus grows instead of decaying toward a full scan;
+    - the index is built ONCE per corpus fingerprint, persisted
+      partitioned by centroid_id (``ivf.save_ivf_index``), and every
+      later call LOADS it — the measured cost is the true query path
+      (probe + vote), as for a real user, not train+assign+probe.
+
+    Labeling every 10th vector keeps the query set corpus-proportional
+    (the exact twin's contract); per-query scored candidates are
+    nprobe * n/sqrt(n) = nprobe * sqrt(n)."""
     from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     unlabeled = emb.filter(F.col("vec_id") % 10 == 0)
     labeled = emb.filter(F.col("vec_id") % 10 != 0)
     return knn_label_vote(
-        labeled, unlabeled, method="ivf", k=10, train_k=64, nprobe=8
+        labeled, unlabeled, method="ivf", k=10, nprobe=8,
+        index_path=ivf_index_dir(sf_dir, "knn_label_vote_ivf"),
     )

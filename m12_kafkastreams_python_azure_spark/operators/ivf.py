@@ -22,6 +22,9 @@ whole train cost is bounded and reproducible.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -31,19 +34,32 @@ from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
 
 def _centroid_array(centroids: list[tuple[int, list[float]]]) -> F.Column:
-    """Centroids as one literal array<struct<cid,vec,norm>> for broadcast-free
-    argmax assignment (the literal ships inside the task binary)."""
-    entries = []
-    for cid, vec in centroids:
-        norm = sum(x * x for x in vec) ** 0.5
-        entries.append(
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-                F.lit(float(norm)).alias("cnorm"),
-            )
-        )
-    return F.array(*entries)
+    """Centroids as one literal array<struct<cid,cvec,cnorm>> for
+    broadcast-free argmax assignment (the literal ships inside the task
+    binary).
+
+    The matrix ships as ONE nested-list literal zipped with the id/norm
+    literals — the expression TREE is O(1) in k (the centroids are data,
+    not tree nodes). The per-centroid ``F.array(*[F.lit(x) ...])``
+    alternative creates k*dim literal leaves, which at the sqrt(n) list
+    counts this module now defaults to (hundreds of lists) costs whole
+    seconds of driver analysis per query (same lesson as
+    similarity.lsh_sign_bits)."""
+    cids = F.lit([int(cid) for cid, _ in centroids])
+    cvecs = F.lit([[float(x) for x in vec] for _, vec in centroids])
+    cnorms = F.lit(
+        [float(sum(x * x for x in vec) ** 0.5) for _, vec in centroids]
+    )
+    vec_norm = F.zip_with(
+        cvecs, cnorms, lambda v, n: F.struct(v.alias("cvec"), n.alias("cnorm"))
+    )
+    return F.zip_with(
+        cids,
+        vec_norm,
+        lambda c, s: F.struct(
+            c.alias("cid"), s["cvec"].alias("cvec"), s["cnorm"].alias("cnorm")
+        ),
+    )
 
 
 def _assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str) -> DataFrame:
@@ -83,9 +99,22 @@ def _update(assigned: DataFrame, vec_col: str, dim: int) -> list[tuple[int, list
     return sorted((r.centroid_id, list(r.cvec)) for r in rows)
 
 
+def default_train_k(n_vectors: int) -> int:
+    """Corpus-derived inverted-list count: ``ceil(sqrt(n))`` — the classic
+    IVF sizing (Faiss guidance; Jegou et al. 2011). With k lists a probe
+    scans ``nprobe * n/k`` vectors; k = sqrt(n) balances the two O(k) and
+    O(n/k) terms so per-query work grows as ``nprobe * sqrt(n)`` instead
+    of linearly. A FIXED k silently decays: at 10x the corpus the prune
+    ratio nprobe/k is unchanged while list length grows 10x, so probe
+    cost re-approaches a full scan (measured 8.3x per 10x data in r08 —
+    the one named scale caveat this default closes). Floor of 4 keeps
+    the quantizer meaningful on toy corpora."""
+    return max(4, math.ceil(math.sqrt(max(int(n_vectors), 1))))
+
+
 def train_ivf(
     df: DataFrame,
-    k: int = 16,
+    k: int | None = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -99,7 +128,14 @@ def train_ivf(
     the standard IVF practice at corpus scale (centroid quality needs a
     representative sample, not every vector; the full corpus is only
     assigned once, by ``build_ivf_index``). The sample predicate is a
-    plain filter, so it pushes into the scan."""
+    plain filter, so it pushes into the scan.
+
+    ``k=None`` derives the list count from the corpus:
+    ``default_train_k(df.count())`` — the count is one parquet-metadata
+    aggregate, paid once at index-BUILD time (never on the query path
+    when the index is persisted via ``save_ivf_index``)."""
+    if k is None:
+        k = default_train_k(df.count())
     if not 0.0 < sample_fraction <= 1.0:
         raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
     if sample_fraction < 1.0:
@@ -143,6 +179,59 @@ def build_ivf_index(
     )
 
 
+def save_ivf_index(
+    index: DataFrame, centroids: list[tuple[int, list[float]]], path: str
+) -> None:
+    """Persist an IVF index: build ONCE, probe many times — the real-user
+    lifecycle (Faiss trains offline and serializes; queries never retrain).
+
+    Layout:
+
+    - ``{path}/lists`` — the tagged vectors, ``partitionBy("centroid_id")``
+      so a probe that filters on list ids prunes FILES (see
+      ``ann_ivf_topk(prune_lists=True)``); at cluster scale each list is
+      its own parquet directory and a probe reads nprobe/k of the bytes.
+    - ``{path}/centroids`` — the k coarse-quantizer rows (k * dim doubles,
+      driver-bounded by construction).
+    """
+    spark = index.sparkSession
+    (
+        index.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "lists"))
+    )
+    (
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "centroid_id int, cvec array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Load a persisted IVF index: (lists DataFrame, centroids). The
+    centroid collect is k rows of k*dim doubles — bounded by construction;
+    the lists stay lazy (file-pruned at probe time, never materialized on
+    the driver)."""
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    centroids = sorted((int(r.centroid_id), list(r.cvec)) for r in rows)
+    return lists, centroids
+
+
+def ivf_index_exists(path: str) -> bool:
+    """True when a ``save_ivf_index`` layout is present (both halves —
+    a partial write from an interrupted build is treated as absent)."""
+    return os.path.isdir(os.path.join(path, "lists")) and os.path.isdir(
+        os.path.join(path, "centroids")
+    )
+
+
 def ann_ivf_topk(
     index: DataFrame,
     queries: DataFrame,
@@ -151,10 +240,18 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prune_lists: bool = False,
 ) -> DataFrame:
     """Probe the ``nprobe`` closest inverted lists per query, exact-score
     within them, keep top-k. One equi-join on centroid_id (queries
-    broadcast), one small top-k window."""
+    broadcast), one small top-k window.
+
+    ``prune_lists=True`` collects the distinct probed list ids (bounded
+    above by len(centroids), NOT by |Q|) and filters the index on them
+    BEFORE the join — on a ``load_ivf_index`` index this is a static
+    partition filter, so parquet partition pruning skips the un-probed
+    lists' files entirely. Worth it for small/medium query batches; a
+    corpus-sized query set probes every list and the filter is a no-op."""
     carr = _centroid_array(centroids)
     vec = F.col(vec_col)
     # ||v|| dropped from the probe ranking for the same two reasons as in
@@ -176,6 +273,15 @@ def ann_ivf_topk(
         l2_norm(F.col(vec_col)).alias("qnorm"),
         F.explode(F.transform(probes, lambda p: p["cid"])).alias("centroid_id"),
     )
+    if prune_lists:
+        # bounded collect: <= len(centroids) ints, whatever |Q| is. The
+        # isin() literal is a STATIC predicate on the index's partition
+        # column — on a persisted index Spark prunes the un-probed lists
+        # at the file level before any row is read.
+        probed = sorted(
+            r[0] for r in q.select("centroid_id").distinct().collect()
+        )
+        index = index.filter(F.col("centroid_id").isin(probed))
     scored = (
         index.join(F.broadcast(q), on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
