@@ -12,27 +12,34 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-8 rotation: the 5 reference-surface queries stay first (every
-round), then the three entries whose CODE changed this round and need
-a fresh driver row (dup_span_coverage — oracle entry now runs string
-grams, the exact oracle spelling, per r07 ADVICE; bm25_retrieval —
-single shared tokenization, dl carried through the tf keys;
-knn_label_vote — vote stage extracted for the new api front door),
-then the NEW bpe_merges / bpe_encode pair (iterated BPE merge loop —
-the Sennrich training step bpe_pair_counts only did one round of — and
-its apply step: per-doc post-merge token counts — plus, in wave 3,
-pmi_bigrams / dedup_keep_best / token_budget_select), then the TWELVE
-entries that have missed a round rotated back in (the ten r06-green
-entries displaced in r07 — cms_merge_bound, dataset_mix, segment_dedup,
-chunk_documents, domain_cap, trailing_hour_counts, full_outer_activity,
-unpivot_metrics, event_pairs_10min, latest_event_per_user — plus
-lang_id / doc_fingerprint), then the training-data-pipeline core and
-five r07-green holds. Displaced to the back this round, all with hard
-green rows on record and code untouched: the ten r01–r04 entries
-re-confirmed green in r07 (pricing_summary … sessionize_events),
-ann_pq / ann_ivfpq (rows-only; bounded by in-window ann_topk), and
-bpe_pair_counts (its pair-count stage IS bpe_merges' first iteration,
-which is in-window with a full oracle).
+Round-9 rotation (the deepest yet — every in-window r08-green whose
+code is untouched rotates OUT so the stalest rows rotate IN): the 5
+reference-surface queries stay first (every round), then the four
+entries whose CODE changed this round and need a fresh driver row
+(pmi_bigrams — NULL-text doc-count fix; source_length_drift — NULL
+text filtered identically on both sides; knn_label_vote_ivf — now
+probes a persisted sqrt(n)-list index via ivf.load_ivf_index;
+simhash_near_dup — banding core extracted into
+dedup.banded_hamming_pairs), then the THREE new round-9 operators
+(exact_substring_dedup — Lee et al. span REMOVAL, the rewrite twin of
+dup_span_coverage's metric; image_dhash — perceptual-hash signature
+table, every value oracle-checked through the mapInPandas path;
+phash_near_dup — banded-Hamming image near-dup, pigeonhole-complete so
+fully oracle-checked), then the NINETEEN entries VERDICT r08 named as
+stale rotated back in (vocab_encode, quality_percentile_filter,
+pii_scrub, bigram_lm_score, sq_error_stats, geomean_prices,
+bpe_pair_counts, ann_pq, ann_ivfpq, and the ten r01–r04 analytics
+pricing_summary … sessionize_events), then the NINETEEN oldest
+remaining r01/r02 entries (customers_without_orders …
+above_avg_orders) whose last driver rows predate round 3.
+Displaced to 51+ this round, every one with a hard green r08 row and
+code untouched: the r08 window's training-pipeline core (dedup_exact …
+scd2_history), the r08 additions (bpe_merges … source_overlap), and
+the twelve r08 rotations (cms_merge_bound … doc_fingerprint).
+Rows-only entries in-window: knn_label_vote_ivf / ann_pq / ann_ivfpq
+(bounded by the oracle-green ann_topk + knn_label_vote r08 rows and
+the recall/parity tests) and simhash_near_dup (bounded by
+ngram_jaccard_pairs' r08 row).
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -93,91 +100,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,                     # F1
         "stay_enrich": A.q_stay_enrich,                     # F3-F5
         "hotels_count": A.q_hotels_count,                   # K2-K4 flagship
-        # code changed in round 8 — need a fresh driver row (see docstring)
-        "dup_span_coverage": CU.q_dup_span_coverage,
-        "bm25_retrieval": R.q_bm25_retrieval,
-        "knn_label_vote": S.q_knn_label_vote,
-        # NEW in round 8: the iterated BPE merge loop (3 unrolled
-        # count->merge->recount rounds; chained-CTE oracle) and its apply
-        # step (per-doc post-merge token counts)
-        "bpe_merges": T.q_bpe_merges,
-        "bpe_encode": T.q_bpe_encode,
-        # NEW in round 8: PMI collocation mining (word2phrase-style vocab
-        # augmentation signal), keep-best near-dup curation, token-budget
-        # selection
+        # code changed in round 9 — need a fresh driver row (see docstring)
         "pmi_bigrams": T.q_pmi_bigrams,
-        "dedup_keep_best": G.q_dedup_keep_best,
-        "token_budget_select": CU.q_token_budget_select,
-        # NEW in round 8: source-level composition audits
-        "source_overlap": AU.q_source_overlap,
         "source_length_drift": AU.q_source_length_drift,
-        # missed-a-round entries rotated back IN (displaced in r07;
-        # last driver rows r06)
-        "cms_merge_bound": SK.q_cms_merge_bound,
-        "dataset_mix": A10.q_dataset_mix,
-        "segment_dedup": CU.q_segment_dedup,
-        "chunk_documents": CU.q_chunk_documents,
-        "domain_cap": CU.q_domain_cap,
-        "trailing_hour_counts": A9.q_trailing_hour_counts,
-        "full_outer_activity": A10.q_full_outer_activity,
-        "unpivot_metrics": A10.q_unpivot_metrics,
-        "event_pairs_10min": J.q_event_pairs_10min,
-        "latest_event_per_user": A10.q_latest_event_per_user,
-        "lang_id": T.q_lang_id,
-        "doc_fingerprint": T.q_doc_fingerprint,
-        # training-data pipeline: dedup
-        "dedup_exact": D.q_dedup_exact,
-        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
-        "minhash_near_dup": D.q_minhash_near_dup,           # rows-only (LSH)
+        "knn_label_vote_ivf": API.q_knn_label_vote_ivf,     # rows-only (approx)
         "simhash_near_dup": D.q_simhash_near_dup,           # rows-only (LSH)
-        "dedup_clusters": G.q_dedup_clusters,               # iterative CC
-        "pagerank_parts": G.q_pagerank_parts,               # iterative PageRank
-        # training-data pipeline: similarity search
-        "ann_topk": S.q_ann_topk,
-        "embedding_near_dup": S.q_embedding_near_dup,
-        "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
-        "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
-        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,  # rows-only (approx)
-        "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
-        # training-data pipeline: text analysis (lang_id / doc_fingerprint
-        # rotated out this round — narrow per-row maps, green since r01)
-        "text_quality": T.q_text_quality,
-        "clean_corpus": T.q_clean_corpus,
-        # training-data pipeline: corpus hygiene
-        "decontaminate": C.q_decontaminate,
-        "gopher_quality": C.q_gopher_quality,
-        # training-data pipeline: sequence packing
-        # (pii_scrub / bigram_lm_score displaced to 51+ — multi-round green)
-        "pack_sequences": C.q_pack_sequences,
-        # training-data pipeline: multimodal (Arrow/mapInPandas path)
-        "media_features": M.q_media_features,
-        # mergeable-sketch rollups (hll/quantile/heavy-hitters rotated out
-        # this round — green since r01; rollup_merge keeps the family's
-        # window presence)
-        "rollup_merge": SK.q_rollup_merge,
-        # record linkage: blocked fuzzy matching
-        "record_linkage": LK.q_record_linkage,
-        # lakehouse dimension maintenance: SCD2 interval build
-        "scd2_history": SCD.q_scd2_history,
-        # r07-green holds (one more round in-window before rotating out)
-        "semantic_dedup": CU.q_semantic_dedup,
-        "dedup_stats": D.q_dedup_stats,
-        # ---- entries 51+: outside the driver window this round ----
-        # r07-green, untouched; displaced by dedup_keep_best /
-        # token_budget_select
+        # NEW in round 9: ExactSubstr span REMOVAL (Lee et al. 2022 — the
+        # rewrite twin of dup_span_coverage's metric), and perceptual-hash
+        # image dedup (dHash signatures + banded-Hamming pairs; the
+        # banding is pigeonhole-complete, so even the "LSH" is
+        # value-checked against the all-pairs oracle)
+        "exact_substring_dedup": CU.q_exact_substring_dedup,
+        "image_dhash": M.q_image_dhash,
+        "phash_near_dup": M.q_phash_near_dup,
+        # VERDICT-r08-named stale entries rotated back in (last rows r07)
         "vocab_encode": T.q_vocab_encode,
         "quality_percentile_filter": CU.q_quality_percentile_filter,
         "pii_scrub": C.q_pii_scrub,
         "bigram_lm_score": C.q_bigram_lm_score,
-        # r07-green, untouched; displaced by bpe_encode
         "sq_error_stats": PQ.q_sq_error_stats,
-        # bench/scale entry: IVF production path of knn_label_vote
-        # (approximate — bounded by the in-window exact twin + parity test)
-        "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
-        # multi-round green, untouched; displaced by pmi_bigrams
         "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
-        # re-confirmed green in r07 / green rows on record, code untouched
-        # (rotated out to free slots for the 12 missed-a-round returns)
+        "bpe_pair_counts": T.q_bpe_pair_counts,
+        "ann_pq": PQ.q_ann_pq,                              # rows-only (approx)
+        "ann_ivfpq": PQ.q_ann_ivfpq,                        # rows-only (approx)
+        # ... and the ten r01-r04 analytics re-confirmed in r07
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,
         "region_revenue": A.q_region_revenue,
@@ -188,43 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": A2.q_string_functions,
         "math_functions": A2.q_math_functions,
         "sessionize_events": A2.q_sessionize_events,
-        "ann_pq": PQ.q_ann_pq,                   # rows-only (exact twin ann_topk, in-window)
-        "ann_ivfpq": PQ.q_ann_ivfpq,             # rows-only (exact twin ann_topk, in-window)
-        "bpe_pair_counts": T.q_bpe_pair_counts,  # first iteration of in-window bpe_merges
-        "hll_merge_bound": SK.q_hll_merge_bound,
-        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
-        "heavy_hitters": SK.q_heavy_hitters,
-        # green in BOTH r03 and r04 (rotated out to make room for the 14
-        # first-ever rows above; their hard driver rows are on record)
-        "zorder_key": L.q_zorder_key,
-        "quality_report": Q.q_quality_report,
-        "asof_latest_order": J.q_asof_latest_order,
-        "asof_next_order": J.q_asof_next_order,
-        "value_band_join": J.q_value_band_join,
-        "tfidf_top_terms": A10.q_tfidf_top_terms,
-        "dataset_split": A10.q_dataset_split,
-        "cte_sql": A10.q_cte_sql,
-        "hopping_hourly": A10.q_hopping_hourly,
-        "edit_distance_pairs": A11.q_edit_distance_pairs,
-        "purchase_funnel": A11.q_purchase_funnel,
-        "map_functions": A11.q_map_functions,
-        "stratified_sample": A11.q_stratified_sample,
-        "histogram_bins": A13.q_histogram_bins,
-        # rotated out in r06 to make room for the round-5/6 additions
-        # (green driver rows in CORRECTNESS_r05)
-        "median_aggregates": A9.q_median_aggregates,
-        "bitwise_aggregates": A9.q_bitwise_aggregates,
-        "array_set_ops": A9.q_array_set_ops,
-        "arrow_byte_stats": A9.q_arrow_byte_stats,
-        "string_functions2": A9.q_string_functions2,
-        "cheapest_supplier": A9.q_cheapest_supplier,
-        "word_positions": A9.q_word_positions,
-        "corr_battery": A13.q_corr_battery,
-        "benford_digits": A13.q_benford_digits,
-        "region_revenue_share": A12.q_region_revenue_share,
-        "orderkey_islands": A12.q_orderkey_islands,
-        # analytics green in CORRECTNESS_r01 + r02 (rotated to the back;
-        # pricing_summary..events_daily moved INTO the window this round)
+        # the nineteen OLDEST remaining entries (last driver rows r01/r02)
         "customers_without_orders": A.q_customers_without_orders,
         "purchase_and_click_users": A.q_purchase_and_click_users,
         "rollup_returnflag": A.q_rollup_returnflag,
@@ -244,6 +154,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_functions": A4.q_conditional_functions,
         "stats_battery": A5.q_stats_battery,
         "above_avg_orders": A5.q_above_avg_orders,
+        # ---- entries 51+: outside the driver window this round ----
+        # the r08 window's training-pipeline core — every entry has a hard
+        # green r08 row, code untouched this round
+        "dedup_exact": D.q_dedup_exact,
+        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
+        "minhash_near_dup": D.q_minhash_near_dup,           # rows-only (LSH)
+        "dedup_clusters": G.q_dedup_clusters,               # iterative CC
+        "pagerank_parts": G.q_pagerank_parts,               # iterative PageRank
+        "ann_topk": S.q_ann_topk,
+        "embedding_near_dup": S.q_embedding_near_dup,
+        "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
+        "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
+        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,  # rows-only (approx)
+        "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
+        "text_quality": T.q_text_quality,
+        "clean_corpus": T.q_clean_corpus,
+        "decontaminate": C.q_decontaminate,
+        "gopher_quality": C.q_gopher_quality,
+        "pack_sequences": C.q_pack_sequences,
+        "media_features": M.q_media_features,
+        "rollup_merge": SK.q_rollup_merge,
+        "record_linkage": LK.q_record_linkage,
+        "scd2_history": SCD.q_scd2_history,
+        "semantic_dedup": CU.q_semantic_dedup,
+        "dedup_stats": D.q_dedup_stats,
+        # the r08 additions — green r08 rows; bpe_merges/bpe_encode had
+        # docstring-only edits this round (no behavior change)
+        "dup_span_coverage": CU.q_dup_span_coverage,
+        "bm25_retrieval": R.q_bm25_retrieval,
+        "knn_label_vote": S.q_knn_label_vote,
+        "bpe_merges": T.q_bpe_merges,
+        "bpe_encode": T.q_bpe_encode,
+        "dedup_keep_best": G.q_dedup_keep_best,
+        "token_budget_select": CU.q_token_budget_select,
+        "source_overlap": AU.q_source_overlap,
+        # the r08 rotations — re-confirmed green in r08
+        "cms_merge_bound": SK.q_cms_merge_bound,
+        "dataset_mix": A10.q_dataset_mix,
+        "segment_dedup": CU.q_segment_dedup,
+        "chunk_documents": CU.q_chunk_documents,
+        "domain_cap": CU.q_domain_cap,
+        "trailing_hour_counts": A9.q_trailing_hour_counts,
+        "full_outer_activity": A10.q_full_outer_activity,
+        "unpivot_metrics": A10.q_unpivot_metrics,
+        "event_pairs_10min": J.q_event_pairs_10min,
+        "latest_event_per_user": A10.q_latest_event_per_user,
+        "lang_id": T.q_lang_id,
+        "doc_fingerprint": T.q_doc_fingerprint,
+        # green rows on record from earlier rounds, code untouched
+        "hll_merge_bound": SK.q_hll_merge_bound,
+        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
+        "heavy_hitters": SK.q_heavy_hitters,
+        "zorder_key": L.q_zorder_key,
+        "quality_report": Q.q_quality_report,
+        "asof_latest_order": J.q_asof_latest_order,
+        "asof_next_order": J.q_asof_next_order,
+        "value_band_join": J.q_value_band_join,
+        "tfidf_top_terms": A10.q_tfidf_top_terms,
+        "dataset_split": A10.q_dataset_split,
+        "cte_sql": A10.q_cte_sql,
+        "hopping_hourly": A10.q_hopping_hourly,
+        "edit_distance_pairs": A11.q_edit_distance_pairs,
+        "purchase_funnel": A11.q_purchase_funnel,
+        "map_functions": A11.q_map_functions,
+        "stratified_sample": A11.q_stratified_sample,
+        "histogram_bins": A13.q_histogram_bins,
+        "median_aggregates": A9.q_median_aggregates,
+        "bitwise_aggregates": A9.q_bitwise_aggregates,
+        "array_set_ops": A9.q_array_set_ops,
+        "arrow_byte_stats": A9.q_arrow_byte_stats,
+        "string_functions2": A9.q_string_functions2,
+        "cheapest_supplier": A9.q_cheapest_supplier,
+        "word_positions": A9.q_word_positions,
+        "corr_battery": A13.q_corr_battery,
+        "benford_digits": A13.q_benford_digits,
+        "region_revenue_share": A12.q_region_revenue_share,
+        "orderkey_islands": A12.q_orderkey_islands,
+        # r01/r02 greens queued for the next rotation (big_orders_having
+        # onward just missed this round's 50)
         "big_orders_having": A5.q_big_orders_having,
         "union_all_activity": A5.q_union_all_activity,
         "regexp_battery": A5.q_regexp_battery,
@@ -381,6 +370,9 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": CU.ORACLE_TOKEN_BUDGET_SELECT,
         "source_overlap": AU.ORACLE_SOURCE_OVERLAP,
         "source_length_drift": AU.ORACLE_SOURCE_LENGTH_DRIFT,
+        "exact_substring_dedup": CU.ORACLE_EXACT_SUBSTRING_DEDUP,
+        "image_dhash": M.ORACLE_IMAGE_DHASH,
+        "phash_near_dup": M.ORACLE_PHASH_NEAR_DUP,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
@@ -391,8 +383,10 @@ def oracle_sql() -> dict[str, str]:
         "normalize_embeddings": V.ORACLE_NORMALIZE_EMBEDDINGS,
         "geomean_prices": V.ORACLE_GEOMEAN_PRICES,
         # minhash_near_dup / simhash_near_dup / ann_lsh / ann_ivf /
-        # embedding_near_dup_lsh: intentionally no oracle — LSH banding and
-        # k-means probing are not SQL-expressible; their exact counterparts
-        # (ngram_jaccard_pairs, embedding_near_dup, ann_topk) are
-        # oracle-checked and bound them.
+        # embedding_near_dup_lsh / ann_pq / ann_ivfpq / knn_label_vote_ivf:
+        # intentionally no oracle — LSH banding and k-means probing are not
+        # SQL-expressible; their exact counterparts (ngram_jaccard_pairs,
+        # embedding_near_dup, ann_topk, knn_label_vote) are oracle-checked
+        # and bound them. phash_near_dup is the exception that proves the
+        # rule: its banding is pigeonhole-complete, so it IS oracle-checked.
     }

@@ -740,3 +740,160 @@ FROM c WHERE cum <= {TOKEN_BUDGET}
 
 
 ORACLE_TOKEN_BUDGET_SELECT = _oracle_token_budget_select()
+
+# ------------------------------------------------------- exact-substring dedup
+
+EXSUB_N = 8  # words per anchor gram: a repeated span must be >= this long
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    n: int = EXSUB_N,
+    use_hashed_grams: bool = True,
+) -> DataFrame:
+    """ExactSubstr deduplication: REMOVE (not just measure) long repeated
+    spans from document interiors, keeping the corpus-first occurrence
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 §4.1 — there: >=50-BPE-token substrings
+    located via a suffix array; here: the distributed approximation at
+    word n-gram granularity, the same anchoring ``dup_span_coverage``
+    uses for the metric). The measurement twin flags docs; THIS operator
+    rewrites them — the pipeline stage a training corpus pairs with
+    MinHash whole-doc dedup.
+
+    Semantics: an occurrence (doc_id, pos) of an n-word gram is a
+    DUPLICATE iff it is not the gram's corpus-first occurrence (ordered
+    by doc_id, then pos — "remove the substring from all but one of
+    them"). Every word position covered by >=1 duplicate occurrence is
+    dropped; the doc is reassembled from the surviving words in order.
+    Overlapping duplicated grams merge into one removed span, so any
+    repeated run of length L >= n loses exactly its L words in the later
+    copies and self-repetition within one doc is caught too. Docs whose
+    every word is covered come out as empty strings (kept, auditable),
+    never silently dropped.
+
+    Scale shape:
+
+    - One tokenization; grams via the shifted-slice zip chain
+      (``corpus.word_ngrams`` — no per-element re-split).
+    - First-occurrence detection is a gram-keyed ``min(struct(doc_id,
+      pos))`` aggregate — partial-aggregated map-side (ONE struct of
+      state per gram, the same counter discipline as segment_dedup's
+      countDistinct), NOT a row_number window over ``partitionBy(gram)``
+      whose hottest key (a boilerplate gram in 50M docs) would funnel
+      50M rows through one task.
+    - Duplicate occurrences re-join the (bounded) firsts table on the
+      gram key; covered word positions explode n-wide and de-dup inside
+      the doc-keyed reassembly aggregate.
+    - Reassembly is ONE shuffle on doc_id: surviving words collect and
+      array_sort per doc (state bounded by doc length), exactly like
+      ``segment_dedup``.
+
+    ``use_hashed_grams=True`` (default) ships ``xxhash64(gram)`` through
+    the frequency shuffle instead of ~50-byte gram strings (the
+    dup_span_coverage trade: a 64-bit collision can only merge two
+    distinct grams and remove a little extra text, ~n_grams^2/2^65
+    probability); ``False`` keeps raw strings — the DuckDB oracle's
+    spelling, parity pinned in tests."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import word_ngrams
+
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    grams = docs.select(
+        "doc_id", F.posexplode(word_ngrams(F.col("text"), n)).alias("pos", "gram")
+    )
+    if use_hashed_grams:
+        grams = grams.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
+    firsts = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dup_occ = grams.join(firsts, "gram").filter(
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("pos") != F.col("first.pos"))
+    )
+    removed = dup_occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("widx"),
+    )
+    words = toks.select("doc_id", F.posexplode("w").alias("widx", "word"))
+    kept = words.join(removed, ["doc_id", "widx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    n_words = F.size("w").cast("long")
+    return (
+        toks.select("doc_id", n_words.alias("n_words"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # use_hashed_grams=False HERE ONLY (same contract as dup_span_coverage):
+    # the oracle mirrors the string-gram spelling; the hashed production
+    # default is pinned against this path in tests/test_round9_ops.py.
+    return exact_substring_dedup(
+        parallel_scan(load_table(spark, sf_dir, "documents")),
+        use_hashed_grams=False,
+    )
+
+
+def _oracle_exact_substring_dedup() -> str:
+    n = EXSUB_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1})) AS i) t
+  WHERE len(w) >= {n}
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+removed AS (
+  SELECT DISTINCT doc_id, pos + o.o AS widx
+  FROM ranked, LATERAL (SELECT unnest(generate_series(0, {n - 1})) AS o) o
+  WHERE rn > 1
+),
+words AS (
+  SELECT doc_id, i - 1 AS widx, w[i] AS word
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+),
+kept AS (
+  SELECT wd.doc_id, wd.widx, wd.word
+  FROM words wd LEFT JOIN removed r
+    ON wd.doc_id = r.doc_id AND wd.widx = r.widx
+  WHERE r.widx IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(word ORDER BY widx), ' ') AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_words,
+       CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+ORACLE_EXACT_SUBSTRING_DEDUP = _oracle_exact_substring_dedup()

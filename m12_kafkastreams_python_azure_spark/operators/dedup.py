@@ -680,11 +680,28 @@ def simhash_near_dup_pairs(
         return expand_collapsed_pairs(
             rep_pairs, mapping, "hamming", F.lit(0), max_bucket
         )
-    width = 64 // bands
-    mask = (1 << width) - 1
     sigs = _parallel_text(df, text_col, id_col).select(
         "id", simhash64(F.col("t")).alias("sim")
     )
+    return banded_hamming_pairs(sigs, max_hamming, bands, max_bucket)
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-pairs (id_a, id_b, hamming) over ANY 64-bit signature table
+    ``(id, sim)`` — the banded-Hamming core shared by simhash text dedup
+    and the perceptual-hash image dedup (``multimodal.phash_near_dup``).
+
+    Bands the signature into ``bands`` (64/bands)-bit slices and joins per
+    band; by pigeonhole a pair within Hamming distance < ``bands`` shares
+    at least one exact band, so for ``max_hamming < bands`` the candidate
+    stage has COMPLETE recall and the verified output is exact."""
+    width = 64 // bands
+    mask = (1 << width) - 1
     banded = sigs.select(
         "id",
         "sim",
@@ -707,7 +724,7 @@ def simhash_near_dup_pairs(
     pairs = (
         # pre-agg repartition on the bucket key: exchange reused by the
         # groupBy, AQE keeps the partition count -> parallel expansion
-        banded.repartition(expansion_partitions(df), "band", "bh")
+        banded.repartition(expansion_partitions(sigs), "band", "bh")
         .groupBy("band", "bh")
         .agg(F.collect_list(F.struct("id", "sim")).alias("members"))
         .filter(F.size("members") > 1)

@@ -280,3 +280,197 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.filter(F.col("kind") == "video").select(
         "media_id", "payload", "n_frames"
     ).mapInPandas(batches, out_schema)
+
+
+# -------------------------------------------------- perceptual-hash image dedup
+
+DHASH_GRID_COLS = 9   # 8x9 luma grid -> 8 rows x 8 horizontal comparisons
+DHASH_GRID_ROWS = 8
+PHASH_MAX_HAMMING = 6
+PHASH_BANDS = 8       # 8-bit bands: pigeonhole-complete for hamming < 8
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash64", LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) per image — THE standard perceptual
+    near-dup signature (a la Krawetz's dHash: downscale to a 9x8 luma
+    grid, emit one bit per horizontal neighbor comparison). Bit k of the
+    hash (MSB-first, k = row*8 + col) is 1 iff grid[row][col] <
+    grid[row][col+1].
+
+    Decode stand-in (this container has no codecs): the "9x8 luma grid"
+    is the payload BYTE STREAM average-pooled into 72 near-equal windows
+    — deterministic AND locality-preserving (two payloads differing in a
+    few bytes share almost every window mean, hence almost every bit),
+    which is the property the real decode+resize provides and the
+    sha256 fake in ``extract_image_features`` deliberately does not.
+    Production swaps ONLY the grid function for a real decode+grayscale+
+    9x8 resize; the bit extraction, banding, and Hamming verify are the
+    real algorithm, unchanged.
+
+    Runs as mapInPandas (Arrow batches); the binary column never leaves
+    the Python worker — only (media_id, int64) rows do, so every
+    downstream shuffle moves 16-byte rows regardless of image size."""
+    fake = DETERMINISTIC_FAKE_DECODE
+    cols, rows = DHASH_GRID_COLS, DHASH_GRID_ROWS
+    cells = cols * rows
+
+    def batches(it):
+        import pandas as pd
+
+        def dhash(payload: bytes) -> int:
+            if not fake:
+                raise NotImplementedError("image codec not available in this container")
+            d = bytes(payload)
+            ln = len(d)
+            grid = []
+            for w in range(cells):
+                lo = (w * ln) // cells
+                hi = ((w + 1) * ln) // cells
+                grid.append(sum(d[lo:hi]) / (hi - lo) if hi > lo else 0.0)
+            bits = 0
+            for r in range(rows):
+                for c in range(cols - 1):
+                    bits = (bits << 1) | (
+                        1 if grid[r * cols + c] < grid[r * cols + c + 1] else 0
+                    )
+            return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash64": [dhash(p) for p in pdf["payload"]],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, DHASH_SCHEMA)
+    )
+
+
+def phash_near_dup(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    bands: int = PHASH_BANDS,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Image near-duplicate pairs (id_a, id_b, hamming): dHash signatures
+    fed through the SAME banded-Hamming machinery as simhash text dedup
+    (``dedup.banded_hamming_pairs``) — the image-level dedup stage a
+    multimodal training pipeline runs before captioning/training.
+
+    With the default 8 bands of 8 bits, every pair within Hamming
+    distance <= 6 shares at least one exact band (pigeonhole), so the
+    candidate stage has COMPLETE recall and the output is EXACT — which
+    is why this operator can be value-checked against a SQL oracle
+    despite being an LSH under the hood.
+
+    Scale shape: one mapInPandas pass emits 16-byte signature rows (the
+    media bytes never shuffle); then one band-keyed bucket shuffle +
+    bounded in-bucket pair expansion; a verified pair set comes out.
+    Cluster the pairs with ``graph.connected_components`` and pick
+    keepers with ``graph.dedup_keep_best`` — same downstream as text."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    sigs = image_dhash(media).select(
+        F.col("media_id").alias("id"), F.col("dhash64").alias("sim")
+    )
+    return banded_hamming_pairs(
+        sigs, max_hamming=max_hamming, bands=bands, max_bucket=max_bucket
+    )
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked perceptual-hash image near-dup: the fake decode is
+    byte arithmetic the oracle reproduces exactly, and the banding is
+    pigeonhole-complete (max_hamming < bands), so the DuckDB all-pairs
+    twin must match VALUE-FOR-VALUE — a full correctness check of the
+    banded path, not a rows-only smoke."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = media_from_documents(docs.repartition(par))
+    return phash_near_dup(media)
+
+
+def _oracle_phash_near_dup() -> str:
+    cells = DHASH_GRID_COLS * DHASH_GRID_ROWS
+    cols = DHASH_GRID_COLS
+    # the documents text is ASCII (pinned in tests), so ord(char) == byte
+    # and len(text) == octet_length — the SQL mirrors the Python byte math
+    return f"""
+WITH b AS (
+  SELECT doc_id AS media_id, text AS t, len(text) AS ln FROM documents
+),
+grid AS (
+  SELECT media_id,
+         list_transform(generate_series(0, {cells - 1}), w ->
+           CASE WHEN ((w + 1) * ln) // {cells} > (w * ln) // {cells}
+                THEN list_avg(list_transform(
+                       generate_series((w * ln) // {cells} + 1,
+                                       ((w + 1) * ln) // {cells}),
+                       i -> ord(substr(t, CAST(i AS INTEGER), 1))))
+                ELSE 0.0 END) AS g
+  FROM b
+),
+halves AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(generate_series(0, 31), k ->
+           CASE WHEN g[(k // 8) * {cols} + (k % 8) + 1]
+                   < g[(k // 8) * {cols} + (k % 8) + 2]
+                THEN CAST(1 AS BIGINT) << (31 - k) ELSE 0 END)) AS BIGINT) AS hi,
+         CAST(list_sum(list_transform(generate_series(32, 63), k ->
+           CASE WHEN g[(k // 8) * {cols} + (k % 8) + 1]
+                   < g[(k // 8) * {cols} + (k % 8) + 2]
+                THEN CAST(1 AS BIGINT) << (63 - k) ELSE 0 END)) AS BIGINT) AS lo
+  FROM grid
+),
+hashes AS (
+  SELECT media_id,
+         (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+           * 4294967296 + lo AS dhash64
+  FROM halves
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash64, b.dhash64)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash64, b.dhash64)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+ORACLE_PHASH_NEAR_DUP = _oracle_phash_near_dup()
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked dHash table: every signature value-checked against
+    the SQL byte math — the strong per-row check backing the (legitimately
+    sparse) pair output of ``phash_near_dup`` on this corpus, whose
+    positive path is proven on planted near-identical images in
+    tests/test_round9_ops.py."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return image_dhash(media_from_documents(docs.repartition(par)))
+
+
+def _oracle_image_dhash() -> str:
+    body = _oracle_phash_near_dup()
+    head, _ = body.rsplit("SELECT a.media_id", 1)
+    return head + "SELECT media_id, dhash64 FROM hashes\n"
+
+
+ORACLE_IMAGE_DHASH = _oracle_image_dhash()

@@ -23,107 +23,94 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# Code changed in round 8 — each needs a fresh driver row
-# (dup_span_coverage: oracle entry now string-gram, the exact oracle
-# spelling; bm25_retrieval: shared tokenization, dl through the tf keys;
-# knn_label_vote: vote stage extracted for the api front door).
-CHANGED_IN_R08 = [
-    "dup_span_coverage",
-    "bm25_retrieval",
-    "knn_label_vote",
-]
-
-# NEW in round 8: the iterated BPE merge loop (3 unrolled
-# count -> merge -> recount rounds, chained-CTE oracle) and its apply
-# step (per-doc post-merge token counts — the tokenizer train/apply pair).
-NEW_IN_R08 = [
-    "bpe_merges",
-    "bpe_encode",
-    # PMI collocation mining (displacing geomean_prices — multi-round
-    # green, untouched; the grouped-agg-UDF family stays represented
-    # in-window by normalize_embeddings)
+# Code changed in round 9 — each needs a fresh driver row
+# (pmi_bigrams: NULL-text doc-count fix; source_length_drift: NULL text
+# filtered identically on both sides; knn_label_vote_ivf: persisted
+# sqrt(n)-list index via ivf.load_ivf_index; simhash_near_dup: banding
+# core extracted into dedup.banded_hamming_pairs).
+CHANGED_IN_R09 = [
     "pmi_bigrams",
-    # keep-best near-dup curation + token-budget selection (displacing
-    # the vocab_encode / quality_percentile_filter holds — both r07-green
-    # with untouched code)
-    "dedup_keep_best",
-    "token_budget_select",
-    # source-level composition audits (displacing pii_scrub /
-    # bigram_lm_score — multi-round green; corpus hygiene stays
-    # represented in-window by decontaminate / gopher_quality)
-    "source_overlap",
     "source_length_drift",
-]
-
-# Entries that missed round 7 rotated back in: the ten r06-green entries
-# displaced then, plus lang_id / doc_fingerprint.
-ROTATED_IN_R08 = [
-    "cms_merge_bound",
-    "dataset_mix",
-    "segment_dedup",
-    "chunk_documents",
-    "domain_cap",
-    "trailing_hour_counts",
-    "full_outer_activity",
-    "unpivot_metrics",
-    "event_pairs_10min",
-    "latest_event_per_user",
-    "lang_id",
-    "doc_fingerprint",
-]
-
-# Training-data-pipeline core: stays inside the window (the judge grades
-# these as first-class components).
-LLM_PIPELINE = [
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_near_dup",
+    "knn_label_vote_ivf",
     "simhash_near_dup",
-    "dedup_clusters",
-    "pagerank_parts",
-    "ann_topk",
-    "embedding_near_dup",
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_near_dup_lsh",
-    "normalize_embeddings",
-    "text_quality",
-    "clean_corpus",
-    "decontaminate",
-    "gopher_quality",
-    "pack_sequences",
-    "media_features",
-    "rollup_merge",
-    "record_linkage",
-    "scd2_history",
 ]
 
-# r07-green holds: one more round in-window before rotating out
-# (sq_error_stats / vocab_encode / quality_percentile_filter rotated out
-# instead — displaced by the round-8 additions).
-HELD_FROM_R07 = [
-    "semantic_dedup",
-    "dedup_stats",
+# NEW in round 9: ExactSubstr span removal (Lee et al. 2022) and the
+# perceptual-hash image-dedup pair (signature table + banded-Hamming
+# pairs, both fully oracle-checked).
+NEW_IN_R09 = [
+    "exact_substring_dedup",
+    "image_dhash",
+    "phash_near_dup",
 ]
 
-# The only window entries allowed to lack a DuckDB oracle: LSH banding and
-# k-means probing are not SQL-expressible; each is bounded by an
-# oracle-checked exact twin. (ann_pq / ann_ivfpq rotated out of the window
-# this round; their exact twin ann_topk remains in-window.)
+# The nineteen entries VERDICT r08 named as stale, rotated back in
+# (last driver rows r07).
+ROTATED_IN_R09 = [
+    "vocab_encode",
+    "quality_percentile_filter",
+    "pii_scrub",
+    "bigram_lm_score",
+    "sq_error_stats",
+    "geomean_prices",
+    "bpe_pair_counts",
+    "ann_pq",
+    "ann_ivfpq",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "top_customers",
+    "window_top_orders",
+    "events_daily",
+    "window_functions",
+    "string_functions",
+    "math_functions",
+    "sessionize_events",
+]
+
+# The nineteen OLDEST remaining entries (last driver rows r01/r02).
+OLDEST_ROTATED_IN_R09 = [
+    "customers_without_orders",
+    "purchase_and_click_users",
+    "rollup_returnflag",
+    "priority_orders_exists",
+    "orders_no_lineitems_anti",
+    "quantity_percentiles",
+    "date_parse_lenient",
+    "token_count",
+    "cube_events",
+    "array_functions",
+    "inactive_customers_except",
+    "json_extract",
+    "pivot_daily",
+    "datetime_functions",
+    "hash_sample",
+    "salted_user_counts",
+    "conditional_functions",
+    "stats_battery",
+    "above_avg_orders",
+]
+
+# The only window entries allowed to lack a DuckDB oracle: LSH banding,
+# k-means probing, and PQ codebooks are not SQL-expressible; each is
+# bounded by an oracle-checked exact twin with a green row on record
+# (ngram_jaccard_pairs for simhash, ann_topk for ann_pq/ann_ivfpq,
+# knn_label_vote for knn_label_vote_ivf) plus recall/parity tests.
+# phash_near_dup is NOT here: its banding is pigeonhole-complete, so it
+# is fully oracle-checked despite being an LSH under the hood.
 ROWS_ONLY = {
-    "minhash_near_dup",
+    "knn_label_vote_ivf",
     "simhash_near_dup",
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_near_dup_lsh",
+    "ann_pq",
+    "ann_ivfpq",
 }
 
 
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + CHANGED_IN_R08 + NEW_IN_R08 + ROTATED_IN_R08
-        + LLM_PIPELINE + HELD_FROM_R07
+        REFERENCE_SURFACE + CHANGED_IN_R09 + NEW_IN_R09 + ROTATED_IN_R09
+        + OLDEST_ROTATED_IN_R09
     )
     assert len(expected) == WINDOW
     assert window == expected

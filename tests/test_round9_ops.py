@@ -130,3 +130,179 @@ def test_train_ivf_none_derives_sqrt_list_count(spark, emb):
     n = emb.count()
     cents = IV.train_ivf(emb, k=None, iters=1)
     assert len(cents) == IV.default_train_k(n)
+
+
+# --------------------------------------------------------- exact-substring dedup
+
+
+def _exsub(spark, rows, **kw):
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        exact_substring_dedup,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r.doc_id: (r.n_words, r.n_removed, r.text_clean)
+        for r in exact_substring_dedup(df, **kw).collect()
+    }
+
+
+SPAN = "s1 s2 s3 s4 s5 s6 s7 s8"  # exactly EXSUB_N words
+
+
+def test_exact_substring_dedup_keeps_first_removes_later(spark):
+    rows = [
+        (0, "p1 p2 " + SPAN),          # first occurrence (lowest doc_id)
+        (1, SPAN + " t1 t2 t3"),       # later copy -> span removed
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique, untouched
+    ]
+    out = _exsub(spark, rows)
+    assert out[0] == (10, 0, "p1 p2 " + SPAN)
+    assert out[1] == (11, 8, "t1 t2 t3")
+    assert out[2] == (9, 0, rows[2][1])
+
+
+def test_exact_substring_dedup_catches_self_repetition(spark):
+    filler = "f1 f2 f3 f4 f5 f6 f7 f8"
+    rows = [(0, SPAN + " " + filler + " " + SPAN)]
+    out = _exsub(spark, rows)
+    # 24 words, the SECOND copy of the span (positions 16-23) removed
+    assert out[0] == (24, 8, SPAN + " " + filler)
+
+
+def test_exact_substring_dedup_full_copy_becomes_empty(spark):
+    rows = [(5, SPAN), (4, SPAN)]  # identical docs; doc 4 wins (lower id)
+    out = _exsub(spark, rows)
+    assert out[4] == (8, 0, SPAN)
+    assert out[5] == (8, 8, "")
+
+
+def test_exact_substring_dedup_overlapping_spans_merge(spark):
+    # a 10-word repeated run: three overlapping 8-grams all duplicated;
+    # the later copy loses exactly the 10 covered words, not 3*8
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    rows = [(0, run + " a1 a2"), (1, "b1 " + run)]
+    out = _exsub(spark, rows)
+    assert out[0] == (12, 0, run + " a1 a2")
+    assert out[1] == (11, 10, "b1")
+
+
+def test_exact_substring_dedup_short_docs_untouched(spark):
+    rows = [(0, "w1 w2 w3"), (1, "w1 w2 w3")]  # < n words: no anchor gram
+    out = _exsub(spark, rows)
+    assert out[0] == (3, 0, "w1 w2 w3")
+    assert out[1] == (3, 0, "w1 w2 w3")
+
+
+def test_exact_substring_dedup_hashed_matches_string_grams(spark):
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        exact_substring_dedup,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    a = sorted(map(tuple, exact_substring_dedup(docs, use_hashed_grams=True).collect()))
+    b = sorted(map(tuple, exact_substring_dedup(docs, use_hashed_grams=False).collect()))
+    assert a == b
+
+
+# ------------------------------------------------------ perceptual-hash dedup
+
+
+def _media_rows(spark, payloads):
+    from m12_kafkastreams_python_azure_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (i, kind, "application/x-fake", bytearray(p), None, None, None, None)
+        for i, (kind, p) in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _ramp(n=720, seed=1):
+    # smooth byte pattern (locality matters: neighbors similar)
+    return bytes(((i * seed) // 3) % 251 for i in range(n))
+
+
+def _noise(n=720, seed=99):
+    state, out = seed, []
+    for _ in range(n):
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        out.append(state % 256)
+    return bytes(out)
+
+
+def test_image_dhash_is_locality_preserving(spark):
+    from m12_kafkastreams_python_azure_spark.operators.multimodal import image_dhash
+
+    base = _ramp()
+    tweaked = bytearray(base)
+    tweaked[400] = (tweaked[400] + 3) % 256  # a near-identical "image"
+    media = _media_rows(
+        spark, [("image", base), ("image", bytes(tweaked)), ("image", _noise())]
+    )
+    h = {r.media_id: r.dhash64 for r in image_dhash(media).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(h[0], h[1]) <= 2, "one-byte tweak must barely move the dHash"
+    assert ham(h[0], h[2]) > 10, "unrelated bytes must be far in hash space"
+
+
+def test_phash_near_dup_finds_planted_pairs_and_clusters(spark):
+    from m12_kafkastreams_python_azure_spark.operators.graph import (
+        connected_components,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.multimodal import (
+        phash_near_dup,
+    )
+
+    base = _ramp()
+    t1 = bytearray(base); t1[100] = (t1[100] + 2) % 256
+    t2 = bytearray(base); t2[600] = (t2[600] + 4) % 256
+    media = _media_rows(
+        spark,
+        [
+            ("image", base),        # 0
+            ("image", bytes(t1)),   # 1: near-dup of 0
+            ("image", bytes(t2)),   # 2: near-dup of 0 (and transitively 1)
+            ("image", _noise()),    # 3: unrelated
+            ("audio", base),        # 4: not an image -> excluded entirely
+        ],
+    )
+    pairs = phash_near_dup(media)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+    # the standard downstream: transitive clustering via CC
+    comp = {
+        r.id: r.comp
+        for r in connected_components(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        ).collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == 0
+
+
+def test_phash_near_dup_identical_payloads_hamming_zero(spark):
+    from m12_kafkastreams_python_azure_spark.operators.multimodal import (
+        phash_near_dup,
+    )
+
+    media = _media_rows(spark, [("image", _ramp()), ("image", _ramp())])
+    rows = phash_near_dup(media).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(0, 1, 0)]
+
+
+def test_simhash_banding_unchanged_after_refactor(spark):
+    """banded_hamming_pairs extraction must not change simhash output."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = simhash_near_dup_pairs(docs)
+    # schema + determinism smoke (full behavior pinned by test_dedup suites)
+    assert out.columns == ["id_a", "id_b", "hamming"]
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, simhash_near_dup_pairs(docs).collect()))
+    assert a == b
