@@ -740,3 +740,94 @@ SELECT w1, w2, c12, pmi,
 FROM scored
 QUALIFY rank <= {PMI_TOP}
 """
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 100,
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Full driver-looped BPE training (Sennrich et al. 1508.07909) to
+    ``n_merges`` merges — the production companion of the unrolled-3
+    ``bpe_merges`` (which stays the oracle-checked driver entry; this
+    loop is pinned against a pure-Python reference implementation in
+    tests/test_round9_ops.py, >=20 merges).
+
+    Returns (merge table as a driver-side list [(step, pair, merged,
+    cnt)], final word->symbol-sequence vocab DataFrame). The merge list
+    IS driver-sized by definition — a tokenizer ships ~50k rows of it —
+    and collecting the per-iteration 1-row winner is what makes the
+    merge application a pure literal ``F.replace`` (no join at all);
+    BPE is inherently sequential in the merge order, so the driver loop
+    is the algorithm, not a shortcut.
+
+    Plan-size discipline (the reason unrolled-3 cannot just be cranked
+    to 100): each iteration adds a replace+split layer to the vocab's
+    lineage, so after N unrolled rounds Catalyst re-analyzes an O(N)
+    tree per step — O(N^2) total driver work, and a stack overflow long
+    before 50k. Here the vocab ``localCheckpoint``s every
+    ``checkpoint_every`` merges: lineage truncates to the materialized
+    RDD, every step re-plans O(checkpoint_every) expressions, and the
+    loop runs in bounded plan size at any N (same discipline as
+    ``graph.connected_components``). Per-iteration cluster work is one
+    vocab-sized pair aggregate (bounded key space) + a
+    TakeOrderedAndProject top-1 — the corpus is scanned exactly once,
+    by the word-count collapse up front.
+    """
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
+
+    wc = register_parallel_cache(
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .persist()
+    )
+    vocab = wc.select(
+        "word", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "wcnt"
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        with_syms = vocab.select(F.split("sym", " ").alias("syms"), "wcnt")
+        pairs = with_syms.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+                    F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+            "wcnt",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wcnt").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # merges exhausted: every word fully merged
+        pair, cnt = top[0].pair, int(top[0].cnt)
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, cnt))
+        # literal replace, TWICE — same two-pass delimited-replace contract
+        # (and the same left-to-right grouping on identical-symbol runs)
+        # as the unrolled bpe_merges
+        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        search, repl = f" {pair} ", f" {merged} "
+        vocab = vocab.select(
+            "word",
+            F.trim(
+                F.replace(
+                    F.replace(padded, F.lit(search), F.lit(repl)),
+                    F.lit(search),
+                    F.lit(repl),
+                )
+            ).alias("sym"),
+            "wcnt",
+        )
+        if step % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges, vocab.select("word", "sym")

@@ -259,3 +259,165 @@ def dedup_stream_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+# ------------------------------------------------- incremental keep-best dedup
+
+
+def keep_best_batch_processor(
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    prefix_len: int = 20,
+):
+    """foreachBatch function for ``start_keep_best_stream`` — the streaming
+    spine of ``graph.dedup_keep_best`` (cluster transitive near-dups, keep
+    the best-quality doc per cluster), exposed so tests can drive it
+    directly with repeated batch_ids (at-least-once replay).
+
+    Incremental contract (and why stream == batch EXACTLY): the state dirs
+    persist (a) each doc's blocking signature + quality — ``sigs/`` — and
+    (b) the cumulative near-dup EDGE set — ``pairs/``. A micro-batch
+    discovers only the pairs with >= 1 NEW endpoint (new x new, plus
+    new x state via the prefix-bucket equi-join: each pair in the stream's
+    lifetime is computed exactly once — the incremental saving), appends
+    them, and re-derives the keep list from CC + quality-argmax over the
+    CUMULATIVE edges and sigs — the identical tail ``dedup_keep_best``
+    runs, over an identical pair set, so the emitted ``keep/`` snapshot
+    equals the batch operator on all docs seen so far, retroactive keeper
+    changes included (a late arrival can dethrone an earlier keeper —
+    which is why the output is a per-batch SNAPSHOT, complete-mode
+    semantics, not an append log).
+
+    Scale shape: per batch, the pair discovery joins |batch| rows against
+    the bucket-keyed signature state (an equi-join, never all-pairs); the
+    CC + argmax tail runs over the edge set (near-dups only — orders of
+    magnitude smaller than the corpus) plus the 3-column scored-node
+    table. Replay safety: every state write is a per-batch partition dir
+    in overwrite mode, and state reads exclude the current batch_id — a
+    re-delivered batch rewrites its own dirs instead of double-counting.
+    """
+    from m12_kafkastreams_python_azure_spark.functions.text import (
+        quality_score_cols,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        jaccard,
+        shingles,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.graph import (
+        connected_components,
+    )
+
+    sigs_dir = f"{state_dir}/sigs"
+    pairs_dir = f"{state_dir}/pairs"
+    keep_dir = f"{state_dir}/keep"
+
+    def _read_state(spark, path: str, batch_id: int) -> DataFrame | None:
+        if not dir_has_data(spark, path):
+            return None
+        from pyspark.errors import AnalysisException
+
+        try:
+            return (
+                spark.read.option("basePath", path)
+                .parquet(path)
+                .filter(F.col("batch") != batch_id)
+                .drop("batch")
+            )
+        except AnalysisException as exc:
+            # first-batch crash debris: dir exists, zero committed files
+            # (see dedup_batch_processor for the full rationale)
+            if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise
+            return None
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new_sigs = batch.select(
+            F.col(id_col).alias("id"),
+            F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
+            shingles(F.col(text_col)).alias("sh"),
+            quality_score_cols(F.col(text_col))["quality_score"].alias("q"),
+        ).persist()
+        old_sigs = _read_state(spark, sigs_dir, batch_id)
+        a = new_sigs.select(F.col("id").alias("id_a"), "pfx", F.col("sh").alias("sh_a"))
+        b = new_sigs.select(F.col("id").alias("id_b"), "pfx", F.col("sh").alias("sh_b"))
+        new_pairs = (
+            a.join(b, "pfx")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+        if old_sigs is not None:
+            o = old_sigs.select(
+                F.col("id").alias("id_o"), "pfx", F.col("sh").alias("sh_o")
+            )
+            n = new_sigs.select(
+                F.col("id").alias("id_n"), "pfx", F.col("sh").alias("sh_n")
+            )
+            cross = (
+                n.join(o, "pfx")
+                .filter(jaccard(F.col("sh_n"), F.col("sh_o")) >= jaccard_threshold)
+                .select(
+                    F.least("id_n", "id_o").alias("id_a"),
+                    F.greatest("id_n", "id_o").alias("id_b"),
+                )
+            )
+            new_pairs = new_pairs.unionByName(cross)
+        new_pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+        new_sigs.select("id", "pfx", "sh", "q").write.mode("overwrite").parquet(
+            f"{sigs_dir}/batch={batch_id}"
+        )
+        # cumulative tail — identical to graph.dedup_keep_best's
+        all_sigs = spark.read.option("basePath", sigs_dir).parquet(sigs_dir)
+        all_pairs = spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+        comps = connected_components(
+            all_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        labeled = (
+            all_sigs.select("id", "q")
+            .join(comps, "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("cluster"), "q")
+        )
+        size_w = Window.partitionBy("cluster")
+        rank_w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("id"))
+        keep = (
+            labeled.withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+            .withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("id").alias("doc_id"),
+                "cluster",
+                F.col("cluster_size").cast("long").alias("cluster_size"),
+                F.round("q", 6).alias("quality_score"),
+            )
+        )
+        keep.write.mode("overwrite").parquet(keep_dir)
+        new_sigs.unpersist()
+
+    return _process
+
+
+def start_keep_best_stream(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    prefix_len: int = 20,
+) -> StreamingQuery:
+    """Streaming keep-best near-dup curation: after every micro-batch,
+    ``{state_dir}/keep`` holds exactly what ``graph.dedup_keep_best``
+    would output on all documents seen so far (equivalence pinned in
+    tests/test_round9_ops.py on a replayed corpus)."""
+    return (
+        docs.writeStream.foreachBatch(
+            keep_best_batch_processor(
+                state_dir, text_col, id_col, jaccard_threshold, prefix_len
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -306,3 +306,209 @@ def test_simhash_banding_unchanged_after_refactor(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, simhash_near_dup_pairs(docs).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------ bpe_train loop
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python Sennrich loop with the engine's exact contracts:
+    whitespace word count, (count DESC, pair ASC) tie-break, two-pass
+    left-to-right delimited replace."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.strip().split())
+    vocab = {w: " ".join(w) for w in wc}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, cnt in wc.items():
+            syms = vocab[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc[f"{a} {b}"] += cnt
+        if not pc:
+            break
+        # max count, then lexicographically smallest pair
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, cnt = best
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, cnt))
+        search, repl = f" {pair} ", f" {merged} "
+        for w in vocab:
+            padded = f" {vocab[w]} "
+            padded = padded.replace(search, repl).replace(search, repl)
+            vocab[w] = padded.strip()
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference_20_merges(spark):
+    from m12_kafkastreams_python_azure_spark.operators.textops import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low new wide slow slower slowest",
+        "newer lower wider slower",
+        "bright brighter brightest bright",
+        "strong stronger strongest strong stronger",
+        "deep deeper deepest deep",
+        "quick quicker quickest quick quicker quick",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_merges, got_vocab = bpe_train(docs, n_merges=20, checkpoint_every=3)
+    ref_merges, ref_vocab = _bpe_reference(texts, 20)
+    assert got_merges == ref_merges
+    assert len(got_merges) == 20
+    assert {r.word: r.sym for r in got_vocab.collect()} == ref_vocab
+
+
+def test_bpe_train_stops_when_merges_exhausted(spark):
+    from m12_kafkastreams_python_azure_spark.operators.textops import bpe_train
+
+    docs = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
+    merges, vocab = bpe_train(docs, n_merges=50, checkpoint_every=2)
+    ref_merges, ref_vocab = _bpe_reference(["ab ab cd"], 50)
+    assert merges == ref_merges
+    assert len(merges) < 50  # exhausted early: every word fully merged
+    out = {r.word: r.sym for r in vocab.collect()}
+    assert out == ref_vocab
+    assert out == {"ab": "ab", "cd": "cd"}
+
+
+def test_bpe_train_first_merges_agree_with_unrolled_oracle_entry(spark):
+    """bpe_train's first 3 merges == the oracle-checked unrolled bpe_merges
+    on the same corpus — the loop and the driver entry cannot drift."""
+    from m12_kafkastreams_python_azure_spark.operators.textops import (
+        bpe_merges,
+        bpe_train,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    unrolled = [
+        (r.merge_step, r.pair, r.merged, r.cnt)
+        for r in bpe_merges(docs).orderBy("merge_step").collect()
+    ]
+    looped, _ = bpe_train(docs, n_merges=3)
+    assert looped == unrolled
+
+
+# ----------------------------------------------- streaming keep-best dedup
+
+
+def _kb_corpus():
+    # three near-dup families sharing their 20-char blocking prefix, one
+    # cross-batch (doc 2 arrives a batch after 0/1 and must merge in;
+    # doc 6's higher-quality text arrives LAST and must dethrone), plus
+    # singletons. 3-gram shingle Jaccard >= 0.5 within families.
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fam_b = "one two three four five six seven eight nine ten eleven"
+    return [
+        # batch 0
+        [
+            (0, fam_a),
+            (1, fam_a + " extra"),
+            (3, fam_b),
+            (4, "lonely unique document with no twin anywhere at all"),
+        ],
+        # batch 1: doc 2 joins family A across batches
+        [
+            (2, fam_a + " tail"),
+            (5, "another singleton body of words entirely its own"),
+        ],
+        # batch 2: doc 6 joins family B late (possible keeper change)
+        [
+            (6, fam_b + " twelve"),
+        ],
+    ]
+
+
+def _keep_snapshot(spark, keep_dir):
+    return {
+        (r.doc_id, r.cluster, r.cluster_size, r.quality_score)
+        for r in spark.read.parquet(keep_dir).collect()
+    }
+
+
+def test_keep_best_stream_equals_batch_after_every_batch(spark, tmp_path):
+    from m12_kafkastreams_python_azure_spark.operators.graph import dedup_keep_best
+    from m12_kafkastreams_python_azure_spark.streaming.advanced import (
+        keep_best_batch_processor,
+    )
+
+    state = str(tmp_path / "kb_state")
+    proc = keep_best_batch_processor(state)
+    schema = "doc_id long, text string"
+    seen: list = []
+    last_batch_expected = None
+    for bid, chunk in enumerate(_kb_corpus()):
+        seen += chunk
+        proc(spark.createDataFrame(chunk, schema), bid)
+        expected = {
+            (r.doc_id, r.cluster, r.cluster_size, r.quality_score)
+            for r in dedup_keep_best(spark.createDataFrame(seen, schema)).collect()
+        }
+        got = _keep_snapshot(spark, f"{state}/keep")
+        assert got == expected, f"stream != batch after batch {bid}"
+        last_batch_expected = expected
+    # the cross-batch merge actually happened: docs 0,1,2 share a cluster
+    clusters = {d: c for d, c, *_ in last_batch_expected}
+    sizes = {d: s for d, c, s, _ in last_batch_expected}
+    assert sizes[min(clusters, key=lambda d: d)] >= 1
+    a_keeper = [d for d, c, s, q in last_batch_expected if c == 0]
+    assert len(a_keeper) == 1 and sizes[a_keeper[0]] == 3
+
+
+def test_keep_best_stream_replay_is_idempotent(spark, tmp_path):
+    from m12_kafkastreams_python_azure_spark.streaming.advanced import (
+        keep_best_batch_processor,
+    )
+
+    state = str(tmp_path / "kb_replay")
+    proc = keep_best_batch_processor(state)
+    schema = "doc_id long, text string"
+    chunks = _kb_corpus()
+    for bid, chunk in enumerate(chunks):
+        proc(spark.createDataFrame(chunk, schema), bid)
+    before = _keep_snapshot(spark, f"{state}/keep")
+    # at-least-once: the LAST batch is re-delivered with the same batch_id
+    proc(spark.createDataFrame(chunks[-1], schema), len(chunks) - 1)
+    assert _keep_snapshot(spark, f"{state}/keep") == before
+
+
+def test_keep_best_live_stream(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from m12_kafkastreams_python_azure_spark.operators.graph import dedup_keep_best
+    from m12_kafkastreams_python_azure_spark.streaming.advanced import (
+        start_keep_best_stream,
+    )
+
+    src = str(tmp_path / "kb_src")
+    _os.makedirs(src)
+    all_rows = [r for chunk in _kb_corpus() for r in chunk]
+    with open(f"{src}/f0.json", "w") as fh:
+        for did, text in all_rows:
+            fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    state = str(tmp_path / "kb_live")
+    q = start_keep_best_stream(docs, state, str(tmp_path / "kb_ck"))
+    try:
+        q.processAllAvailable()
+        expected = {
+            (r.doc_id, r.cluster, r.cluster_size, r.quality_score)
+            for r in dedup_keep_best(
+                spark.createDataFrame(all_rows, "doc_id long, text string")
+            ).collect()
+        }
+        assert _keep_snapshot(spark, f"{state}/keep") == expected
+    finally:
+        q.stop()
