@@ -112,6 +112,9 @@ HEADLINE = [
     "dedup_stats",
     "bm25_retrieval",
     "sq_error_stats",
+    "exact_substring_dedup",
+    "image_dhash",
+    "phash_near_dup",
 ]
 
 
@@ -257,6 +260,12 @@ def main() -> None:
                         "centroids) is memoized per corpus fingerprint and "
                         "charged as an offline build — per-query times "
                         "cover encode+probe+re-rank only",
+        "knn_label_vote_ivf": "probes a PERSISTED IVF index "
+                              "(ivf.save_ivf_index, fingerprint-keyed dir, "
+                              "sqrt(n) lists): the first-ever call builds "
+                              "and saves it (offline-build cost, amortized "
+                              "by best-of-3); timed runs measure "
+                              "load+probe+vote — the real user lifecycle",
     }
     deltas = _baseline_deltas(timings, streaming_eps)
     if deltas:

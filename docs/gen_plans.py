@@ -91,6 +91,27 @@ SECTIONS = [
      "query reach the (query,label) vote aggregate and per-query argmax "
      "window. The api front door swaps the candidate stage for IVF/LSH "
      "equi-join plans at scale (same vote, cartesian-free asserted)."),
+    ("knn_label_vote_ivf", "kNN labeling — persisted sqrt(n)-list IVF probe",
+     "The production lifecycle: the plan READS a saved index (parquet "
+     "scan partitioned by centroid_id — no k-means, no corpus "
+     "re-assignment anywhere in the plan), equi-joins the broadcast "
+     "probe set on centroid_id, and feeds the same vote tail. List "
+     "count is ceil(sqrt(n)), so the per-query scan is nprobe*sqrt(n) "
+     "rows and the prune ratio tightens as the corpus grows."),
+    ("exact_substring_dedup", "ExactSubstr span removal — no gram window",
+     "Stride-1 grams from the shifted-slice zip chain; the corpus-first "
+     "occurrence per gram is a gram-keyed min(struct) AGGREGATE (partial "
+     "map-side — never a row_number window over the hottest gram); "
+     "duplicate occurrences re-join on the gram key, covered positions "
+     "explode n-wide, and ONE doc-keyed shuffle reassembles survivors "
+     "in order."),
+    ("phash_near_dup", "Perceptual-hash image dedup — 16-byte shuffles",
+     "mapInPandas emits (id, int64) dHash rows — the media bytes never "
+     "reach an exchange; one keyed repartition on (band, bucket) feeds "
+     "the bounded in-bucket pair expansion; the Hamming verify is "
+     "bit_count(xor) on the signatures riding the bucket structs. "
+     "8-bit bands make recall COMPLETE for hamming <= 6 (pigeonhole), "
+     "so the plan is an exact operator with LSH cost."),
 ]
 
 

@@ -683,7 +683,13 @@ def simhash_near_dup_pairs(
     sigs = _parallel_text(df, text_col, id_col).select(
         "id", simhash64(F.col("t")).alias("sim")
     )
-    return banded_hamming_pairs(sigs, max_hamming, bands, max_bucket)
+    # collapse_identical=False: the text collapse above already removed
+    # byte-identical inputs; a second signature-level collapse would only
+    # catch distinct texts hashing to the same simhash (rare) for an extra
+    # shuffle
+    return banded_hamming_pairs(
+        sigs, max_hamming, bands, max_bucket, collapse_identical=False
+    )
 
 
 def banded_hamming_pairs(
@@ -691,6 +697,7 @@ def banded_hamming_pairs(
     max_hamming: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-pairs (id_a, id_b, hamming) over ANY 64-bit signature table
     ``(id, sim)`` — the banded-Hamming core shared by simhash text dedup
@@ -699,7 +706,38 @@ def banded_hamming_pairs(
     Bands the signature into ``bands`` (64/bands)-bit slices and joins per
     band; by pigeonhole a pair within Hamming distance < ``bands`` shares
     at least one exact band, so for ``max_hamming < bands`` the candidate
-    stage has COMPLETE recall and the verified output is exact."""
+    stage has COMPLETE recall and the verified output is exact.
+
+    ``collapse_identical`` (default on): rows with the SAME signature
+    collapse to their min-id representative before banding and expand
+    back afterwards — within-group pairs at Hamming exactly 0, cross-
+    group pairs at the verified rep-pair distance; LOSSLESS by
+    construction, because the pair metric depends only on the two
+    signatures. This is the duplication-factor guard: each band has a
+    FIXED 2^(64/bands) bucket space, so on a duplicate-heavy corpus
+    (the sf1 tier is 10x-replicated; the web is worse) bucket occupancy
+    grows with the duplication factor and the in-bucket pair expansion
+    quadratically with it — measured 71x wall at 10x data on
+    phash_near_dup before this collapse, 10x-bounded after. Callers
+    that already collapsed upstream (simhash's text collapse) pass
+    False."""
+    if collapse_identical:
+        mapping, reps = collapse_exact_groups(sigs, ["sim"], "id")
+        rep_pairs = banded_hamming_pairs(
+            reps, max_hamming, bands, max_bucket, collapse_identical=False
+        )
+        # NULL-signature groups generate no band rows in the uncollapsed
+        # path (shiftright(NULL) bucket is NULL -> groupBy key NULL is
+        # fine but verify hamming is NULL and filtered) — exclude those
+        # groups from the expansion for exact parity.
+        valid = reps.filter(F.col("sim").isNotNull()).select(
+            F.col("id").alias("_rep_id")
+        )
+        mapping = mapping.join(valid, "_rep_id").persist()
+        register_parallel_cache(mapping)
+        return expand_collapsed_pairs(
+            rep_pairs, mapping, "hamming", F.lit(0), max_bucket
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sigs.select(

@@ -169,6 +169,8 @@ ARROW_PATH_QUERIES = {
     "normalize_embeddings",# scalar pandas UDF
     "geomean_prices",      # grouped-agg pandas UDF
     "arrow_byte_stats",    # mapInArrow
+    "image_dhash",         # mapInPandas dHash (decode stand-in)
+    "phash_near_dup",      # same mapInPandas signature stage feeding the banding
 }
 
 

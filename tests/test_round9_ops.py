@@ -512,3 +512,28 @@ def test_keep_best_live_stream(spark, tmp_path):
         assert _keep_snapshot(spark, f"{state}/keep") == expected
     finally:
         q.stop()
+
+
+def test_banded_hamming_collapse_matches_uncollapsed(spark):
+    """Signature-level exact-collapse is LOSSLESS: on a duplicate-heavy
+    corpus the collapsed and uncollapsed paths emit identical pair sets."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    base = _ramp()
+    t1 = bytearray(base); t1[50] = (t1[50] + 2) % 256
+    payloads = [("image", base)] * 4 + [("image", bytes(t1))] * 3 + [
+        ("image", _noise(seed=7)),
+        ("image", _noise(seed=8)),
+    ]
+    from m12_kafkastreams_python_azure_spark.operators.multimodal import image_dhash
+
+    sigs = image_dhash(_media_rows(spark, payloads)).select(
+        F.col("media_id").alias("id"), F.col("dhash64").alias("sim")
+    )
+    a = sorted(map(tuple, banded_hamming_pairs(sigs, 6, 8, collapse_identical=True).collect()))
+    b = sorted(map(tuple, banded_hamming_pairs(sigs, 6, 8, collapse_identical=False).collect()))
+    assert a == b
+    # 4+3 dup family fully connected: C(4,2)+C(3,2)+4*3 = 6+3+12 = 21 pairs
+    assert len(a) == 21
