@@ -209,6 +209,14 @@ def main() -> None:
     # `parsed: null`. Everything beyond the compact core goes to a
     # SIDECAR file next to this script (bench_sidecar_sf{sf}.json,
     # committed per round as bench_sf*_r{N}.json).
+    # The driver's tail capture is 2000 chars and the r09 line (75
+    # queries, default json.dumps spacing, 3-decimal times) hit 2016 —
+    # truncated front, parsed: null again. The printed line therefore
+    # uses compact separators + 2-decimal per-query times (full 3-decimal
+    # precision lives in the sidecar), with a hard guard that degrades to
+    # 1 decimal if the suite ever outgrows that too — the line must parse
+    # even if it costs per-query precision, because an unparsed line
+    # costs ALL the per-query numbers.
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -279,7 +287,32 @@ def main() -> None:
             json.dump(sidecar, fh, indent=1)
     except OSError:
         pass  # sidecar is best-effort; the printed line is the record
-    print(json.dumps(out))
+    print(_compact_line(out))
+
+
+# Driver tail-capture budget (observed: 2000 chars); stay safely under it
+# so a trailing newline / stray log line can't push the JSON out of frame.
+_LINE_BUDGET = 1900
+
+
+def _compact_line(out: dict, budget: int = _LINE_BUDGET) -> str:
+    """Render the bench record as ONE parseable JSON line <= budget chars.
+
+    Degradation ladder (each step keeps the line valid JSON and keeps
+    every query name present): 2-decimal per-query times -> 1-decimal ->
+    drop the errors payload (partial flag stays) as a last resort. The
+    total 'value' always keeps 3 decimals — it is the headline number."""
+    for ndigits, drop_errors in ((2, False), (1, False), (1, True)):
+        cand = dict(out)
+        cand["queries"] = {
+            k: round(v, ndigits) for k, v in out["queries"].items()
+        }
+        if drop_errors and "errors" in cand:
+            cand["errors"] = {"see": "sidecar"}
+        line = json.dumps(cand, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    return line  # over budget even fully degraded — emit anyway, visibly
 
 
 def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:

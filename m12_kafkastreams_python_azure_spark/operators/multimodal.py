@@ -358,6 +358,39 @@ def image_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+# Planted near-identicals for the pair-query driver row: the base corpus
+# has NO pairs within hamming <= 6 at any SF (min pairwise dHash hamming
+# ~12), so a pair query over it is green-with-0-rows — it proves only
+# that Spark and DuckDB both found nothing. Cloning every Nth document
+# with a single in-place byte edit moves at most one 72-window grid mean,
+# hence at most the two comparison bits adjacent to that window — every
+# clone is guaranteed within hamming <= 2 of its source, so the driver
+# row value-checks REAL pairs on both engines.
+PLANT_EVERY = 10
+PLANT_ID_OFFSET = 100_000_000
+
+
+def media_with_planted_near_dups(
+    docs: DataFrame,
+    every_n: int = PLANT_EVERY,
+    id_offset: int = PLANT_ID_OFFSET,
+) -> DataFrame:
+    """Documents-as-images plus a near-identical clone of every
+    ``every_n``-th document: same text with the FIRST character
+    overwritten by '~' (one byte of the pooled 9x8 grid -> the clone's
+    dHash differs from its source by at most 2 bits). Clone ids are
+    ``doc_id + id_offset`` so pairs are self-describing. Deterministic
+    and pure column math, so the DuckDB oracle reproduces it exactly."""
+    base = docs.select("doc_id", "text")
+    clones = base.filter(
+        (F.col("doc_id") % every_n == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    return media_from_documents(base.unionByName(clones))
+
+
 def phash_near_dup(
     media: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
@@ -397,24 +430,43 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte arithmetic the oracle reproduces exactly, and the banding is
     pigeonhole-complete (max_hamming < bands), so the DuckDB all-pairs
     twin must match VALUE-FOR-VALUE — a full correctness check of the
-    banded path, not a rows-only smoke."""
+    banded path, not a rows-only smoke. Runs over the PLANTED corpus
+    (``media_with_planted_near_dups``): the base fixture has no pairs
+    within hamming <= 6, so without planting the row is green-with-0-rows
+    — real positives make it check real pair values on both engines."""
     from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    media = media_from_documents(docs.repartition(par))
+    media = media_with_planted_near_dups(docs.repartition(par))
     return phash_near_dup(media)
 
 
-def _oracle_phash_near_dup() -> str:
+def _oracle_phash_near_dup(planted: bool = True) -> str:
     cells = DHASH_GRID_COLS * DHASH_GRID_ROWS
     cols = DHASH_GRID_COLS
     # the documents text is ASCII (pinned in tests), so ord(char) == byte
     # and len(text) == octet_length — the SQL mirrors the Python byte math
-    return f"""
-WITH b AS (
-  SELECT doc_id AS media_id, text AS t, len(text) AS ln FROM documents
+    if planted:
+        # mirror media_with_planted_near_dups: clone every Nth doc with
+        # the first char overwritten by '~'; ln computed AFTER the edit
+        # (an empty text clones to '~', length 1)
+        base_cte = f"""b0 AS (
+  SELECT doc_id AS media_id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET}, '~' || substr(text, 2)
+  FROM documents
+  WHERE doc_id % {PLANT_EVERY} = 0 AND text IS NOT NULL
 ),
+b AS (
+  SELECT media_id, t, len(t) AS ln FROM b0
+)"""
+    else:
+        base_cte = """b AS (
+  SELECT doc_id AS media_id, text AS t, len(text) AS ln FROM documents
+)"""
+    return f"""
+WITH {base_cte},
 grid AS (
   SELECT media_id,
          list_transform(generate_series(0, {cells - 1}), w ->
@@ -468,7 +520,8 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_image_dhash() -> str:
-    body = _oracle_phash_near_dup()
+    # plain corpus — q_image_dhash runs media_from_documents, no planting
+    body = _oracle_phash_near_dup(planted=False)
     head, _ = body.rsplit("SELECT a.media_id", 1)
     return head + "SELECT media_id, dhash64 FROM hashes\n"
 
