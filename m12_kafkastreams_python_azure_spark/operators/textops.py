@@ -831,3 +831,22 @@ def bpe_train(
         if step % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()
     return merges, vocab.select("word", "sym")
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/driver surface for the full BPE training loop: 16 merges on
+    the documents corpus, returned as the merge table. EAGER by nature —
+    BPE's merges are sequential, so the driver loop runs at CONSTRUCTION
+    time and bench.py times construction + count for this entry
+    (``EAGER_QUERIES``); wall/16 is the per-merge cost a tokenizer team
+    sizes their 50k-merge run with. Rows-only in the driver contract (no
+    single SQL statement expresses an N-deep sequential merge); bounded
+    by the oracle-checked unrolled ``bpe_merges`` and the pure-Python
+    reference pin in tests/test_round9_ops.py."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=16)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, cnt long"
+    )

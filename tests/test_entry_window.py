@@ -23,94 +23,92 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# Code changed in round 9 — each needs a fresh driver row
-# (pmi_bigrams: NULL-text doc-count fix; source_length_drift: NULL text
-# filtered identically on both sides; knn_label_vote_ivf: persisted
-# sqrt(n)-list index via ivf.load_ivf_index; simhash_near_dup: banding
-# core extracted into dedup.banded_hamming_pairs).
-CHANGED_IN_R09 = [
-    "pmi_bigrams",
-    "source_length_drift",
-    "knn_label_vote_ivf",
-    "simhash_near_dup",
-]
-
-# NEW in round 9: ExactSubstr span removal (Lee et al. 2022) and the
-# perceptual-hash image-dedup pair (signature table + banded-Hamming
-# pairs, both fully oracle-checked).
-NEW_IN_R09 = [
-    "exact_substring_dedup",
-    "image_dhash",
+# Code/oracle changed in round 10 — each needs a fresh driver row
+# (phash_near_dup: planted near-dup corpus so the row value-checks real
+# pairs, VERDICT r09 #2; image_dhash: oracle builder parameterized
+# alongside; knn_label_vote_ivf: probe sizing revisited, VERDICT r09 #7).
+CHANGED_IN_R10 = [
     "phash_near_dup",
+    "image_dhash",
+    "knn_label_vote_ivf",
 ]
 
-# The nineteen entries VERDICT r08 named as stale, rotated back in
-# (last driver rows r07).
-ROTATED_IN_R09 = [
-    "vocab_encode",
-    "quality_percentile_filter",
-    "pii_scrub",
-    "bigram_lm_score",
-    "sq_error_stats",
-    "geomean_prices",
-    "bpe_pair_counts",
-    "ann_pq",
-    "ann_ivfpq",
-    "pricing_summary",
-    "top_revenue_orders",
-    "region_revenue",
-    "top_customers",
-    "window_top_orders",
-    "events_daily",
-    "window_functions",
-    "string_functions",
-    "math_functions",
-    "sessionize_events",
+# NEW in round 10: video near-dup (per-frame perceptual hashes composed
+# into clip-level matched-frame-fraction pairs; fully oracle-checked,
+# planted trimmed clones provide real positives — VERDICT r09 #4).
+NEW_IN_R10 = [
+    "video_near_dup",
 ]
 
-# The nineteen OLDEST remaining entries (last driver rows r01/r02).
-OLDEST_ROTATED_IN_R09 = [
-    "customers_without_orders",
-    "purchase_and_click_users",
-    "rollup_returnflag",
-    "priority_orders_exists",
-    "orders_no_lineitems_anti",
-    "quantity_percentiles",
-    "date_parse_lenient",
-    "token_count",
-    "cube_events",
-    "array_functions",
-    "inactive_customers_except",
-    "json_extract",
-    "pivot_daily",
-    "datetime_functions",
-    "hash_sample",
-    "salted_user_counts",
-    "conditional_functions",
-    "stats_battery",
-    "above_avg_orders",
+# The sixteen r02 rows VERDICT r09 #3 named as stale, rotated back in.
+R02_ROTATED_IN_R10 = [
+    "big_orders_having",
+    "cast_battery",
+    "date_spine_daily",
+    "decimal_totals",
+    "forecast_revenue_q6",
+    "grouping_sets",
+    "priority_count_q4",
+    "promo_revenue_q14",
+    "regexp_battery",
+    "shipmode_priority_q12",
+    "tumbling_hourly",
+    "union_all_activity",
+    "user_event_profile",
+    "window_frames",
+    "word_count",
+    "zscore_events",
 ]
 
-# The only window entries allowed to lack a DuckDB oracle: LSH banding,
-# k-means probing, and PQ codebooks are not SQL-expressible; each is
-# bounded by an oracle-checked exact twin with a green row on record
-# (ngram_jaccard_pairs for simhash, ann_topk for ann_pq/ann_ivfpq,
-# knn_label_vote for knn_label_vote_ivf) plus recall/parity tests.
-# phash_near_dup is NOT here: its banding is pigeonhole-complete, so it
-# is fully oracle-checked despite being an LSH under the hood.
+# The fourteen r04 rows VERDICT r09 #3 named as stale, rotated back in.
+R04_ROTATED_IN_R10 = [
+    "asof_latest_order",
+    "asof_next_order",
+    "cte_sql",
+    "dataset_split",
+    "edit_distance_pairs",
+    "histogram_bins",
+    "hopping_hourly",
+    "map_functions",
+    "purchase_funnel",
+    "quality_report",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "value_band_join",
+    "zorder_key",
+]
+
+# The eleven next-stalest rows (last driver rows r05).
+R05_ROTATED_IN_R10 = [
+    "array_set_ops",
+    "arrow_byte_stats",
+    "benford_digits",
+    "bitwise_aggregates",
+    "cheapest_supplier",
+    "corr_battery",
+    "median_aggregates",
+    "orderkey_islands",
+    "region_revenue_share",
+    "string_functions2",
+    "word_positions",
+]
+
+# The only window entry allowed to lack a DuckDB oracle: k-means probing
+# is not SQL-expressible; bounded by the oracle-checked exact twins
+# (ann_topk, knn_label_vote — green rows on record) plus recall/parity
+# tests. phash_near_dup and video_near_dup are NOT here: their candidate
+# stages are complete (pigeonhole banding / exact frame-hash equi-join),
+# so both are fully oracle-checked despite being LSH-shaped.
 ROWS_ONLY = {
     "knn_label_vote_ivf",
-    "simhash_near_dup",
-    "ann_pq",
-    "ann_ivfpq",
 }
 
 
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + CHANGED_IN_R09 + NEW_IN_R09 + ROTATED_IN_R09
-        + OLDEST_ROTATED_IN_R09
+        REFERENCE_SURFACE + CHANGED_IN_R10 + NEW_IN_R10
+        + R02_ROTATED_IN_R10 + R04_ROTATED_IN_R10 + R05_ROTATED_IN_R10
     )
     assert len(expected) == WINDOW
     assert window == expected
@@ -135,3 +133,12 @@ def test_every_window_entry_has_an_oracle_except_rows_only():
 def test_every_oracle_key_is_a_query():
     queries = entrymod.queries()
     assert set(entrymod.oracle_sql()) <= set(queries)
+
+
+def test_bpe_train_is_outside_the_window():
+    """bpe_train is a bench-only surface: a 16-merge driver loop is too
+    heavy for the driver's per-round sweep and has no single-statement
+    SQL twin — it must never drift into the first 50."""
+    names = list(entrymod.queries())
+    assert "bpe_train" in names
+    assert names.index("bpe_train") >= WINDOW

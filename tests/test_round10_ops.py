@@ -51,3 +51,141 @@ def test_base_corpus_has_no_pairs(spark, docs):
     trivial and the planting necessary."""
     media = M.media_from_documents(docs)
     assert M.phash_near_dup(media).count() == 0
+
+
+# ------------------------------------------------------- video near-dup
+
+
+def _video_rows(spark, rows):
+    """rows: (media_id, payload_bytes, n_frames)."""
+    return spark.createDataFrame(
+        [(i, "video", "application/x-fake-video", p, None, None, None, nf)
+         for i, p, nf in rows],
+        schema=M.MEDIA_SCHEMA,
+    )
+
+
+def test_video_near_dup_finds_trimmed_clone(spark):
+    """A retrimmed upload (same payload, one fewer frame) must pair with
+    its source at score (n-1)/n; unrelated clips must not pair."""
+    media = _video_rows(
+        spark,
+        [
+            (1, b"clip-alpha", 5),
+            (2, b"clip-alpha", 4),   # trimmed clone of 1
+            (3, b"clip-other", 5),   # unrelated
+        ],
+    )
+    rows = {(r.id_a, r.id_b): r for r in M.video_near_dup(media).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r.matched_frames == 4 and r.nf_a == 5 and r.nf_b == 4
+    assert abs(r.score - 4 / 5) < 1e-12
+
+
+def test_video_near_dup_ubiquitous_frame_guard(spark):
+    """A frame hash present in more clips than max_videos_per_frame is
+    dropped BEFORE pairing — one viral intro-card frame must not pair
+    every clip with every other clip."""
+    # 5 clips sharing ONE common frame (payloads equal => frame 0 hash
+    # equal across clips), otherwise disjoint (frame idx differs).
+    media = _video_rows(spark, [(i, b"same-intro", 1) for i in range(5)])
+    # guard off (>=5 clips allowed): all 10 pairs appear at score 1.0
+    assert M.video_near_dup(media, max_videos_per_frame=5).count() == 10
+    # guard on (max 4): the shared frame is ubiquitous -> no pairs at all
+    assert M.video_near_dup(media, max_videos_per_frame=4).count() == 0
+
+
+def test_video_near_dup_looped_frames_count_once(spark):
+    """Identical clips score exactly 1.0 with matched_frames == nf: the
+    distinct-frame accounting can never push score above 1 or count a
+    frame twice into matched_frames."""
+    media = _video_rows(spark, [(1, b"x", 3), (2, b"x", 3)])
+    rows = M.video_near_dup(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.matched_frames == 3 and r.score == 1.0
+
+
+def test_video_planted_corpus_matches_oracle(spark, docs):
+    """End-to-end parity on real testdata: the Spark plan (frame-hash
+    equi-join + ubiquity guard + fraction scoring) must value-match the
+    DuckDB all-SQL twin, planted trimmed clones included."""
+    import duckdb
+
+    got = sorted(
+        (r.id_a, r.id_b, r.matched_frames, r.nf_a, r.nf_b, round(r.score, 6))
+        for r in M.q_video_near_dup(spark, SF).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = sorted(
+        (a, b, m, na, nb, round(s, 6))
+        for a, b, m, na, nb, s in con.execute(M.ORACLE_VIDEO_NEAR_DUP).fetchall()
+    )
+    assert got == want
+    assert got, "planted clones must produce pairs"
+
+
+# --------------------------------------------- demand-derived IVF nprobe
+
+
+def test_default_nprobe_tracks_neighbor_demand():
+    from m12_kafkastreams_python_azure_spark.operators.ivf import default_nprobe
+
+    assert default_nprobe(1) == 2    # floor
+    assert default_nprobe(4) == 2
+    assert default_nprobe(10) == 4   # ceil(sqrt(10))
+    assert default_nprobe(100) == 10
+    # the point of the rule: nprobe depends ONLY on k, never on corpus
+    # size — a corpus-coupled nprobe would re-multiply the sqrt(n)
+    # per-list cost that sqrt(n) list sizing exists to bound
+
+
+def test_knn_label_vote_ivf_default_probe_full_coverage_and_recall(spark):
+    """At the PRODUCTION configuration (sqrt(n) lists, demand-derived
+    nprobe = ceil(sqrt(k))) the candidate stage must (a) still label
+    EVERY query — no empty candidate sets — and (b) keep neighbor recall
+    vs the exact top-k above a floor. The floor is 0.45, measured on
+    this fixture's embeddings, which are near-uniform random — the
+    WORST case for IVF (no cluster structure, true neighbors spread
+    across Voronoi cells; real embedding corpora cluster and recall
+    rises). Label-vote AGREEMENT is deliberately not pinned: the
+    near-random vectors make votes tie-heavy, so agreement is noisy at
+    every nprobe (measured 0.50-0.58 even at double the probe breadth)
+    — recall is the stable property the approximation actually
+    controls."""
+    from m12_kafkastreams_python_azure_spark.operators import api as API
+    from m12_kafkastreams_python_azure_spark.operators.ivf import default_nprobe
+    from m12_kafkastreams_python_azure_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 10 == 0)
+    labeled = emb.filter(F.col("vec_id") % 10 != 0)
+    k = 10
+    nprobe = default_nprobe(k)
+    got = {
+        r["query_id"]: r["pred_label"]
+        for r in API.knn_label_vote(
+            labeled, unlabeled, method="ivf", k=k, nprobe=nprobe
+        ).collect()
+    }
+    assert all(v is not None for v in got.values()), "coverage must be full"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(labeled, unlabeled, k=k).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in API.ann_topk(
+            labeled, unlabeled, method="ivf", k=k, nprobe=nprobe
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.45, f"IVF recall {recall:.2f} below floor at nprobe={nprobe}"
