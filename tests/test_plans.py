@@ -171,6 +171,7 @@ ARROW_PATH_QUERIES = {
     "arrow_byte_stats",    # mapInArrow
     "image_dhash",         # mapInPandas dHash (decode stand-in)
     "phash_near_dup",      # same mapInPandas signature stage feeding the banding
+    "video_near_dup",      # mapInPandas frame sampling feeding the pair join
 }
 
 
