@@ -23,9 +23,11 @@ operator (video_near_dup — per-frame perceptual hashes composed into
 clip-level matched-frame-fraction pairs, fully oracle-checked with
 planted trimmed clones), then the THIRTY stale entries VERDICT r09
 named (the 16 r02 rows big_orders_having … zscore_events and the 14
-r04 rows asof_latest_order … zorder_key), then the ELEVEN
+r04 rows asof_latest_order … zorder_key), then TEN of the eleven
 next-stalest rows (last driver rows r05: array_set_ops …
-word_positions). Displaced to 51+ this round, every one with a hard
+string_functions2; word_positions ceded its slot to the second new
+operator, audio_near_dup — offset-voting fingerprint matching, also
+fully oracle-checked with planted excerpts). Displaced to 51+ this round, every one with a hard
 green r08/r09 row and code untouched: the r09 window's rotations
 (pmi_bigrams, source_length_drift, simhash_near_dup,
 exact_substring_dedup, vocab_encode … above_avg_orders) and the
@@ -104,9 +106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
         # NEW in round 10: video near-dup — per-frame perceptual hashes
         # (sample_video_frames) composed into clip-level pairs scored by
-        # matched-frame fraction; fully oracle-checked, planted trimmed
-        # clones give real positives (VERDICT r09 #4)
+        # matched-frame fraction — and audio near-dup — window
+        # fingerprints matched by OFFSET-CONSISTENT voting (Wang 2003:
+        # a true excerpt concentrates its fingerprint matches on one
+        # offset; random collisions scatter). Both fully oracle-checked
+        # with planted positives (trimmed clones / first-window excerpts)
         "video_near_dup": M.q_video_near_dup,
+        "audio_near_dup": M.q_audio_near_dup,
         # the sixteen r02 rows VERDICT r09 named as stale, rotated in
         "big_orders_having": A5.q_big_orders_having,
         "cast_battery": A8.q_cast_battery,
@@ -150,8 +156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orderkey_islands": A12.q_orderkey_islands,
         "region_revenue_share": A12.q_region_revenue_share,
         "string_functions2": A9.q_string_functions2,
-        "word_positions": A9.q_word_positions,
         # ---- entries 51+: outside the driver window this round ----
+        # word_positions (r05) ceded its slot to audio_near_dup; next
+        # rotation picks it up first
+        "word_positions": A9.q_word_positions,
         # every displaced entry has a hash-green r08/r09 row on record
         # and code untouched this round (docstring lists the rotation)
         "pmi_bigrams": T.q_pmi_bigrams,
@@ -369,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": M.ORACLE_IMAGE_DHASH,
         "phash_near_dup": M.ORACLE_PHASH_NEAR_DUP,
         "video_near_dup": M.ORACLE_VIDEO_NEAR_DUP,
+        "audio_near_dup": M.ORACLE_AUDIO_NEAR_DUP,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

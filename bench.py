@@ -116,6 +116,7 @@ HEADLINE = [
     "image_dhash",
     "phash_near_dup",
     "video_near_dup",
+    "audio_near_dup",
     "bpe_train",
 ]
 

@@ -729,3 +729,239 @@ WHERE CAST(matched_frames AS DOUBLE) / greatest(ca.nf, cb.nf) >= 0.6
 
 
 ORACLE_VIDEO_NEAR_DUP = _oracle_video_near_dup()
+
+
+# -------------------------------------------------- audio near-duplicate
+
+# Fingerprint windows: 32-byte hops over the payload (the stand-in for
+# fixed-duration spectral windows); excerpts shift window CONTENT, not
+# content-to-window alignment, because windows are payload-anchored.
+AUDIO_WINDOW_BYTES = 32
+AUDIO_MIN_VOTES = 3
+# planted excerpts need enough windows that the vote floor is clearable:
+# (min_votes + 2) full windows => the excerpt shares >= min_votes + 1
+AUDIO_PLANT_MIN_LEN = (AUDIO_MIN_VOTES + 2) * AUDIO_WINDOW_BYTES
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("fp64", LongType()),
+    ]
+)
+
+
+def audio_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into audio media rows (payload = the
+    UTF-8 bytes of the text, a fake 16 kHz mono track) — deterministic
+    clip corpus for the fingerprint + offset-voting path."""
+    return docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("application/x-fake-audio").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"),
+    )
+
+
+def audio_with_planted_excerpts(
+    docs: DataFrame,
+    every_n: int = PLANT_EVERY,
+    id_offset: int = PLANT_ID_OFFSET,
+) -> DataFrame:
+    """Audio corpus plus an EXCERPT of every ``every_n``-th long-enough
+    track: the same payload minus its first window (the classic
+    clipped re-upload / sampled-intro case). The excerpt's window w
+    contains exactly the source's window w+1, so every shared window
+    votes for offset -1 — the dominant-offset structure the matcher
+    exists to find."""
+    base = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    clones = base.filter(
+        (F.col("doc_id") % every_n == 0)
+        & (F.length("text") >= AUDIO_PLANT_MIN_LEN)
+    ).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.expr(f"substring(text, {AUDIO_WINDOW_BYTES + 1})").alias("text"),
+    )
+    return audio_from_documents(base.unionByName(clones))
+
+
+def audio_fingerprints(
+    media: DataFrame, window_bytes: int = AUDIO_WINDOW_BYTES
+) -> DataFrame:
+    """One 64-bit fingerprint per full payload window — the landmark
+    table a Shazam-style matcher (Wang 2003) is built on. Decode
+    stand-in: fingerprint = sha256 of the window's BYTES (content-
+    anchored, so an excerpt reproduces the source's fingerprints at
+    shifted indices — the property a real spectral landmark hash has
+    and a whole-payload hash would not). mapInPandas; only 20-byte
+    (id, idx, fp) rows leave the Python worker."""
+    fake = DETERMINISTIC_FAKE_DECODE
+    wb = window_bytes
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, wins, fps = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError("audio codec not available")
+                d = bytes(p)
+                for w in range(len(d) // wb):
+                    h = hashlib.sha256(d[w * wb : (w + 1) * wb]).digest()
+                    ids.append(mid)
+                    wins.append(w)
+                    fps.append(int.from_bytes(h[:8], "big", signed=True))
+            yield pd.DataFrame(
+                {"media_id": ids, "win_idx": wins, "fp64": fps}
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(batches, AUDIO_FP_SCHEMA)
+    )
+
+
+def audio_near_dup(
+    media: DataFrame,
+    min_votes: int = AUDIO_MIN_VOTES,
+    max_clips_per_fp: int = 64,
+) -> DataFrame:
+    """Audio near-duplicate pairs by OFFSET-CONSISTENT fingerprint
+    voting (Wang 2003): ``(id_a, id_b, offset, votes)`` where matching
+    fingerprints at windows (i in a, j in b) vote for offset j - i, and
+    a pair is emitted iff some single offset collects >= ``min_votes``
+    — random fingerprint collisions scatter across offsets, a true
+    excerpt/re-encode concentrates on one. This is the discriminator
+    that plain overlap counting (the video matcher) lacks: audio
+    near-dups are usually time-SHIFTED, not trimmed-in-place.
+
+    Scale shape: candidates from a fingerprint equi-join only —
+    fan-out per fingerprint bounded by ``max_clips_per_fp`` (a jingle
+    fingerprint present in thousands of clips is the audio stopword;
+    dropped BEFORE pairing). The offset histogram is a
+    (id_a, id_b, delta) count — group keys no wider than the match
+    set; the argmax is two bounded aggregations (max votes, then min
+    offset among ties — deterministic on both engines), never a window
+    over an unbounded partition."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
+
+    fp = audio_fingerprints(media).persist()
+    register_parallel_cache(fp)
+    rare = (
+        fp.groupBy("fp64")
+        .agg(F.countDistinct("media_id").alias("_nc"))
+        .filter(F.col("_nc") <= max_clips_per_fp)
+        .select("fp64")
+    )
+    elig = fp.join(rare, "fp64")
+    a = elig.select(
+        F.col("media_id").alias("id_a"),
+        F.col("win_idx").alias("win_a"),
+        "fp64",
+    )
+    b = elig.select(
+        F.col("media_id").alias("id_b"),
+        F.col("win_idx").alias("win_b"),
+        "fp64",
+    )
+    votes = (
+        a.join(b, "fp64")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("win_b") - F.col("win_a")).alias("offset")
+        )
+        .agg(F.count("*").alias("votes"))
+    )
+    best = votes.groupBy("id_a", "id_b").agg(F.max("votes").alias("votes"))
+    return (
+        votes.join(best, ["id_a", "id_b", "votes"])
+        .groupBy("id_a", "id_b", "votes")
+        .agg(F.min("offset").alias("offset"))
+        .filter(F.col("votes") >= min_votes)
+        .select("id_a", "id_b", "offset", "votes")
+    )
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked audio near-dup: window fingerprints are sha256
+    string math DuckDB mirrors hex-for-hex, the offset histogram and
+    two-step deterministic argmax are plain SQL, and the planted
+    excerpts give both engines real dominant-offset pairs."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = audio_with_planted_excerpts(docs.repartition(par))
+    return audio_near_dup(media)
+
+
+def _oracle_audio_near_dup() -> str:
+    wb = AUDIO_WINDOW_BYTES
+    return f"""
+WITH a0 AS (
+  SELECT doc_id AS media_id, text AS t FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET}, substr(text, {wb + 1})
+  FROM documents
+  WHERE doc_id % {PLANT_EVERY} = 0 AND text IS NOT NULL
+    AND len(text) >= {AUDIO_PLANT_MIN_LEN}
+),
+w0 AS (
+  SELECT media_id, t,
+         unnest(generate_series(0, len(t) // {wb} - 1)) AS win_idx
+  FROM a0
+),
+f0 AS (
+  SELECT media_id, win_idx,
+         sha256(substr(t, win_idx * {wb} + 1, {wb})) AS hx
+  FROM w0
+),
+f1 AS (
+  SELECT media_id, win_idx,
+         {_sql_hex_bytes_to_uint32(1)} AS hi,
+         {_sql_hex_bytes_to_uint32(5)} AS lo
+  FROM f0
+),
+fp AS (
+  SELECT media_id, win_idx,
+         (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+           * 4294967296 + lo AS fp64
+  FROM f1
+),
+rare AS (
+  SELECT fp64 FROM fp GROUP BY fp64
+  HAVING count(DISTINCT media_id) <= 64
+),
+elig AS (
+  SELECT fp.media_id, fp.win_idx, fp.fp64 FROM fp JOIN rare USING (fp64)
+),
+votes AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         b.win_idx - a.win_idx AS "offset",
+         CAST(count(*) AS BIGINT) AS votes
+  FROM elig a JOIN elig b
+    ON a.fp64 = b.fp64 AND a.media_id < b.media_id
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT id_a, id_b, max(votes) AS votes FROM votes GROUP BY 1, 2
+)
+SELECT v.id_a, v.id_b, CAST(min(v."offset") AS BIGINT) AS "offset", v.votes
+FROM votes v
+JOIN best USING (id_a, id_b, votes)
+GROUP BY v.id_a, v.id_b, v.votes
+HAVING v.votes >= {AUDIO_MIN_VOTES}
+"""
+
+
+ORACLE_AUDIO_NEAR_DUP = _oracle_audio_near_dup()

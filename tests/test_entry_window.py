@@ -38,6 +38,7 @@ CHANGED_IN_R10 = [
 # planted trimmed clones provide real positives — VERDICT r09 #4).
 NEW_IN_R10 = [
     "video_near_dup",
+    "audio_near_dup",
 ]
 
 # The sixteen r02 rows VERDICT r09 #3 named as stale, rotated back in.
@@ -78,7 +79,9 @@ R04_ROTATED_IN_R10 = [
     "zorder_key",
 ]
 
-# The eleven next-stalest rows (last driver rows r05).
+# Ten of the eleven next-stalest rows (last driver rows r05);
+# word_positions ceded its slot to audio_near_dup and rotates first
+# next round.
 R05_ROTATED_IN_R10 = [
     "array_set_ops",
     "arrow_byte_stats",
@@ -90,7 +93,6 @@ R05_ROTATED_IN_R10 = [
     "orderkey_islands",
     "region_revenue_share",
     "string_functions2",
-    "word_positions",
 ]
 
 # The only window entry allowed to lack a DuckDB oracle: k-means probing

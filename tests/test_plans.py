@@ -172,6 +172,7 @@ ARROW_PATH_QUERIES = {
     "image_dhash",         # mapInPandas dHash (decode stand-in)
     "phash_near_dup",      # same mapInPandas signature stage feeding the banding
     "video_near_dup",      # mapInPandas frame sampling feeding the pair join
+    "audio_near_dup",      # mapInPandas fingerprinting feeding the offset vote
 }
 
 

@@ -189,3 +189,100 @@ def test_knn_label_vote_ivf_default_probe_full_coverage_and_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.45, f"IVF recall {recall:.2f} below floor at nprobe={nprobe}"
+
+
+# ------------------------------------------------------- audio near-dup
+
+
+def _audio_rows(spark, rows):
+    """rows: (media_id, payload_bytes)."""
+    return spark.createDataFrame(
+        [(i, "audio", "application/x-fake-audio", p, None, None, 16000, None)
+         for i, p in rows],
+        schema=M.MEDIA_SCHEMA,
+    )
+
+
+def test_audio_near_dup_finds_excerpt_at_dominant_offset(spark):
+    """An excerpt (source minus its first window) must pair with its
+    source at offset -1 with one vote per shared window; an unrelated
+    track must not pair."""
+    w = M.AUDIO_WINDOW_BYTES
+    src = bytes(range(256))[:5 * w] if 5 * w <= 256 else (b"x" * (5 * w))
+    # 5 distinct windows
+    src = b"".join(bytes([i]) * w for i in range(5))
+    media = _audio_rows(
+        spark,
+        [
+            (1, src),
+            (2, src[w:]),                       # excerpt: skips window 0
+            (3, b"".join(bytes([9 - i]) * w for i in range(5))),  # unrelated
+        ],
+    )
+    rows = {(r.id_a, r.id_b): (r.offset, r.votes)
+            for r in M.audio_near_dup(media).collect()}
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)] == (-1, 4)
+
+
+def test_audio_near_dup_scattered_collisions_do_not_pair(spark):
+    """Shared fingerprints at INCONSISTENT offsets must not clear the
+    vote floor: tracks sharing 3 windows, each at a different relative
+    shift, have a max single-offset vote of 1 — offset voting is the
+    discriminator that plain overlap counting lacks."""
+    w = M.AUDIO_WINDOW_BYTES
+    A, B, C, P, Q, R, S, T, U = (bytes([c]) * w for c in b"ABCPQRSTU")
+    # shared A,B,C land at deltas +1,+2,+3 respectively (fillers are
+    # track-unique) -> no single offset collects more than 1 vote
+    t1 = A + B + P + C + Q          # A@0 B@1 C@3
+    t2 = R + A + S + B + T + U + C  # A@1 B@3 C@6
+    media = _audio_rows(spark, [(1, t1), (2, t2)])
+    assert M.audio_near_dup(media, min_votes=3).count() == 0
+    got = {(r.id_a, r.id_b): (r.offset, r.votes)
+           for r in M.audio_near_dup(media, min_votes=1).collect()}
+    # ties at 1 vote -> deterministic smallest offset wins
+    assert got == {(1, 2): (1, 1)}
+
+
+def test_audio_near_dup_ubiquitous_fingerprint_guard(spark):
+    """A jingle fingerprint present in more clips than max_clips_per_fp
+    is dropped before pairing."""
+    w = M.AUDIO_WINDOW_BYTES
+    jingle = b"J" * w
+    media = _audio_rows(
+        spark,
+        [(i, jingle + bytes([i]) * w + bytes([i + 100]) * w)
+         for i in range(5)],
+    )
+    # guard off: every pair shares exactly the jingle window at offset 0
+    assert M.audio_near_dup(media, min_votes=1,
+                            max_clips_per_fp=5).count() == 10
+    # guard on: the jingle is ubiquitous -> nothing pairs
+    assert M.audio_near_dup(media, min_votes=1,
+                            max_clips_per_fp=4).count() == 0
+
+
+def test_audio_planted_corpus_matches_oracle(spark, docs):
+    """End-to-end parity on real testdata: fingerprints, offset
+    histogram, deterministic two-step argmax, and the vote floor must
+    value-match the DuckDB twin, planted excerpts included."""
+    import duckdb
+
+    got = sorted(
+        (r.id_a, r.id_b, r.offset, r.votes)
+        for r in M.q_audio_near_dup(spark, SF).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(M.ORACLE_AUDIO_NEAR_DUP).fetchall()
+    )
+    assert got == want
+    assert got, "planted excerpts must produce pairs"
+    # the planted structure is visible: every (d, d+OFFSET) excerpt pair
+    # sits at offset -1
+    planted = [r for r in got if r[1] - r[0] == M.PLANT_ID_OFFSET]
+    assert planted and all(r[2] == -1 for r in planted)
