@@ -550,11 +550,21 @@ def quality_percentile_filter(
     from m12_kafkastreams_python_azure_spark.functions.text import (
         quality_score_cols,
     )
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
 
+    # persisted: the cutoff aggregate AND the join both consume the scored
+    # table, and Spark has no cross-subtree CSE — unpersisted, the (text-
+    # expression-heavy) scoring pass runs TWICE over the corpus (measured
+    # 4.34 s -> 2.46 s at sf1; the round-8 token_budget_select lesson,
+    # found here by the sf-factor audit: 7.3x at 10x data, ~half of it
+    # the duplicated scoring pass)
     scored = docs.select(
         "doc_id", "lang",
         quality_score_cols(F.col("text"))["quality_score"].alias("q"),
-    )
+    ).persist()
+    register_parallel_cache(scored)
     cut_agg = (
         F.percentile_approx("q", F.lit(pct), F.lit(APPROX_PCT_ACCURACY))
         if approx
