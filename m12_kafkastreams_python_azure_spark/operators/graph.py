@@ -319,11 +319,20 @@ def dedup_keep_best(
             docs, text_col, id_col, jaccard_threshold=jaccard_threshold
         ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     elif method == "prefix":
+        from m12_kafkastreams_python_azure_spark.sources.readers import (
+            register_parallel_cache,
+        )
+
+        # persisted: both self-join sides consume the shingle table and
+        # Spark has no cross-subtree CSE — unpersisted, the zip-with
+        # shingle construction runs twice over the corpus (same-process
+        # A/B: sf0.1 4.48 -> 2.69 s, sf1 12.2 -> 8.6 s)
         sh = docs.select(
             F.col(id_col).alias("id"),
             F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
             shingles(F.col(text_col)).alias("sh"),
-        )
+        ).persist()
+        register_parallel_cache(sh)
         a = sh.select(F.col("id").alias("id_a"), "pfx", F.col("sh").alias("sh_a"))
         b = sh.select(F.col("id").alias("id_b"), "pfx", F.col("sh").alias("sh_b"))
         pairs = (
