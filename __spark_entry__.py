@@ -249,8 +249,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_bound": SK.q_hll_merge_bound,
         "quantile_sketch_bound": SK.q_quantile_sketch_bound,
         "heavy_hitters": SK.q_heavy_hitters,
-        # NEW in round 10, bench-only surface (driver-looped; see bench.py
-        # EAGER_QUERIES): the full BPE training loop at 16 merges
+        # NEW in round 10, outside the window: the per-row fingerprint
+        # value check backing audio_near_dup (rotates into the window
+        # with word_positions next round), and the bench-only BPE
+        # training loop (driver-looped; see bench.py EAGER_QUERIES)
+        "audio_fingerprints": M.q_audio_fingerprints,
         "bpe_train": T.q_bpe_train,
     }
 
@@ -378,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup": M.ORACLE_PHASH_NEAR_DUP,
         "video_near_dup": M.ORACLE_VIDEO_NEAR_DUP,
         "audio_near_dup": M.ORACLE_AUDIO_NEAR_DUP,
+        "audio_fingerprints": M.ORACLE_AUDIO_FINGERPRINTS,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

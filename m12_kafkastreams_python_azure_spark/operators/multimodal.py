@@ -965,3 +965,39 @@ HAVING v.votes >= {AUDIO_MIN_VOTES}
 
 
 ORACLE_AUDIO_NEAR_DUP = _oracle_audio_near_dup()
+
+
+def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked fingerprint table over the PLAIN audio corpus:
+    every (clip, window) hash value-checked against the SQL hex math —
+    the strong per-row check backing ``audio_near_dup``'s pair output
+    (the same role ``image_dhash`` plays for ``phash_near_dup``)."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return audio_fingerprints(audio_from_documents(docs.repartition(par)))
+
+
+def _oracle_audio_fingerprints() -> str:
+    # plain corpus (no planted excerpts): reuse the pair oracle's CTE
+    # chain up through `fp`, minus the planted UNION branch
+    body = _oracle_audio_near_dup()
+    head, _ = body.split(",\nrare AS (", 1)
+    head = head.replace(
+        f"""a0 AS (
+  SELECT doc_id AS media_id, text AS t FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET}, substr(text, {AUDIO_WINDOW_BYTES + 1})
+  FROM documents
+  WHERE doc_id % {PLANT_EVERY} = 0 AND text IS NOT NULL
+    AND len(text) >= {AUDIO_PLANT_MIN_LEN}
+)""",
+        """a0 AS (
+  SELECT doc_id AS media_id, text AS t FROM documents WHERE text IS NOT NULL
+)""",
+    )
+    return head + "\nSELECT media_id, CAST(win_idx AS INTEGER) AS win_idx, fp64 FROM fp\n"
+
+
+ORACLE_AUDIO_FINGERPRINTS = _oracle_audio_fingerprints()

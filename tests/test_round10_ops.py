@@ -286,3 +286,24 @@ def test_audio_planted_corpus_matches_oracle(spark, docs):
     # sits at offset -1
     planted = [r for r in got if r[1] - r[0] == M.PLANT_ID_OFFSET]
     assert planted and all(r[2] == -1 for r in planted)
+
+
+def test_audio_fingerprints_match_oracle_per_row(spark, docs):
+    """Every (clip, window, fingerprint) row over the plain corpus must
+    value-match the SQL hex math — the per-row check that bounds the
+    pair query's candidate stage."""
+    import duckdb
+
+    got = sorted(
+        (r.media_id, r.win_idx, r.fp64)
+        for r in M.q_audio_fingerprints(spark, SF).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(M.ORACLE_AUDIO_FINGERPRINTS).fetchall()
+    )
+    assert got == want and got
