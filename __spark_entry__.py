@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with word_positions next round), and the bench-only BPE
         # training loop (driver-looped; see bench.py EAGER_QUERIES)
         "audio_fingerprints": M.q_audio_fingerprints,
+        "semantic_decontaminate": C.q_semantic_decontaminate,
         "bpe_train": T.q_bpe_train,
     }
 
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "video_near_dup": M.ORACLE_VIDEO_NEAR_DUP,
         "audio_near_dup": M.ORACLE_AUDIO_NEAR_DUP,
         "audio_fingerprints": M.ORACLE_AUDIO_FINGERPRINTS,
+        "semantic_decontaminate": C.ORACLE_SEMANTIC_DECONTAMINATE,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -117,6 +117,7 @@ HEADLINE = [
     "phash_near_dup",
     "video_near_dup",
     "audio_near_dup",
+    "semantic_decontaminate",
     "bpe_train",
 ]
 

@@ -440,3 +440,142 @@ JOIN bigram_counts c USING (gram)
 JOIN hist_counts h USING (w1)
 GROUP BY b.doc_id
 """
+
+
+# -------------------------------------------- semantic decontamination
+
+SEM_EVAL_COUNT = 50       # eval split: the lowest vec_ids (fixed size —
+                          # real benchmarks are thousands of items, not
+                          # corpus-proportional)
+SEM_PLANT_EVERY = 25      # every Nth corpus vector carries an eval
+                          # vector verbatim (planted positives)
+SEM_CONTAM_THRESHOLD = 0.999
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    eval_vectors: list,
+    threshold: float = SEM_CONTAM_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic twin of the
+    n-gram ``decontaminate``: flag corpus items whose max cosine against
+    ANY eval item reaches ``threshold`` (paraphrase/translation leakage
+    that exact-gram matching misses; the contamination audit run before
+    committing a training mix).
+
+    ``eval_vectors`` is a driver-side list of (eval_id, vector) — eval
+    sets are bounded by construction, so they ship as ONE nested-list
+    literal inside the task binary (the ivf._centroid_array discipline:
+    the matrix is data, not expression-tree nodes). The corpus is then
+    read EXACTLY ONCE in a narrow pass — no join, no shuffle at all;
+    per row: 64*|eval| multiply-adds via a higher-order transform +
+    array_max. At 100 TB this is the only shape that works: the eval
+    side rides the closure, the corpus side never moves.
+
+    Output per corpus row: ``(vec_id, max_eval_sim, nearest_eval_id,
+    contaminated)`` — ties on sim resolve to the HIGHEST eval id
+    (struct-max semantics, mirrored in the oracle)."""
+    from m12_kafkastreams_python_azure_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.ivf import (
+        _centroid_array,
+    )
+
+    carr = _centroid_array(
+        [(int(i), [float(x) for x in v]) for i, v in eval_vectors]
+    )
+    vec = F.col(vec_col)
+    # query norm pre-projected OUT of the lambda: Catalyst re-evaluates
+    # lambda-captured trees once per array element, so an embedded
+    # l2_norm fold would run |eval| times per row (the dedup.star_pairs
+    # lesson)
+    with_norm = corpus_emb.withColumn("_vn", l2_norm(vec))
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            (dot_product(vec, c["cvec"]) / (c["cnorm"] * F.col("_vn")))
+            .alias("sim"),
+            c["cid"].alias("eval_id"),
+        ),
+    )
+    best = F.array_max(scored)
+    return with_norm.select(
+        id_col,
+        F.round(best["sim"], 6).alias("max_eval_sim"),
+        best["eval_id"].alias("nearest_eval_id"),
+        (best["sim"] >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked semantic decontamination over the embeddings
+    table: eval = the SEM_EVAL_COUNT lowest vec_ids; corpus = the rest,
+    with every SEM_PLANT_EVERY-th corpus vector REPLACED by an eval
+    vector (broadcast map-side coalesce) so the contamination flag has
+    real positives at every SF — planted rows score exactly 1.0 against
+    their source eval item."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(F.col("vec_id") < SEM_EVAL_COUNT)
+    eval_vectors = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in eval_df.select("vec_id", "embedding").collect()
+    ]
+    base = emb.filter(F.col("vec_id") >= SEM_EVAL_COUNT)
+    evmap = eval_df.select(
+        F.col("vec_id").alias("_src"), F.col("embedding").alias("_e")
+    )
+    plant_key = F.when(
+        F.col("vec_id") % SEM_PLANT_EVERY == 0,
+        F.col("vec_id") % SEM_EVAL_COUNT,
+    ).otherwise(F.lit(-1))
+    corpus = (
+        base.withColumn("_k", plant_key)
+        .join(F.broadcast(evmap), F.col("_k") == F.col("_src"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("_e", "embedding").alias("embedding"),
+        )
+    )
+    return semantic_decontaminate(corpus, eval_vectors)
+
+
+ORACLE_SEMANTIC_DECONTAMINATE = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS en
+  FROM embeddings WHERE vec_id < {SEM_EVAL_COUNT}
+),
+corpus AS (
+  SELECT c.vec_id,
+         CAST(coalesce(p.e, CAST(c.embedding AS DOUBLE[])) AS DOUBLE[]) AS v
+  FROM embeddings c
+  LEFT JOIN ev p
+    ON c.vec_id % {SEM_PLANT_EVERY} = 0
+   AND p.eval_id = c.vec_id % {SEM_EVAL_COUNT}
+  WHERE c.vec_id >= {SEM_EVAL_COUNT}
+),
+cn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM corpus
+),
+sims AS (
+  SELECT cn.vec_id, ev.eval_id,
+         list_dot_product(cn.v, ev.e) / (ev.en * cn.vn) AS sim
+  FROM cn CROSS JOIN ev
+),
+best AS (
+  SELECT vec_id, max(sim) AS msim FROM sims GROUP BY vec_id
+),
+pick AS (
+  SELECT s.vec_id, max(s.eval_id) AS nearest_eval_id, b.msim
+  FROM sims s JOIN best b ON s.vec_id = b.vec_id AND s.sim = b.msim
+  GROUP BY s.vec_id, b.msim
+)
+SELECT vec_id, ROUND(msim, 6) AS max_eval_sim, nearest_eval_id,
+       msim >= {SEM_CONTAM_THRESHOLD} AS contaminated
+FROM pick
+"""

@@ -307,3 +307,48 @@ def test_audio_fingerprints_match_oracle_per_row(spark, docs):
         tuple(r) for r in con.execute(M.ORACLE_AUDIO_FINGERPRINTS).fetchall()
     )
     assert got == want and got
+
+
+# --------------------------------------------- semantic decontamination
+
+
+def test_semantic_decontaminate_flags_planted_and_matches_oracle(spark):
+    """Planted eval-vector copies must flag at sim exactly 1.0 with the
+    right nearest_eval_id; the full output must value-match the DuckDB
+    twin; and the scoring pass must plan WITHOUT any shuffle join — the
+    eval matrix rides the task binary (the only join in the query is
+    the broadcast planting join that builds the corpus)."""
+    import duckdb
+
+    from m12_kafkastreams_python_azure_spark.operators import corpus as C
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+    df = C.q_semantic_decontaminate(spark, SF)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    rows = {r.vec_id: r for r in df.collect()}
+    planted = [
+        v for v in rows
+        if v % C.SEM_PLANT_EVERY == 0 and v >= C.SEM_EVAL_COUNT
+    ]
+    assert planted
+    for v in planted:
+        r = rows[v]
+        assert r.contaminated and abs(r.max_eval_sim - 1.0) < 1e-9
+        assert r.nearest_eval_id == v % C.SEM_EVAL_COUNT
+    got = sorted(
+        (r.vec_id, r.max_eval_sim, r.nearest_eval_id, r.contaminated)
+        for r in rows.values()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = sorted(
+        (a, round(s, 6), e, c)
+        for a, s, e, c in con.execute(
+            C.ORACLE_SEMANTIC_DECONTAMINATE
+        ).fetchall()
+    )
+    assert [(a, round(s, 6), e, c) for a, s, e, c in got] == want
