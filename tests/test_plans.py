@@ -173,6 +173,7 @@ ARROW_PATH_QUERIES = {
     "phash_near_dup",      # same mapInPandas signature stage feeding the banding
     "video_near_dup",      # mapInPandas frame sampling feeding the pair join
     "audio_near_dup",      # mapInPandas fingerprinting feeding the offset vote
+    "audio_fingerprints",  # the same mapInPandas fingerprint stage, per-row entry
 }
 
 
