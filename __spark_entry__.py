@@ -36,6 +36,13 @@ very end as a bench-only surface (driver-looped, EAGER-timed in
 bench.py — never inside the window).
 Rows-only entries in-window: knn_label_vote_ivf (bounded by the
 oracle-green ann_topk/knn_label_vote rows + recall/parity tests).
+ROTATION QUEUE for round 11 (in priority order): word_positions (ceded
+its r10 slot), audio_fingerprints + semantic_decontaminate (new in r10
+at 51+, both oracle-checked and locally swept green at sf0.01), and
+quality_percentile_filter + dedup_keep_best (CODE changed in r10 — the
+shared-subtree persists — after this round's window was pinned; both
+swept green against their oracles at sf0.01 post-change, but their last
+driver rows predate the change).
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
