@@ -241,6 +241,39 @@ def load_ivf_index(
     return lists, centroids
 
 
+def insert_into_ivf_index(new_vectors: DataFrame, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> int:
+    """Incremental index growth — the lifecycle step between build-once
+    and retrain: assign NEW vectors to the EXISTING coarse quantizer and
+    append them to the persisted lists (Faiss ``add`` semantics; the
+    centroids do not move). Returns the number of vectors inserted.
+
+    Scale shape: one narrow assignment pass over the new batch (the
+    centroid literal rides the closure), then a partitioned APPEND —
+    each new row lands in its list's parquet directory, existing files
+    untouched, probes see the union immediately. No retrain, no rewrite
+    of the existing corpus, no shuffle beyond the partitioned write.
+
+    The classic caveat applies and is deliberate: inserts drift list
+    BALANCE, not correctness (assignment still scans nprobe closest
+    lists; a probe after insert equals a fresh-built index over the
+    union ONLY up to centroid placement, which is why the parity test
+    pins assignment with the SAME centroids). Rebuild when the corpus
+    has grown enough that sqrt(n) wants more lists — ``default_train_k``
+    makes that decision explicit."""
+    spark = new_vectors.sparkSession
+    _, centroids = load_ivf_index(spark, path)
+    tagged = build_ivf_index(new_vectors, centroids, id_col, vec_col)
+    n = tagged.count()
+    (
+        tagged.write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "lists"))
+    )
+    return n
+
+
 def ivf_index_exists(path: str) -> bool:
     """True when a ``save_ivf_index`` layout is present (both halves —
     a partial write from an interrupted build is treated as absent)."""

@@ -352,3 +352,51 @@ def test_semantic_decontaminate_flags_planted_and_matches_oracle(spark):
         ).fetchall()
     )
     assert [(a, round(s, 6), e, c) for a, s, e, c in got] == want
+
+
+# ----------------------------------------------- IVF incremental insert
+
+
+def test_ivf_insert_grows_persisted_index_and_probe_matches(spark, tmp_path):
+    """insert_into_ivf_index must (a) append the new vectors to the
+    persisted lists without touching the centroids, and (b) make a
+    subsequent probe equal a probe of an index BUILT fresh over the
+    union with the SAME centroids — insertion changes list contents,
+    never assignment or scoring semantics."""
+    from m12_kafkastreams_python_azure_spark.operators.ivf import (
+        ann_ivf_topk,
+        build_ivf_index,
+        insert_into_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        train_ivf,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_grow")
+
+    cents = train_ivf(old, k=8, iters=2)
+    save_ivf_index(build_ivf_index(old, cents), cents, path)
+    n_old = old.count()
+
+    inserted = insert_into_ivf_index(new, path)
+    assert inserted == new.count()
+
+    lists, cents_after = load_ivf_index(spark, path)
+    assert cents_after == sorted((c, list(v)) for c, v in cents)
+    assert lists.count() == n_old + inserted
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = {
+        (r.query_id, r.neighbor_id, round(r.sim, 9))
+        for r in ann_ivf_topk(lists, queries, cents_after, k=5, nprobe=4).collect()
+    }
+    fresh = build_ivf_index(emb, cents)
+    want = {
+        (r.query_id, r.neighbor_id, round(r.sim, 9))
+        for r in ann_ivf_topk(fresh, queries, cents, k=5, nprobe=4).collect()
+    }
+    assert got == want
