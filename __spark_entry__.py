@@ -68,6 +68,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics10 as A10
 from m12_kafkastreams_python_azure_spark.operators import analytics11 as A11
 from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import analytics13 as A13
+from m12_kafkastreams_python_azure_spark.operators import analytics14 as A14
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import audits as AU
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
@@ -262,6 +263,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training loop (driver-looped; see bench.py EAGER_QUERIES)
         "audio_fingerprints": M.q_audio_fingerprints,
         "semantic_decontaminate": C.q_semantic_decontaminate,
+        # NEW late in round 10, outside the window: the remaining
+        # TPC-H-shaped analytics the schema can express (Q7/Q8/Q10/Q15/
+        # Q17/Q19 direct; Q21/Q22 adapted — see analytics14 docstring)
+        # and the fastText-style linear quality classifier (zero-shuffle
+        # narrow-pass inference). All fully oracle-checked; they join the
+        # round-11 rotation queue behind the entries already listed.
+        "volume_shipping_q7": A14.q_volume_shipping_q7,
+        "market_share_q8": A14.q_market_share_q8,
+        "returned_items_q10": A14.q_returned_items_q10,
+        "top_supplier_q15": A14.q_top_supplier_q15,
+        "small_qty_revenue_q17": A14.q_small_qty_revenue_q17,
+        "disjunctive_revenue_q19": A14.q_disjunctive_revenue_q19,
+        "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
+        "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
+        "quality_classifier": C.q_quality_classifier,
         "bpe_train": T.q_bpe_train,
     }
 
@@ -391,6 +407,15 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dup": M.ORACLE_AUDIO_NEAR_DUP,
         "audio_fingerprints": M.ORACLE_AUDIO_FINGERPRINTS,
         "semantic_decontaminate": C.ORACLE_SEMANTIC_DECONTAMINATE,
+        "volume_shipping_q7": A14.ORACLE_VOLUME_SHIPPING_Q7,
+        "market_share_q8": A14.ORACLE_MARKET_SHARE_Q8,
+        "returned_items_q10": A14.ORACLE_RETURNED_ITEMS_Q10,
+        "top_supplier_q15": A14.ORACLE_TOP_SUPPLIER_Q15,
+        "small_qty_revenue_q17": A14.ORACLE_SMALL_QTY_REVENUE_Q17,
+        "disjunctive_revenue_q19": A14.ORACLE_DISJUNCTIVE_REVENUE_Q19,
+        "lone_fault_supplier_q21": A14.ORACLE_LONE_FAULT_SUPPLIER_Q21,
+        "dormant_rich_customers_q22": A14.ORACLE_DORMANT_RICH_CUSTOMERS_Q22,
+        "quality_classifier": C.ORACLE_QUALITY_CLASSIFIER,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

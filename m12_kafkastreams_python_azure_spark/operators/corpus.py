@@ -579,3 +579,82 @@ SELECT vec_id, ROUND(msim, 6) AS max_eval_sim, nearest_eval_id,
        msim >= {SEM_CONTAM_THRESHOLD} AS contaminated
 FROM pick
 """
+
+
+# -------------------------------------------- linear quality classifier
+
+# fastText-style linear model weights (Joulin et al. 1607.01759: a text
+# classifier is a bag-of-features dot product — production data-quality
+# filters like CCNet's ship exactly this shape). A trained model's
+# feature table is bounded (hash buckets / vocabulary), so at any corpus
+# scale it rides the task closure as a LITERAL map — the classifier is
+# then a zero-shuffle narrow pass: no join, no explode, no agg.
+CLF_WEIGHTS: dict[str, float] = {
+    # "informative" tokens score up, filler/stopwords score down —
+    # weights are synthetic but the inference plan is the real one
+    "data": 0.8, "query": 0.7, "vector": 0.6, "spark": 0.5,
+    "stream": 0.4, "window": 0.3, "join": 0.3, "fast": 0.2,
+    "the": -0.9, "a": -1.0, "slow": -0.6, "big": -0.2,
+}
+CLF_BIAS = -0.05
+CLF_SCALE = 8.0  # logit gain on the mean token weight
+CLF_THRESHOLD = 0.5
+
+
+def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Score each document with a linear bag-of-words classifier:
+    ``p = sigmoid(CLF_SCALE * mean(token weights) + CLF_BIAS)``,
+    ``keep = p >= CLF_THRESHOLD``.
+
+    Plan shape (the whole point at 100 TB): the weight table is a
+    constant-folded literal map, the token sum is ``F.aggregate`` over
+    the split array, so scoring is ONE narrow projection — no explode,
+    no join, no shuffle; every partition classifies independently and
+    the filter that usually follows pushes straight down onto it."""
+    weight_map = F.create_map(
+        *[F.lit(x) for kv in CLF_WEIGHTS.items() for x in kv]
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n_tok = F.size(toks).cast("long")
+    w_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(weight_map[t], F.lit(0.0)),
+    )
+    z = F.lit(CLF_SCALE) * w_sum / n_tok.cast("double") + F.lit(CLF_BIAS)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.filter(n_tok > 0).select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= F.lit(CLF_THRESHOLD)).alias("keep"),
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+_CLF_VALUES = ", ".join(f"('{w}', {wt})" for w, wt in CLF_WEIGHTS.items())
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH w(word, wt) AS (VALUES {_CLF_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tok, sum(coalesce(wt, 0.0)) AS w_sum
+  FROM toks LEFT JOIN w USING (word)
+  WHERE word <> ''
+  GROUP BY 1
+)
+SELECT doc_id, n_tok,
+       ROUND(1.0 / (1.0 + exp(-({CLF_SCALE} * w_sum / n_tok + {CLF_BIAS}))), 6)
+         AS quality_prob,
+       1.0 / (1.0 + exp(-({CLF_SCALE} * w_sum / n_tok + {CLF_BIAS})))
+         >= {CLF_THRESHOLD} AS keep
+FROM agg
+"""
