@@ -42,7 +42,13 @@ at 51+, both oracle-checked and locally swept green at sf0.01), and
 quality_percentile_filter + dedup_keep_best (CODE changed in r10 — the
 shared-subtree persists — after this round's window was pinned; both
 swept green against their oracles at sf0.01 post-change, but their last
-driver rows predate the change).
+driver rows predate the change), then the late-round-10 wave (all nine
+oracle-checked and locally swept green at sf0.001 AND sf0.01 before
+commit, never driver-rowed yet): volume_shipping_q7, market_share_q8,
+returned_items_q10, top_supplier_q15, small_qty_revenue_q17,
+disjunctive_revenue_q19, lone_fault_supplier_q21,
+dormant_rich_customers_q22, quality_classifier, jl_project,
+token_entropy.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -79,6 +85,7 @@ from m12_kafkastreams_python_azure_spark.operators import sketches as SK
 from m12_kafkastreams_python_azure_spark.operators import ivf as IV
 from m12_kafkastreams_python_azure_spark.operators import multimodal as M
 from m12_kafkastreams_python_azure_spark.operators import pq as PQ
+from m12_kafkastreams_python_azure_spark.operators import projections as PR
 from m12_kafkastreams_python_azure_spark.operators import joins as J
 from m12_kafkastreams_python_azure_spark.operators import quality as Q
 from m12_kafkastreams_python_azure_spark.operators import retrieval as R
@@ -278,6 +285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
         "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
         "quality_classifier": C.q_quality_classifier,
+        # JL random projection (pre-ANN dimensionality reduction as a
+        # literal-matrix zero-shuffle pass) and token-entropy repetition
+        # scoring — both fully oracle-checked
+        "jl_project": PR.q_jl_project,
+        "token_entropy": T.q_token_entropy,
         "bpe_train": T.q_bpe_train,
     }
 
@@ -416,6 +428,8 @@ def oracle_sql() -> dict[str, str]:
         "lone_fault_supplier_q21": A14.ORACLE_LONE_FAULT_SUPPLIER_Q21,
         "dormant_rich_customers_q22": A14.ORACLE_DORMANT_RICH_CUSTOMERS_Q22,
         "quality_classifier": C.ORACLE_QUALITY_CLASSIFIER,
+        "jl_project": PR.ORACLE_JL_PROJECT,
+        "token_entropy": T.ORACLE_TOKEN_ENTROPY,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

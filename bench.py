@@ -118,6 +118,16 @@ HEADLINE = [
     "video_near_dup",
     "audio_near_dup",
     "semantic_decontaminate",
+    # late round-10 wave: the three heaviest TPC-H shapes (5-way join,
+    # 8-way join with region pruning, returned-items top-k), the
+    # agg+window EXISTS rewrite, and the zero-shuffle classifier pass
+    "volume_shipping_q7",
+    "market_share_q8",
+    "returned_items_q10",
+    "lone_fault_supplier_q21",
+    "quality_classifier",
+    "jl_project",
+    "token_entropy",
     "bpe_train",
 ]
 
@@ -333,10 +343,14 @@ _LINE_BUDGET = 1900
 def _compact_line(out: dict, budget: int = _LINE_BUDGET) -> str:
     """Render the bench record as ONE parseable JSON line <= budget chars.
 
-    Degradation ladder (each step keeps the line valid JSON and keeps
-    every query name present): 2-decimal per-query times -> 1-decimal ->
-    drop the errors payload (partial flag stays) as a last resort. The
-    total 'value' always keeps 3 decimals — it is the headline number."""
+    Degradation ladder (each step keeps the line valid JSON; full
+    3-decimal per-query data always lives in the committed sidecar):
+    2-decimal per-query times -> 1-decimal -> drop the errors payload
+    (partial flag stays) -> collapse the FASTEST queries into a
+    ``queries_fast`` {n, total} bucket until the line fits (the slow
+    tail — the queries a reviewer actually audits — stays itemized) ->
+    as the absolute floor, queries = "see sidecar". The total 'value'
+    always keeps 3 decimals — it is the headline number."""
     for ndigits, drop_errors in ((2, False), (1, False), (1, True)):
         cand = dict(out)
         cand["queries"] = {
@@ -347,7 +361,27 @@ def _compact_line(out: dict, budget: int = _LINE_BUDGET) -> str:
         line = json.dumps(cand, separators=(",", ":"))
         if len(line) <= budget:
             return line
-    return line  # over budget even fully degraded — emit anyway, visibly
+    # rung 4: fold fastest queries (deterministic: by time then name)
+    # into a summary bucket, keeping at least the 10 slowest itemized
+    q = {k: round(v, 1) for k, v in out["queries"].items()}
+    order = sorted(q, key=lambda k: (out["queries"][k], k))
+    folded_n, folded_total = 0, 0.0
+    while len(line) > budget and len(q) > 10:
+        k = order[folded_n]
+        folded_n += 1
+        q.pop(k)
+        folded_total += out["queries"][k]
+        cand["queries"] = q
+        cand["queries_fast"] = {
+            "n": folded_n, "total": round(folded_total, 1)
+        }
+        line = json.dumps(cand, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    # rung 5: absolute floor — per-query data only in the sidecar
+    cand["queries"] = "see sidecar"
+    cand.pop("queries_fast", None)
+    return json.dumps(cand, separators=(",", ":"))
 
 
 def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:

@@ -112,6 +112,22 @@ SECTIONS = [
      "bit_count(xor) on the signatures riding the bucket structs. "
      "8-bit bands make recall COMPLETE for hamming <= 6 (pigeonhole), "
      "so the plan is an exact operator with LSH cost."),
+    ("volume_shipping_q7", "TPC-H Q7 — dims broadcast before the big joins",
+     "The two 1-nation supplier/customer slices broadcast, so the "
+     "lineitem scan is pruned ~25x before the only big-big shuffles "
+     "(lineitem⋈orders, orders⋈customer) — the minimum shuffle set any "
+     "engine pays for this query."),
+    ("lone_fault_supplier_q21", "TPC-H Q21 (adapted) — EXISTS as agg+window",
+     "The double-correlated EXISTS/NOT-EXISTS spelling would self-join "
+     "lineitem twice; this plan scans it ONCE (plan-asserted): "
+     "per-(order, supplier) partial-agg, then a window over l_orderkey "
+     "whose partitions are bounded by suppliers-per-order — no skew at "
+     "any corpus size."),
+    ("quality_classifier", "Linear quality classifier — zero-shuffle pass",
+     "fastText-style inference: the weight table constant-folds into a "
+     "literal map, the token sum is an array aggregate — the whole plan "
+     "is one Project with no Exchange and no Python, so classification "
+     "rides the scan and the downstream keep-filter pushes onto it."),
 ]
 
 

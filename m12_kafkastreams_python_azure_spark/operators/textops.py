@@ -850,3 +850,77 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, cnt long"
     )
+
+
+# ------------------------------------------------------- token entropy
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    repetition signal Gopher's rule set thresholds indirectly (a
+    low-entropy doc is template/boilerplate even when its type-token
+    ratio looks fine). Normalized entropy divides by log2(n_distinct)
+    (1.0 = uniform usage, 0.0 = one token repeated; defined 0 for
+    single-token docs).
+
+    Shape: H = log2(n) - sum(c*log2(c))/n over per-(doc, token) counts
+    c — the identity lets BOTH aggregation levels run as partial-agg
+    shuffles keyed by doc_id(+token): no second pass to join totals
+    back, no window. Uniform doc_id keys, vocabulary-bounded inner
+    groups: skew-free at any corpus size."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    sum_clog = F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+    agg = per_tok.groupBy("doc_id").agg(
+        n.alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.log2(n.cast("double")) - sum_clog / n.cast("double")).alias("_h"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        F.round("_h", 6).alias("entropy"),
+        F.when(F.col("n_distinct") > 1,
+               F.round(F.col("_h") / F.log2(F.col("n_distinct").cast("double")), 6))
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_ENTROPY = """
+WITH per_tok AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tok,
+         count(*) AS n_distinct,
+         log2(CAST(sum(c) AS DOUBLE))
+           - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+             / CAST(sum(c) AS DOUBLE) AS h
+  FROM per_tok GROUP BY 1
+)
+SELECT doc_id, n_tok, n_distinct,
+       ROUND(h, 6) AS entropy,
+       CASE WHEN n_distinct > 1
+            THEN ROUND(h / log2(CAST(n_distinct AS DOUBLE)), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM agg
+"""

@@ -1,0 +1,66 @@
+"""The printed bench line must parse inside the driver's 2000-char tail
+capture at ANY suite size — r06 and r09 both lost their per-query
+payloads to an overgrown line (`parsed: null`). Pins the degradation
+ladder and the HEADLINE/queries() agreement."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+import __spark_entry__ as entrymod
+
+
+def _synthetic(n):
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": 55.123,
+        "unit": "sec",
+        "queries": {f"query_name_number_{i:02d}": 0.1 + i * 0.05 for i in range(n)},
+        "sf": 0.1,
+        "streaming_events_per_sec": 167061.8,
+        "keep_best_docs_per_sec": 494.3,
+    }
+
+
+def test_every_headline_query_exists():
+    q = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert missing == []
+
+
+def test_small_suite_keeps_two_decimals():
+    out = _synthetic(5)
+    line = bench._compact_line(out)
+    parsed = json.loads(line)
+    assert parsed["queries"]["query_name_number_00"] == 0.1
+    assert parsed["queries"]["query_name_number_03"] == 0.25  # 2-decimal rung
+
+
+def test_current_headline_size_fits_budget():
+    out = _synthetic(len(bench.HEADLINE))
+    line = bench._compact_line(out)
+    assert len(line) <= bench._LINE_BUDGET
+    json.loads(line)
+
+
+def test_huge_suite_folds_fastest_queries_but_parses():
+    out = _synthetic(300)
+    line = bench._compact_line(out)
+    assert len(line) <= bench._LINE_BUDGET
+    parsed = json.loads(line)
+    # slow tail stays itemized; folded bucket accounts for the rest
+    assert parsed["queries_fast"]["n"] + len(parsed["queries"]) == 300
+    kept_min = min(out["queries"][k] for k in parsed["queries"])
+    assert kept_min >= 0.1  # the fastest were folded, not the slowest
+    assert parsed["value"] == 55.123  # headline total keeps 3 decimals
+
+
+def test_partial_flag_survives_error_drop():
+    out = _synthetic(90)
+    out["errors"] = {f"q{i}": "Boom" * 50 for i in range(10)}
+    out["partial"] = True
+    line = bench._compact_line(out)
+    assert len(line) <= bench._LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["partial"] is True
