@@ -48,7 +48,7 @@ commit, never driver-rowed yet): volume_shipping_q7, market_share_q8,
 returned_items_q10, top_supplier_q15, small_qty_revenue_q17,
 disjunctive_revenue_q19, lone_fault_supplier_q21,
 dormant_rich_customers_q22, quality_classifier, jl_project,
-token_entropy.
+token_entropy, hash_sample_per_group.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring — both fully oracle-checked
         "jl_project": PR.q_jl_project,
         "token_entropy": T.q_token_entropy,
+        # exact-k-per-group reproducible sampling (md5 order matches
+        # DuckDB byte-for-byte; salted two-phase top-k internally)
+        "hash_sample_per_group": CU.q_hash_sample_per_group,
         "bpe_train": T.q_bpe_train,
     }
 
@@ -430,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": C.ORACLE_QUALITY_CLASSIFIER,
         "jl_project": PR.ORACLE_JL_PROJECT,
         "token_entropy": T.ORACLE_TOKEN_ENTROPY,
+        "hash_sample_per_group": CU.ORACLE_HASH_SAMPLE_PER_GROUP,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -907,3 +907,63 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 
 
 ORACLE_EXACT_SUBSTRING_DEDUP = _oracle_exact_substring_dedup()
+
+
+# --------------------------------------- deterministic per-group sample
+
+SAMPLE_K = 20
+SAMPLE_SALT_P = 8
+
+
+def hash_sample_per_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = SAMPLE_K,
+) -> DataFrame:
+    """Exactly k rows per group, chosen UNIFORMLY and reproducibly: rank
+    by md5(id) inside each group, keep the first k — the eval-set /
+    inspection-sample construction primitive (`TABLESAMPLE` and seeded
+    RNG sampling are neither exact-k nor stable across engines; an md5
+    order is both, and DuckDB's md5 matches Spark's byte for byte).
+
+    Scale shape: the domain_cap two-phase discipline — phase 1 ranks
+    inside (group, salt) so a mega-group spreads over SALT_P tasks and
+    at most k*SALT_P rows per group survive to phase 2's tiny window.
+    The salt can be ANY deterministic function of the id (it only
+    partitions work, never changes the result — the global per-group
+    top-k is a subset of the union of per-slice top-k's), so the oracle
+    mirrors the single-window spelling directly."""
+    h = F.md5(F.col(id_col).cast("string"))
+    salted = df.select(group_col, id_col).withColumn("_h", h).withColumn(
+        "_salt", F.pmod(F.xxhash64(id_col), F.lit(SAMPLE_SALT_P))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_h", id_col)
+    survivors = (
+        salted.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, "sample_rank")
+    )
+
+
+def q_hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_sample_per_group(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_HASH_SAMPLE_PER_GROUP = f"""
+SELECT lang, doc_id, rk AS sample_rank
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_K}
+"""

@@ -96,3 +96,38 @@ def test_token_entropy_flags_repetitive_docs(spark, sf_dir):
     ).first()
     assert s["avg"] > 0.8
     assert s["sd"] > 0.0
+
+
+def test_jl_near_duplicates_stay_nearest_through_projection(spark, sf_dir):
+    """The retrieval case the projection serves (near-dup / contamination
+    detection in K-d instead of 64-d): a slightly perturbed clone of a
+    corpus vector must remain its OWN nearest neighbor after projecting
+    to 16-d. Rank-recall of near-TIED neighbors is not a JL guarantee
+    (distances are preserved within eps, orderings of ties are not) and
+    this fixture's sims are near-tied — clone retrieval is the honest
+    invariant, and it holds 100/100. numpy mirrors the engine exactly
+    (same JL_MATRIX literal, same dot-product math)."""
+    import numpy as np
+
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(200)
+    V = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    M = np.array(PR.JL_MATRIX)
+    n_q = 50
+    pert = np.array(
+        [[((i * 131 + j * 17) % 7 - 3) / 1200.0 for j in range(PR.SRC_DIM)]
+         for i in range(n_q)]
+    )
+    clones = V[:n_q] + pert
+    allv = np.vstack([V, clones])
+    proj = allv @ M.T
+
+    def nearest(X, qidx):
+        q = X[qidx]
+        sims = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q) + 1e-12)
+        sims[qidx] = -2.0
+        return int(np.argmax(sims))
+
+    hits = sum(nearest(proj, len(V) + i) == i for i in range(n_q))
+    assert hits == n_q
