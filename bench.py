@@ -128,6 +128,8 @@ HEADLINE = [
     "quality_classifier",
     "jl_project",
     "token_entropy",
+    "hash_sample_per_group",
+    "trigram_backoff_score",
     "bpe_train",
 ]
 

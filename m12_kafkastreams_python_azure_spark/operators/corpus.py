@@ -658,3 +658,178 @@ SELECT doc_id, n_tok,
          >= {CLF_THRESHOLD} AS keep
 FROM agg
 """
+
+
+# ----------------------------------------- trigram stupid-backoff LM
+
+BACKOFF_ALPHA = 0.4
+LM_HOLDOUT_MOD = 3  # doc_id % MOD == 0 -> held-out eval split
+
+
+def trigram_backoff_score(
+    docs: DataFrame, holdout_mod: int = LM_HOLDOUT_MOD
+) -> DataFrame:
+    """Score HELD-OUT documents under a trigram LM with stupid backoff
+    (Brants et al. 2007, 'Large Language Models in Machine Translation':
+    S(w3|w1w2) = c3/c2 if seen, else alpha*S(w3|w2), else alpha^2*c1/N —
+    unnormalized scores, no discounting, built for exactly this
+    map-reduce shape). Unlike ``bigram_lm_score`` (trained on the full
+    corpus, so every gram is seen) the model here trains on doc_id %
+    {mod} != 0 and scores the rest — unseen trigrams are REAL and every
+    backoff tier fires.
+
+    Shape: counts aggregate to <= min(corpus, V^3) rows (prune with a
+    min-count threshold for web-scale vocabularies) and broadcast; the
+    eval side is one narrow pass + five broadcast joins + one
+    doc_id-keyed agg. The OOV floor (w3 never seen) scores alpha^2/N so
+    log2 stays finite."""
+    tri = (
+        docs.filter(F.col("doc_id") % holdout_mod == 0)
+        .select("doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("g3"))
+        .withColumn("w1", F.split("g3", " ")[0])
+        .withColumn("w2", F.split("g3", " ")[1])
+        .withColumn("w3", F.split("g3", " ")[2])
+        .withColumn("g12", F.concat_ws(" ", "w1", "w2"))
+        .withColumn("g23", F.concat_ws(" ", "w2", "w3"))
+    )
+    train = docs.filter(F.col("doc_id") % holdout_mod != 0)
+    train_tok = train.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    c1 = train_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = (
+        train.select(F.explode(word_ngrams(F.col("text"), 2)).alias("g2"))
+        .groupBy("g2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c3 = (
+        train.select(F.explode(word_ngrams(F.col("text"), 3)).alias("g3"))
+        .groupBy("g3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    n_tok = train_tok.count()  # scalar: folded in as a literal
+
+    j = (
+        tri.join(F.broadcast(c3), "g3", "left")
+        .join(
+            F.broadcast(c2.select(F.col("g2").alias("g12"), F.col("c2").alias("c_ctx"))),
+            "g12",
+            "left",
+        )
+        .join(
+            F.broadcast(c2.select(F.col("g2").alias("g23"), F.col("c2").alias("c_b23"))),
+            "g23",
+            "left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c_w2"))),
+            "w2",
+            "left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w3"), F.col("c1").alias("c_w3"))),
+            "w3",
+            "left",
+        )
+    )
+    a = float(BACKOFF_ALPHA)
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c_ctx").cast("double"),
+        )
+        .when(
+            F.col("c_b23").isNotNull(),
+            F.lit(a) * F.col("c_b23").cast("double") / F.col("c_w2").cast("double"),
+        )
+        .when(
+            F.col("c_w3").isNotNull(),
+            F.lit(a * a) * F.col("c_w3").cast("double") / F.lit(float(n_tok)),
+        )
+        .otherwise(F.lit(a * a) / F.lit(float(n_tok)))
+    )
+    return (
+        j.withColumn("log2s", F.log2(s))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg("log2s"), 6).alias("avg_log2s"),
+            F.sum(F.col("c3").isNull().cast("long")).alias("n_backoff"),
+        )
+    )
+
+
+def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trigram_backoff_score(
+        parallel_scan(load_table(spark, sf_dir, "documents"))
+    )
+
+
+ORACLE_TRIGRAM_BACKOFF_SCORE = f"""
+WITH tri AS (
+  SELECT doc_id, g3,
+         string_split(g3, ' ')[1] AS w1,
+         string_split(g3, ' ')[2] AS w2,
+         string_split(g3, ' ')[3] AS w3,
+         string_split(g3, ' ')[1] || ' ' || string_split(g3, ' ')[2] AS g12,
+         string_split(g3, ' ')[2] || ' ' || string_split(g3, ' ')[3] AS g23
+  FROM (
+    SELECT doc_id, unnest({{g3}}) AS g3
+    FROM documents WHERE doc_id % {LM_HOLDOUT_MOD} = 0
+  )
+),
+train_tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE doc_id % {LM_HOLDOUT_MOD} <> 0
+),
+c1 AS (
+  SELECT w, count(*) AS c1 FROM train_tok WHERE w <> '' GROUP BY 1
+),
+c2 AS (
+  SELECT g2, count(*) AS c2 FROM (
+    SELECT unnest({{g2}}) AS g2
+    FROM documents WHERE doc_id % {LM_HOLDOUT_MOD} <> 0
+  ) GROUP BY 1
+),
+c3 AS (
+  SELECT g3, count(*) AS c3 FROM (
+    SELECT unnest({{g3t}}) AS g3
+    FROM documents WHERE doc_id % {LM_HOLDOUT_MOD} <> 0
+  ) GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM train_tok WHERE w <> ''),
+scored AS (
+  SELECT t.doc_id,
+         CASE
+           WHEN c3.c3 IS NOT NULL
+             THEN CAST(c3.c3 AS DOUBLE) / CAST(ctx.c2 AS DOUBLE)
+           WHEN b23.c2 IS NOT NULL
+             THEN {BACKOFF_ALPHA} * CAST(b23.c2 AS DOUBLE)
+                  / CAST(cw2.c1 AS DOUBLE)
+           WHEN cw3.c1 IS NOT NULL
+             THEN {BACKOFF_ALPHA * BACKOFF_ALPHA} * CAST(cw3.c1 AS DOUBLE)
+                  / n.n_tok
+           ELSE {BACKOFF_ALPHA * BACKOFF_ALPHA} / n.n_tok
+         END AS s,
+         c3.c3 IS NULL AS backoff
+  FROM tri t
+  CROSS JOIN n
+  LEFT JOIN c3 ON t.g3 = c3.g3
+  LEFT JOIN c2 ctx ON t.g12 = ctx.g2
+  LEFT JOIN c2 b23 ON t.g23 = b23.g2
+  LEFT JOIN c1 cw2 ON t.w2 = cw2.w
+  LEFT JOIN c1 cw3 ON t.w3 = cw3.w
+)
+SELECT doc_id,
+       count(*) AS n_trigrams,
+       ROUND(avg(log2(s)), 6) AS avg_log2s,
+       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff
+FROM scored
+GROUP BY 1
+"""
+
+ORACLE_TRIGRAM_BACKOFF_SCORE = ORACLE_TRIGRAM_BACKOFF_SCORE.replace(
+    "{g3}", word_ngrams_sql("text", 3)
+).replace("{g2}", word_ngrams_sql("text", 2)).replace(
+    "{g3t}", word_ngrams_sql("text", 3)
+)

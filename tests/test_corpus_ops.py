@@ -78,3 +78,65 @@ def test_decontaminate_flags_only_train_docs(spark, sf_dir):
     assert out.filter("n_collisions > n_grams").count() == 0
     rows = out.collect()
     assert len(rows) > 0  # discriminative: some contamination exists
+
+
+# ----------------------------------------- trigram stupid-backoff LM
+
+
+def test_trigram_backoff_tiers(spark):
+    """One eval doc per backoff tier: fully-seen trigrams (S = c3/c2),
+    unseen trigram with seen (w2,w3) bigram (S = a*c2/c1), unseen bigram
+    with seen w3 (S = a^2*c1/N), and full OOV (S = a^2/N)."""
+    import math
+
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        BACKOFF_ALPHA as A,
+        trigram_backoff_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # train
+            (2, "a b c d"),   # train
+            (3, "a b c d"),   # eval: both trigrams seen
+            (6, "b b c d"),   # eval: 'b b c' unseen, bigram 'b c' seen
+            (9, "x y z w"),   # eval: full OOV floor twice
+            (12, "d a d a"),  # eval: bigrams unseen, w3 seen
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in trigram_backoff_score(docs).collect()}
+    n = 8.0  # train tokens
+
+    assert rows[3]["n_backoff"] == 0
+    assert rows[3]["avg_log2s"] == 0.0  # log2(1) twice
+
+    exp6 = (math.log2(A * 2 / 2) + math.log2(1.0)) / 2
+    assert rows[6]["n_backoff"] == 1
+    assert abs(rows[6]["avg_log2s"] - round(exp6, 6)) < 1e-9
+
+    exp9 = math.log2(A * A / n)
+    assert rows[9]["n_backoff"] == 2
+    assert abs(rows[9]["avg_log2s"] - round(exp9, 6)) < 1e-9
+
+    exp12 = math.log2(A * A * 2 / n)
+    assert rows[12]["n_backoff"] == 2
+    assert abs(rows[12]["avg_log2s"] - round(exp12, 6)) < 1e-9
+
+
+def test_trigram_backoff_model_never_sees_eval(spark):
+    """A trigram that appears ONLY in an eval doc must not score as seen
+    (train/eval leakage would make perplexity-style filtering circular)."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        trigram_backoff_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "q q q"), (6, "q q q")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in trigram_backoff_score(docs).collect()}
+    # 'q q q' occurs in BOTH eval docs (3 and 6) but in no train doc:
+    # it must hit the OOV floor, not count itself
+    assert rows[3]["n_backoff"] == 1 and rows[6]["n_backoff"] == 1
+    assert rows[3]["avg_log2s"] == rows[6]["avg_log2s"] < 0
