@@ -48,7 +48,8 @@ commit, never driver-rowed yet): volume_shipping_q7, market_share_q8,
 returned_items_q10, top_supplier_q15, small_qty_revenue_q17,
 disjunctive_revenue_q19, lone_fault_supplier_q21,
 dormant_rich_customers_q22, quality_classifier, jl_project,
-token_entropy, hash_sample_per_group, trigram_backoff_score.
+token_entropy, hash_sample_per_group, trigram_backoff_score,
+ngram_novelty.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -296,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trigram stupid-backoff LM scoring of a HELD-OUT split (Brants
         # 2007) — every backoff tier fires; fully oracle-checked
         "trigram_backoff_score": C.q_trigram_backoff_score,
+        # per-doc n-gram novelty (first-occurrence audit; ExactSubstr's
+        # gram-keyed min-agg discipline) — fully oracle-checked
+        "ngram_novelty": AU.q_ngram_novelty,
         "bpe_train": T.q_bpe_train,
     }
 
@@ -438,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": T.ORACLE_TOKEN_ENTROPY,
         "hash_sample_per_group": CU.ORACLE_HASH_SAMPLE_PER_GROUP,
         "trigram_backoff_score": C.ORACLE_TRIGRAM_BACKOFF_SCORE,
+        "ngram_novelty": AU.ORACLE_NGRAM_NOVELTY,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -130,6 +130,7 @@ HEADLINE = [
     "token_entropy",
     "hash_sample_per_group",
     "trigram_backoff_score",
+    "ngram_novelty",
     "bpe_train",
 ]
 

@@ -257,3 +257,88 @@ GROUP BY source
 
 
 ORACLE_SOURCE_LENGTH_DRIFT = _oracle_source_length_drift()
+
+
+# ------------------------------------------------------ n-gram novelty
+
+NOVELTY_N = 4
+
+
+def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-document novelty: the fraction of its word n-grams whose FIRST
+    corpus occurrence (lowest doc_id) is this document — the audit that
+    shows duplication accumulating through an ordered corpus (late
+    shards of a crawl re-crawl early content; novelty decays toward 0)
+    and the signal curriculum-ordering work thresholds.
+
+    Shape (the ExactSubstr first-occurrence discipline,
+    curation.exact_substring_dedup): first-owner per gram is a
+    gram-keyed min AGGREGATE (partial map-side — never a window over
+    the hottest gram, whose partition would be corpus-sized for a
+    boilerplate gram), joined back onto the per-(doc, gram) distinct
+    set, then one doc-keyed agg. Two bounded shuffles total."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import word_ngrams
+
+    grams = (
+        docs.select(
+            "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    first_owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_owner, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_distinct_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_ngram_novelty() -> str:
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        word_ngrams_sql,
+    )
+
+    return f"""
+WITH grams AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (
+    SELECT doc_id, unnest({word_ngrams_sql('text', NOVELTY_N)}) AS gram
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+first_owner AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1
+)
+SELECT g.doc_id,
+       count(*) AS n_distinct_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM grams g JOIN first_owner f USING (gram)
+GROUP BY 1
+"""
+
+
+ORACLE_NGRAM_NOVELTY = _oracle_ngram_novelty()

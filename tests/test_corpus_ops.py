@@ -140,3 +140,22 @@ def test_trigram_backoff_model_never_sees_eval(spark):
     # it must hit the OOV floor, not count itself
     assert rows[3]["n_backoff"] == 1 and rows[6]["n_backoff"] == 1
     assert rows[3]["avg_log2s"] == rows[6]["avg_log2s"] < 0
+
+
+def test_ngram_novelty_planted_duplicate(spark):
+    from m12_kafkastreams_python_azure_spark.operators.audits import (
+        ngram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # both 4-grams first seen here
+            (2, "a b c d e"),   # verbatim dup -> nothing novel
+            (3, "a b c d x"),   # shares 'a b c d', adds 'b c d x'
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert rows[1]["novelty"] == 1.0 and rows[1]["n_distinct_grams"] == 2
+    assert rows[2]["novelty"] == 0.0
+    assert rows[3]["n_novel"] == 1 and rows[3]["novelty"] == 0.5
