@@ -128,6 +128,17 @@ SECTIONS = [
      "literal map, the token sum is an array aggregate — the whole plan "
      "is one Project with no Exchange and no Python, so classification "
      "rides the scan and the downstream keep-filter pushes onto it."),
+    ("trigram_backoff_score", "Stupid-backoff trigram LM — broadcast model",
+     "All three count tables (and both context lookups) come back as "
+     "BroadcastHashJoins onto the eval-side narrow pass — the model is "
+     "vocabulary-bounded, the corpus is read once per count table and "
+     "once for scoring, and the only doc-proportional shuffle is the "
+     "final per-doc mean."),
+    ("ngram_novelty", "N-gram novelty — first-owner as aggregate",
+     "First corpus occurrence per gram is a gram-keyed MIN aggregate "
+     "(partial map-side), never a row_number window whose hottest-gram "
+     "partition would be corpus-sized; the join back onto per-(doc, "
+     "gram) rows and one doc-keyed agg are the only shuffles."),
 ]
 
 
