@@ -264,7 +264,9 @@ ORACLE_SOURCE_LENGTH_DRIFT = _oracle_source_length_drift()
 NOVELTY_N = 4
 
 
-def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+def ngram_novelty(
+    docs: DataFrame, n: int = NOVELTY_N, use_hashed_grams: bool = True
+) -> DataFrame:
     """Per-document novelty: the fraction of its word n-grams whose FIRST
     corpus occurrence (lowest doc_id) is this document — the audit that
     shows duplication accumulating through an ordered corpus (late
@@ -276,13 +278,23 @@ def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
     gram-keyed min AGGREGATE (partial map-side — never a window over
     the hottest gram, whose partition would be corpus-sized for a
     boilerplate gram), joined back onto the per-(doc, gram) distinct
-    set, then one doc-keyed agg. Two bounded shuffles total."""
+    set, then one doc-keyed agg. Two bounded shuffles total.
+
+    ``use_hashed_grams`` (default) shuffles xxhash64(gram) — 8 bytes
+    instead of a ~25-char string, the ExactSubstr hashed-gram shuffle
+    discipline (curation.exact_substring_dedup). The OUTPUT is
+    identical for any collision-free hashing (keys are internal only),
+    so the hashed spelling stays fully oracle-checked; a 64-bit
+    collision (~1e-11 at millions of grams, deterministic per corpus)
+    would surface in the sweep immediately. String-path parity is also
+    pinned by test."""
     from m12_kafkastreams_python_azure_spark.operators.corpus import word_ngrams
 
+    gram_expr = F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+    key = F.xxhash64("gram") if use_hashed_grams else F.col("gram")
     grams = (
-        docs.select(
-            "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
-        )
+        docs.select("doc_id", gram_expr)
+        .select("doc_id", key.alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -159,3 +159,18 @@ def test_ngram_novelty_planted_duplicate(spark):
     assert rows[1]["novelty"] == 1.0 and rows[1]["n_distinct_grams"] == 2
     assert rows[2]["novelty"] == 0.0
     assert rows[3]["n_novel"] == 1 and rows[3]["novelty"] == 0.5
+
+
+def test_ngram_novelty_hashed_equals_string_grams(spark, sf_dir):
+    """The hashed-gram shuffle (production default) must produce the
+    EXACT output of the string-gram spelling — hashing only renames the
+    internal shuffle keys."""
+    from m12_kafkastreams_python_azure_spark.operators.audits import (
+        ngram_novelty,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = sorted(map(tuple, ngram_novelty(docs, use_hashed_grams=True).collect()))
+    strings = sorted(map(tuple, ngram_novelty(docs, use_hashed_grams=False).collect()))
+    assert hashed == strings
