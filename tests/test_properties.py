@@ -245,3 +245,73 @@ def test_token_budget_select_is_maximal_prefix(spark, rows, budget):
             # early break — r8 ADVICE).
             boundary_hit = True
             assert doc_id not in kept, f"doc {doc_id} is past the boundary but was kept"
+
+
+# ------------------------------------------------ trigram stupid backoff
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=3, max_size=8),
+        min_size=4,
+        max_size=10,
+    )
+)
+def test_trigram_backoff_matches_pure_python(spark, token_lists):
+    """Engine scores == a direct pure-Python stupid-backoff evaluation
+    on random small corpora over a 4-token alphabet (dense collisions:
+    all tiers and the train/eval split exercised constantly)."""
+    import math
+    from collections import Counter
+
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        BACKOFF_ALPHA as A,
+        LM_HOLDOUT_MOD as MOD,
+        trigram_backoff_score,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    train = [t for i, t in docs if i % MOD != 0]
+    evald = [(i, t) for i, t in docs if i % MOD == 0]
+
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    n_tok = 0
+    for t in train:
+        ws = t.split()
+        n_tok += len(ws)
+        c1.update(ws)
+        c2.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+        c3.update(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2))
+
+    expected = {}
+    for i, t in evald:
+        ws = t.split()
+        logs, backoffs = [], 0
+        for j in range(len(ws) - 2):
+            g3 = " ".join(ws[j:j + 3])
+            g12, g23 = " ".join(ws[j:j + 2]), " ".join(ws[j + 1:j + 3])
+            if g3 in c3:
+                s = c3[g3] / c2[g12]
+            elif g23 in c2:
+                s, backoffs = A * c2[g23] / c1[ws[j + 1]], backoffs + 1
+            elif ws[j + 2] in c1:
+                s, backoffs = A * A * c1[ws[j + 2]] / n_tok, backoffs + 1
+            else:
+                s, backoffs = A * A / n_tok, backoffs + 1
+            logs.append(math.log2(s))
+        if logs:
+            expected[i] = (
+                len(logs), round(sum(logs) / len(logs), 6), backoffs
+            )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_log2s"], r["n_backoff"])
+        for r in trigram_backoff_score(df).collect()
+    }
+    for i in expected:
+        assert got[i][0] == expected[i][0], (i, got[i], expected[i])
+        assert abs(got[i][1] - expected[i][1]) < 1e-6, (i, got[i], expected[i])
+        assert got[i][2] == expected[i][2], (i, got[i], expected[i])
+    assert set(got) == set(expected)
