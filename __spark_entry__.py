@@ -49,7 +49,7 @@ returned_items_q10, top_supplier_q15, small_qty_revenue_q17,
 disjunctive_revenue_q19, lone_fault_supplier_q21,
 dormant_rich_customers_q22, quality_classifier, jl_project,
 token_entropy, hash_sample_per_group, trigram_backoff_score,
-ngram_novelty.
+ngram_novelty, scd2_pit_lookup.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -300,6 +300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc n-gram novelty (first-occurrence audit; ExactSubstr's
         # gram-keyed min-agg discipline) — fully oracle-checked
         "ngram_novelty": AU.q_ngram_novelty,
+        # point-in-time SCD2 lookup as a union-spine (no range join;
+        # the query side of scd2_history) — fully oracle-checked against
+        # the classic BETWEEN-join spelling
+        "scd2_pit_lookup": SCD.q_scd2_pit_lookup,
         "bpe_train": T.q_bpe_train,
     }
 
@@ -443,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_per_group": CU.ORACLE_HASH_SAMPLE_PER_GROUP,
         "trigram_backoff_score": C.ORACLE_TRIGRAM_BACKOFF_SCORE,
         "ngram_novelty": AU.ORACLE_NGRAM_NOVELTY,
+        "scd2_pit_lookup": SCD.ORACLE_SCD2_PIT_LOOKUP,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

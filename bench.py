@@ -131,6 +131,7 @@ HEADLINE = [
     "hash_sample_per_group",
     "trigram_backoff_score",
     "ngram_novelty",
+    "scd2_pit_lookup",
     "bpe_train",
 ]
 

@@ -47,10 +47,12 @@ def scd2_history(
     ).withColumnRenamed(effective_col, "valid_from")
 
 
-def _versions(cust: DataFrame) -> DataFrame:
+def _versions(
+    cust: DataFrame, anchor: str = "2024-01-01", spacing_days: int = 30
+) -> DataFrame:
     """Deterministic synthetic change stream: custkey % 3 + 1 versions per
     customer; version v (0-based) shifts the segment v steps through the
-    segment ring and takes effect 30*v days after 2024-01-01."""
+    segment ring and takes effect spacing_days*v days after anchor."""
     n_versions = (F.col("c_custkey") % 3 + 1).cast("int")
     idx = F.explode(F.sequence(F.lit(0), n_versions - 1)).alias("v")
     seg_ring = F.array(*[F.lit(s) for s in SEGMENTS])
@@ -63,9 +65,9 @@ def _versions(cust: DataFrame) -> DataFrame:
                 seg_ring,
                 ((base_pos - 1 + F.col("v")) % len(SEGMENTS) + 1).cast("int"),
             ).alias("segment"),
-            F.date_add(F.lit("2024-01-01").cast("date"), F.col("v") * 30).alias(
-                "effective_date"
-            ),
+            F.date_add(
+                F.lit(anchor).cast("date"), F.col("v") * spacing_days
+            ).alias("effective_date"),
         )
     )
 
@@ -98,4 +100,124 @@ SELECT c_custkey, segment,
                                   ORDER BY effective_date) IS NULL
          AS is_current
 FROM versions
+"""
+
+
+# ------------------------------------------- point-in-time lookup (PIT)
+
+# Version stream anchored INSIDE the order date range (1995-2001) so the
+# as-of resolution actually varies per order: v=0 predates every order,
+# later versions land mid-range at 720-day spacing.
+PIT_ANCHOR = "1994-01-01"
+PIT_SPACING_DAYS = 720
+
+
+def scd2_pit_lookup(
+    orders: DataFrame,
+    versions: DataFrame,
+    key_col: str = "c_custkey",
+    effective_col: str = "effective_date",
+    attr_col: str = "segment",
+) -> DataFrame:
+    """Resolve, for every order, the dimension attribute that was valid
+    AT the order's timestamp — the query side of SCD2 (the history build
+    above is the maintenance side).
+
+    The classic spelling is a range join on
+    ``valid_from <= ts < valid_to``, which Spark executes as a
+    BroadcastNestedLoopJoin (fine for small dims, quadratic pain past
+    that). This is the union-spine spelling instead (the
+    ``joins.asof_latest_order`` discipline): versions and orders union
+    on (key, ts), one window per key carries the latest version
+    attribute forward, order rows read it — NO join operator in the
+    plan, one shuffle on the dimension key, linear at any fact:dim
+    ratio. Version rows sort BEFORE same-timestamp order rows (kind 0
+    < 1), so a version is effective ON its start date — matching the
+    oracle's inclusive ``>= valid_from``."""
+    v = versions.select(
+        F.col(key_col).alias("k"),
+        F.col(effective_col).cast("timestamp").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col(attr_col).alias("attr"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("attr"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = v.unionByName(o).withColumn(
+        "attr_at", F.last("attr", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        "o_orderkey",
+        F.col("k").alias(key_col),
+        "ts",
+        F.col("attr_at").alias(attr_col),
+        "o_totalprice",
+    )
+
+
+def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders resolved against the segment valid at order time, rolled
+    up per (segment, order year) — the aggregate keeps the driver row
+    compact while any single mis-resolved order shifts a bucket."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    versions = _versions(
+        cust, anchor=PIT_ANCHOR, spacing_days=PIT_SPACING_DAYS
+    )
+    pit = scd2_pit_lookup(orders, versions)
+    return pit.groupBy(
+        F.col("segment").alias("seg_at"),
+        F.year("ts").alias("o_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ORACLE_SCD2_PIT_LOOKUP = f"""
+WITH versions AS (
+  SELECT c_custkey,
+         segs[CAST((list_position(segs, c_mktsegment) - 1 + v)
+              % {len(SEGMENTS)} + 1 AS INT)] AS segment,
+         DATE '{PIT_ANCHOR}' + CAST(v * {PIT_SPACING_DAYS} AS INT)
+           AS effective_date
+  FROM (
+    SELECT c_custkey, c_mktsegment,
+           unnest(range(0, CAST(c_custkey % 3 + 1 AS INT))) AS v,
+           {_SEG_LIST} AS segs
+    FROM customer
+  )
+),
+hist AS (
+  SELECT c_custkey, segment,
+         effective_date AS valid_from,
+         lead(effective_date) OVER (PARTITION BY c_custkey
+                                    ORDER BY effective_date) AS valid_to
+  FROM versions
+),
+pit AS (
+  SELECT h.segment AS seg_at, year(o_orderdate) AS o_year, o_totalprice
+  FROM orders o
+  JOIN hist h
+    ON o.o_custkey = h.c_custkey
+   AND o.o_orderdate >= CAST(valid_from AS TIMESTAMP)
+   AND (valid_to IS NULL OR o.o_orderdate < CAST(valid_to AS TIMESTAMP))
+)
+SELECT seg_at, o_year,
+       count(*) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS total_price
+FROM pit
+GROUP BY 1, 2
 """

@@ -170,3 +170,42 @@ def test_classifier_keep_rate_is_mixed_on_corpus(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     ).collect()}
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+# ------------------------------------------------ SCD2 point-in-time
+
+
+def test_pit_lookup_plan_has_no_join(spark, sf_dir):
+    """The union-spine spelling must contain NO join operator — the
+    range-join alternative becomes a BroadcastNestedLoopJoin."""
+    from m12_kafkastreams_python_azure_spark.operators import scd as SCD
+
+    s = explain_str(SCD.q_scd2_pit_lookup(spark, sf_dir))
+    assert "Join" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_pit_lookup_resolves_versions_at_order_time(spark):
+    from m12_kafkastreams_python_azure_spark.operators.scd import (
+        scd2_pit_lookup,
+    )
+
+    versions = spark.createDataFrame(
+        [
+            (1, "OLD", "2000-01-01"),
+            (1, "NEW", "2000-06-01"),
+            (2, "ONLY", "2000-01-01"),
+        ],
+        "c_custkey long, segment string, effective_date string",
+    ).withColumn("effective_date", F.col("effective_date").cast("date"))
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "2000-03-15", 10.0),  # before the change -> OLD
+            (101, 1, "2000-06-01", 20.0),  # ON the change date -> NEW
+            (102, 1, "2000-09-01", 30.0),  # after -> NEW
+            (103, 2, "2000-02-01", 40.0),  # single version -> ONLY
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    rows = {r["o_orderkey"]: r["segment"] for r in scd2_pit_lookup(orders, versions).collect()}
+    assert rows == {100: "OLD", 101: "NEW", 102: "NEW", 103: "ONLY"}
