@@ -49,7 +49,7 @@ returned_items_q10, top_supplier_q15, small_qty_revenue_q17,
 disjunctive_revenue_q19, lone_fault_supplier_q21,
 dormant_rich_customers_q22, quality_classifier, jl_project,
 token_entropy, hash_sample_per_group, trigram_backoff_score,
-ngram_novelty, scd2_pit_lookup.
+ngram_novelty, scd2_pit_lookup, decontaminate_bloom.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -304,6 +304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the query side of scd2_history) — fully oracle-checked against
         # the classic BETWEEN-join spelling
         "scd2_pit_lookup": SCD.q_scd2_pit_lookup,
+        # EXACT decontamination through a Bloom prefilter (eval side as
+        # a bit-array literal, never a string broadcast; bloom FPs die
+        # in the confirm join) — shares decontaminate's oracle verbatim
+        "decontaminate_bloom": C.q_decontaminate_bloom,
         "bpe_train": T.q_bpe_train,
     }
 
@@ -448,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         "trigram_backoff_score": C.ORACLE_TRIGRAM_BACKOFF_SCORE,
         "ngram_novelty": AU.ORACLE_NGRAM_NOVELTY,
         "scd2_pit_lookup": SCD.ORACLE_SCD2_PIT_LOOKUP,
+        # bloom is transparent — exact same output contract:
+        "decontaminate_bloom": C.ORACLE_DECONTAMINATE,
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,

@@ -132,6 +132,7 @@ HEADLINE = [
     "trigram_backoff_score",
     "ngram_novelty",
     "scd2_pit_lookup",
+    "decontaminate_bloom",
     "bpe_train",
 ]
 

@@ -174,3 +174,62 @@ def test_ngram_novelty_hashed_equals_string_grams(spark, sf_dir):
     hashed = sorted(map(tuple, ngram_novelty(docs, use_hashed_grams=True).collect()))
     strings = sorted(map(tuple, ngram_novelty(docs, use_hashed_grams=False).collect()))
     assert hashed == strings
+
+
+# ------------------------------------- bloom-prefiltered decontamination
+
+
+def test_bloom_decontaminate_equals_broadcast_decontaminate(spark, sf_dir):
+    """The bloom is a transparent prefilter: output must equal the
+    broadcast-semi-join spelling EXACTLY (false positives die in the
+    confirm join, false negatives are impossible by construction)."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, decontaminate(docs).collect()))
+    b = sorted(map(tuple, decontaminate_bloom(docs).collect()))
+    assert a == b
+    assert len(a) > 0  # the planted eval overlap must actually fire
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every member of the build set must pass might_contain — the
+    bloom guarantee the exactness proof rests on."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        bloom_might_contain,
+        build_gram_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    grams = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(500)], "gram string"
+    )
+    bloom, m_bits = build_gram_bloom(grams)
+    n_pass = grams.filter(
+        bloom_might_contain(bloom, m_bits, F.col("gram"))
+    ).count()
+    assert n_pass == 500
+
+
+def test_bloom_prunes_non_members(spark):
+    """~1% FP rate at 10 bits/item: the overwhelming majority of a
+    disjoint probe set must be rejected by the prefilter alone."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        bloom_might_contain,
+        build_gram_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    build = spark.createDataFrame(
+        [(f"member {i}",) for i in range(500)], "gram string"
+    )
+    probe = spark.createDataFrame(
+        [(f"outsider {i}",) for i in range(2000)], "gram string"
+    )
+    bloom, m_bits = build_gram_bloom(build)
+    fp = probe.filter(bloom_might_contain(bloom, m_bits, F.col("gram"))).count()
+    assert fp < 2000 * 0.05  # generous bound over the ~1% design point
