@@ -315,3 +315,77 @@ def test_trigram_backoff_matches_pure_python(spark, token_lists):
         assert abs(got[i][1] - expected[i][1]) < 1e-6, (i, got[i], expected[i])
         assert got[i][2] == expected[i][2], (i, got[i], expected[i])
     assert set(got) == set(expected)
+
+
+# ----------------------------------------------- token entropy (late r10)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_token_entropy_matches_pure_python(spark, token_lists):
+    import math
+    from collections import Counter
+
+    from m12_kafkastreams_python_azure_spark.operators.textops import (
+        token_entropy,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_distinct"], r["entropy"], r["norm_entropy"])
+        for r in token_entropy(df).collect()
+    }
+    for i, toks in enumerate(token_lists):
+        c = Counter(toks)
+        n = len(toks)
+        h = -sum((k / n) * math.log2(k / n) for k in c.values())
+        norm = h / math.log2(len(c)) if len(c) > 1 else 0.0
+        assert got[i][0] == n and got[i][1] == len(c)
+        assert abs(got[i][2] - round(h, 6)) < 1e-6
+        assert abs(got[i][3] - round(norm, 6)) < 1e-6
+
+
+# ------------------------------------- hash_sample_per_group (late r10)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["g1", "g2", "g3"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),
+)
+def test_hash_sample_matches_brute_force(spark, rows, k):
+    """The salted two-phase top-k must equal the single-pass brute-force
+    md5 ranking for ANY group sizes and k — including groups smaller
+    than k and salt slices that go empty."""
+    import hashlib
+
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        hash_sample_per_group,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in hash_sample_per_group(df, k=k).collect()
+    }
+    expected = {}
+    by_group: dict = {}
+    for doc_id, g in rows:
+        by_group.setdefault(g, []).append(doc_id)
+    for g, ids in by_group.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rank, i in enumerate(ranked[:k], start=1):
+            expected[(g, i)] = rank
+    assert got == expected
