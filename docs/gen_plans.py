@@ -139,6 +139,27 @@ SECTIONS = [
      "(partial map-side), never a row_number window whose hottest-gram "
      "partition would be corpus-sized; the join back onto per-(doc, "
      "gram) rows and one doc-keyed agg are the only shuffles."),
+    ("scd2_pit_lookup", "SCD2 point-in-time lookup — union spine, no join",
+     "Versions and facts union on (key, ts); ONE window per dimension "
+     "key carries the latest attribute forward; fact rows read it. No "
+     "join operator anywhere — the classic valid_from/valid_to range "
+     "join this replaces shows up as BroadcastNestedLoopJoin and dies "
+     "past small dims."),
+    ("jl_project", "JL random projection — literal matrix, zero shuffle",
+     "The 16x64 Rademacher matrix is one nested-list literal; the "
+     "projection is transform+zip_with folds inside a single Project — "
+     "no Exchange, no Python, each partition projects independently."),
+    ("decontaminate_bloom", "Bloom-prefiltered decontamination — exact",
+     "The eval side enters the probe as a BIT-ARRAY literal (no "
+     "broadcast exchange of gram strings); the bloom filter runs "
+     "scan-side on the train grams, and the exact confirm is a shuffle "
+     "equi-join that moves only the surviving sliver — false positives "
+     "die there, so the output contract equals plain decontaminate."),
+    ("hash_sample_per_group", "Exact-k per-group sample — salted two-phase",
+     "Phase 1 ranks inside (group, salt) so a mega-group spreads over "
+     "8 tasks; phase 2 ranks the <= k*8 survivors. Both windows are "
+     "bounded; the md5 order makes the result reproducible across "
+     "engines and runs."),
 ]
 
 
