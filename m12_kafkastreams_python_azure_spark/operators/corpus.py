@@ -707,10 +707,14 @@ def trigram_backoff_score(
         .groupBy("g3")
         .agg(F.count(F.lit(1)).alias("c3"))
     )
-    n_tok = train_tok.count()  # scalar: folded in as a literal
+    # lazy 1-row aggregate broadcast (the engine's scalar idiom, see
+    # audits.py / textops.py) — NOT an eager .count(): constructing this
+    # DataFrame must launch no Spark job (VERDICT r10 #2)
+    n_tok = train_tok.agg(F.count(F.lit(1)).cast("double").alias("n_tok"))
 
     j = (
-        tri.join(F.broadcast(c3), "g3", "left")
+        tri.crossJoin(F.broadcast(n_tok))
+        .join(F.broadcast(c3), "g3", "left")
         .join(
             F.broadcast(c2.select(F.col("g2").alias("g12"), F.col("c2").alias("c_ctx"))),
             "g12",
@@ -744,9 +748,9 @@ def trigram_backoff_score(
         )
         .when(
             F.col("c_w3").isNotNull(),
-            F.lit(a * a) * F.col("c_w3").cast("double") / F.lit(float(n_tok)),
+            F.lit(a * a) * F.col("c_w3").cast("double") / F.col("n_tok"),
         )
-        .otherwise(F.lit(a * a) / F.lit(float(n_tok)))
+        .otherwise(F.lit(a * a) / F.col("n_tok"))
     )
     return (
         j.withColumn("log2s", F.log2(s))

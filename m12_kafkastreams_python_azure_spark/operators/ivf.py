@@ -264,21 +264,42 @@ def insert_into_ivf_index(new_vectors: DataFrame, path: str,
     makes that decision explicit."""
     spark = new_vectors.sparkSession
     _, centroids = load_ivf_index(spark, path)
-    tagged = build_ivf_index(new_vectors, centroids, id_col, vec_col)
-    n = tagged.count()
-    (
-        tagged.write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(os.path.join(path, "lists"))
-    )
+    # persist: the assignment pass feeds BOTH the count and the append —
+    # without it the narrow pass (and the upstream scan) runs twice
+    # (ADVICE r10)
+    tagged = build_ivf_index(new_vectors, centroids, id_col, vec_col).persist()
+    try:
+        n = tagged.count()
+        # staged append: drop a marker before touching the lists so an
+        # interrupted insert leaves a DETECTABLE half-state instead of
+        # silently-extra list files (the build path's partial-write
+        # discipline, extended to appends — ADVICE r10)
+        marker = os.path.join(path, _INSERT_MARKER)
+        with open(marker, "w") as fh:
+            fh.write("insert in progress\n")
+        (
+            tagged.write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(path, "lists"))
+        )
+        os.remove(marker)
+    finally:
+        tagged.unpersist()
     return n
+
+
+_INSERT_MARKER = "_insert_in_progress"
 
 
 def ivf_index_exists(path: str) -> bool:
     """True when a ``save_ivf_index`` layout is present (both halves —
-    a partial write from an interrupted build is treated as absent)."""
-    return os.path.isdir(os.path.join(path, "lists")) and os.path.isdir(
-        os.path.join(path, "centroids")
+    a partial write from an interrupted build, or a crashed
+    ``insert_into_ivf_index`` whose marker was never cleared, is
+    treated as absent)."""
+    return (
+        os.path.isdir(os.path.join(path, "lists"))
+        and os.path.isdir(os.path.join(path, "centroids"))
+        and not os.path.exists(os.path.join(path, _INSERT_MARKER))
     )
 
 

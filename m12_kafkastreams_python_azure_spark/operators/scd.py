@@ -133,7 +133,13 @@ def scd2_pit_lookup(
     plan, one shuffle on the dimension key, linear at any fact:dim
     ratio. Version rows sort BEFORE same-timestamp order rows (kind 0
     < 1), so a version is effective ON its start date — matching the
-    oracle's inclusive ``>= valid_from``."""
+    oracle's inclusive ``>= valid_from``.
+
+    Orders that predate the key's FIRST version are DROPPED (not
+    emitted with a NULL attribute), matching the range-join spelling's
+    inner-join semantics — an order before any version has no valid
+    dimension row, and the two spellings must agree on late-starting
+    version streams too (ADVICE r10)."""
     v = versions.select(
         F.col(key_col).alias("k"),
         F.col(effective_col).cast("timestamp").alias("ts"),
@@ -158,7 +164,9 @@ def scd2_pit_lookup(
     filled = v.unionByName(o).withColumn(
         "attr_at", F.last("attr", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("kind") == 1).select(
+    return filled.filter(
+        (F.col("kind") == 1) & F.col("attr_at").isNotNull()
+    ).select(
         "o_orderkey",
         F.col("k").alias(key_col),
         "ts",

@@ -91,9 +91,13 @@ def test_q8_part_filter_pushes_to_scan(spark, sf_dir):
 def test_q10_predicates_push_into_both_fact_scans(spark, sf_dir):
     s = explain_str(A14.q_returned_items_q10(spark, sf_dir))
     assert "TakeOrderedAndProject" in s  # top-20, never a global sort
-    assert "EqualTo(l_returnflag,R)" in s or "l_returnflag" in s.split(
-        "PushedFilters"
-    )[1]
+    # guard the split: a scan-strategy change that drops PushedFilters
+    # entirely should fail the assertion, not raise IndexError
+    assert "PushedFilters" in s, "no PushedFilters section in plan"
+    assert (
+        "EqualTo(l_returnflag,R)" in s
+        or "l_returnflag" in s.split("PushedFilters")[1]
+    )
 
 
 def test_q15_max_is_broadcast_hash_join(spark, sf_dir):
