@@ -12,44 +12,44 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-10 rotation (exactly VERDICT r09 #3): the 5 reference-surface
-queries stay first (every round), then the three entries whose
-CODE/ORACLE changed this round and need a fresh driver row
-(phash_near_dup — now runs the PLANTED near-dup corpus so the row
-value-checks real pairs, VERDICT r09 #2; image_dhash — its oracle
-builder was parameterized alongside; knn_label_vote_ivf — probe
-sizing revisited per VERDICT r09 #7), then the ONE new round-10
-operator (video_near_dup — per-frame perceptual hashes composed into
-clip-level matched-frame-fraction pairs, fully oracle-checked with
-planted trimmed clones), then the THIRTY stale entries VERDICT r09
-named (the 16 r02 rows big_orders_having … zscore_events and the 14
-r04 rows asof_latest_order … zorder_key), then TEN of the eleven
-next-stalest rows (last driver rows r05: array_set_ops …
-string_functions2; word_positions ceded its slot to the second new
-operator, audio_near_dup — offset-voting fingerprint matching, also
-fully oracle-checked with planted excerpts). Displaced to 51+ this round, every one with a hard
-green r08/r09 row and code untouched: the r09 window's rotations
-(pmi_bigrams, source_length_drift, simhash_near_dup,
-exact_substring_dedup, vocab_encode … above_avg_orders) and the
-long-green training-pipeline core. ``bpe_train`` is appended at the
-very end as a bench-only surface (driver-looped, EAGER-timed in
-bench.py — never inside the window).
-Rows-only entries in-window: knn_label_vote_ivf (bounded by the
-oracle-green ann_topk/knn_label_vote rows + recall/parity tests).
-ROTATION QUEUE for round 11 (in priority order): word_positions (ceded
-its r10 slot), audio_fingerprints + semantic_decontaminate (new in r10
-at 51+, both oracle-checked and locally swept green at sf0.01), and
-quality_percentile_filter + dedup_keep_best (CODE changed in r10 — the
-shared-subtree persists — after this round's window was pinned; both
-swept green against their oracles at sf0.01 post-change, but their last
-driver rows predate the change), then the late-round-10 wave (all nine
-oracle-checked and locally swept green at sf0.001 AND sf0.01 before
-commit, never driver-rowed yet): volume_shipping_q7, market_share_q8,
-returned_items_q10, top_supplier_q15, small_qty_revenue_q17,
-disjunctive_revenue_q19, lone_fault_supplier_q21,
-dormant_rich_customers_q22, quality_classifier, jl_project,
-token_entropy, hash_sample_per_group, trigram_backoff_score,
-ngram_novelty, scd2_pit_lookup, decontaminate_bloom.
+Round-11 rotation (exactly VERDICT r10 #1/#5/#6): the 5 reference-
+surface queries stay first (every round), then the FULL rotation queue
+the r10 docstring sequenced — word_positions (ceded its r10 slot),
+audio_fingerprints + semantic_decontaminate (new in r10 at 51+),
+quality_percentile_filter + dedup_keep_best (code changed in r10 after
+the window was pinned), and the sixteen late-round-10 queries that had
+never had a driver row (volume_shipping_q7 … decontaminate_bloom; all
+judge-swept 18/18 green in r10). Then the TWO new round-11 entries:
+knn_ivf_agreement — the IVF kNN-vote bound as an ORACLE-CHECKED
+summary row (n_queries + floor flags; replaces the rows-only
+knn_label_vote_ivf in the window, which stays at 51+ as the production
+bench spelling) — and dsir_resample (DSIR hashed-n-gram importance
+resampling with Gumbel-top-k selection, fully oracle-checked). Then
+the next-stalest rows: the three r06 sketch-bound queries
+(hll_merge_bound, quantile_sketch_bound, heavy_hitters) and nineteen
+of the forty-two r08-row queries (dedup_exact … dup_span_coverage,
+the oracle-checked cohort; the remaining twenty-three r08 rows plus
+the r09/r10 cohorts rotate in future rounds, stalest first).
+Code changed in round 11 and in-window: trigram_backoff_score (lazy
+scalar, VERDICT r10 #2), scd2_pit_lookup (drops orders predating the
+first version — ADVICE r10), jl_project (``_v`` no longer leaks —
+ADVICE r10).
+Displaced to 51+ this round, every one with a hash-green r10 driver
+row and code untouched: the full r10 rotation (phash_near_dup,
+image_dhash, video_near_dup, audio_near_dup, the 16 r02 rows, the 14
+r04 rows, the 10 r05 rows) and knn_label_vote_ivf (its bound is now
+IN-window via knn_ivf_agreement). ``bpe_train`` stays last as a
+bench-only surface (driver-looped, EAGER-timed in bench.py — never
+inside the window).
+ROTATION QUEUE for round 12 (stalest first): the twenty-three r08
+rows not pulled this round (minhash_near_dup, ann_lsh, ann_ivf,
+embedding_near_dup_lsh, bm25_retrieval, knn_label_vote, bpe_merges,
+bpe_encode, token_budget_select, source_overlap, cms_merge_bound,
+dataset_mix, segment_dedup, chunk_documents, domain_cap,
+trailing_hour_counts, full_outer_activity, unpivot_metrics,
+event_pairs_10min, latest_event_per_user, lang_id, doc_fingerprint,
+knn_label_vote_ivf), then the r09 cohort (pmi_bigrams …
+above_avg_orders).
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -77,6 +77,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics12 as A12
 from m12_kafkastreams_python_azure_spark.operators import analytics13 as A13
 from m12_kafkastreams_python_azure_spark.operators import analytics14 as A14
 from m12_kafkastreams_python_azure_spark.operators import api as API
+from m12_kafkastreams_python_azure_spark.operators import dsir as DSR
 from m12_kafkastreams_python_azure_spark.operators import audits as AU
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
 from m12_kafkastreams_python_azure_spark.operators import curation as CU
@@ -112,24 +113,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,
         "stay_enrich": A.q_stay_enrich,
         "hotels_count": A.q_hotels_count,
-        # code/oracle changed in round 10 — need fresh driver rows:
-        # phash_near_dup now runs over the PLANTED near-dup corpus (real
-        # positive pairs on both engines, VERDICT r09 #2); image_dhash's
-        # oracle builder was parameterized alongside it; knn_label_vote_ivf
-        # probe sizing revisited (VERDICT r09 #7)
+        # rotation-queue head (VERDICT r10 #1): word_positions ceded its
+        # r10 slot; audio_fingerprints/semantic_decontaminate were new at
+        # 51+; quality_percentile_filter/dedup_keep_best gained shared-
+        # subtree persists in r10 AFTER the window was pinned
+        "word_positions": A9.q_word_positions,
+        "audio_fingerprints": M.q_audio_fingerprints,
+        "semantic_decontaminate": C.q_semantic_decontaminate,
+        "quality_percentile_filter": CU.q_quality_percentile_filter,
+        "dedup_keep_best": G.q_dedup_keep_best,
+        # the sixteen late-round-10 queries that have never had a driver
+        # row — judge-swept 18/18 green in r10, now driver-recorded
+        "volume_shipping_q7": A14.q_volume_shipping_q7,
+        "market_share_q8": A14.q_market_share_q8,
+        "returned_items_q10": A14.q_returned_items_q10,
+        "top_supplier_q15": A14.q_top_supplier_q15,
+        "small_qty_revenue_q17": A14.q_small_qty_revenue_q17,
+        "disjunctive_revenue_q19": A14.q_disjunctive_revenue_q19,
+        "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
+        "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
+        "quality_classifier": C.q_quality_classifier,
+        "jl_project": PR.q_jl_project,
+        "token_entropy": T.q_token_entropy,
+        "hash_sample_per_group": CU.q_hash_sample_per_group,
+        "trigram_backoff_score": C.q_trigram_backoff_score,
+        "ngram_novelty": AU.q_ngram_novelty,
+        "scd2_pit_lookup": SCD.q_scd2_pit_lookup,
+        "decontaminate_bloom": C.q_decontaminate_bloom,
+        # NEW in round 11: the IVF vote bound as an ORACLE-CHECKED row
+        # (VERDICT r10 #6 — replaces the rows-only knn_label_vote_ivf in
+        # the window; flags go FALSE and hash-mismatch if agreement or
+        # coverage regress below the committed floors) and DSIR hashed-
+        # n-gram importance resampling (VERDICT r10 #5, Xie 2023)
+        "knn_ivf_agreement": API.q_knn_ivf_agreement,
+        "dsir_resample": DSR.q_dsir_resample,
+        # next-stalest rows: last driver rows r06
+        "hll_merge_bound": SK.q_hll_merge_bound,
+        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
+        "heavy_hitters": SK.q_heavy_hitters,
+        # nineteen of the forty-two r08-row queries (stalest oracle-
+        # checked cohort; the rest rotate next round)
+        "dedup_exact": D.q_dedup_exact,
+        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
+        "dedup_clusters": G.q_dedup_clusters,
+        "pagerank_parts": G.q_pagerank_parts,
+        "ann_topk": S.q_ann_topk,
+        "embedding_near_dup": S.q_embedding_near_dup,
+        "normalize_embeddings": V.q_normalize_embeddings,
+        "text_quality": T.q_text_quality,
+        "clean_corpus": T.q_clean_corpus,
+        "decontaminate": C.q_decontaminate,
+        "gopher_quality": C.q_gopher_quality,
+        "pack_sequences": C.q_pack_sequences,
+        "media_features": M.q_media_features,
+        "rollup_merge": SK.q_rollup_merge,
+        "record_linkage": LK.q_record_linkage,
+        "scd2_history": SCD.q_scd2_history,
+        "semantic_dedup": CU.q_semantic_dedup,
+        "dedup_stats": D.q_dedup_stats,
+        "dup_span_coverage": CU.q_dup_span_coverage,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has a hash-green r10 row and code
+        # untouched this round; knn_label_vote_ivf stays the rows-only
+        # PRODUCTION bench spelling — its bound now lives in the window
+        # as knn_ivf_agreement
         "phash_near_dup": M.q_phash_near_dup,
         "image_dhash": M.q_image_dhash,
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
-        # NEW in round 10: video near-dup — per-frame perceptual hashes
-        # (sample_video_frames) composed into clip-level pairs scored by
-        # matched-frame fraction — and audio near-dup — window
-        # fingerprints matched by OFFSET-CONSISTENT voting (Wang 2003:
-        # a true excerpt concentrates its fingerprint matches on one
-        # offset; random collisions scatter). Both fully oracle-checked
-        # with planted positives (trimmed clones / first-window excerpts)
         "video_near_dup": M.q_video_near_dup,
         "audio_near_dup": M.q_audio_near_dup,
-        # the sixteen r02 rows VERDICT r09 named as stale, rotated in
         "big_orders_having": A5.q_big_orders_having,
         "cast_battery": A8.q_cast_battery,
         "date_spine_daily": A7.q_date_spine_daily,
@@ -146,7 +198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": A9.q_window_frames,
         "word_count": A7.q_word_count,
         "zscore_events": A6.q_zscore_events,
-        # the fourteen r04 rows VERDICT r09 named as stale, rotated in
         "asof_latest_order": J.q_asof_latest_order,
         "asof_next_order": J.q_asof_next_order,
         "cte_sql": A10.q_cte_sql,
@@ -161,7 +212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": A10.q_tfidf_top_terms,
         "value_band_join": J.q_value_band_join,
         "zorder_key": L.q_zorder_key,
-        # the eleven next-stalest rows (last driver rows r05)
         "array_set_ops": A9.q_array_set_ops,
         "arrow_byte_stats": A9.q_arrow_byte_stats,
         "benford_digits": A13.q_benford_digits,
@@ -172,18 +222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orderkey_islands": A12.q_orderkey_islands,
         "region_revenue_share": A12.q_region_revenue_share,
         "string_functions2": A9.q_string_functions2,
-        # ---- entries 51+: outside the driver window this round ----
-        # word_positions (r05) ceded its slot to audio_near_dup; next
-        # rotation picks it up first
-        "word_positions": A9.q_word_positions,
-        # every displaced entry has a hash-green r08/r09 row on record
-        # and code untouched this round (docstring lists the rotation)
         "pmi_bigrams": T.q_pmi_bigrams,
         "source_length_drift": AU.q_source_length_drift,
         "simhash_near_dup": D.q_simhash_near_dup,
         "exact_substring_dedup": CU.q_exact_substring_dedup,
         "vocab_encode": T.q_vocab_encode,
-        "quality_percentile_filter": CU.q_quality_percentile_filter,
         "pii_scrub": C.q_pii_scrub,
         "bigram_lm_score": C.q_bigram_lm_score,
         "sq_error_stats": PQ.q_sq_error_stats,
@@ -220,34 +263,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_functions": A4.q_conditional_functions,
         "stats_battery": A5.q_stats_battery,
         "above_avg_orders": A5.q_above_avg_orders,
-        "dedup_exact": D.q_dedup_exact,
-        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "minhash_near_dup": D.q_minhash_near_dup,
-        "dedup_clusters": G.q_dedup_clusters,
-        "pagerank_parts": G.q_pagerank_parts,
-        "ann_topk": S.q_ann_topk,
-        "embedding_near_dup": S.q_embedding_near_dup,
         "ann_lsh": S.q_ann_lsh,
         "ann_ivf": IV.q_ann_ivf,
         "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
-        "normalize_embeddings": V.q_normalize_embeddings,
-        "text_quality": T.q_text_quality,
-        "clean_corpus": T.q_clean_corpus,
-        "decontaminate": C.q_decontaminate,
-        "gopher_quality": C.q_gopher_quality,
-        "pack_sequences": C.q_pack_sequences,
-        "media_features": M.q_media_features,
-        "rollup_merge": SK.q_rollup_merge,
-        "record_linkage": LK.q_record_linkage,
-        "scd2_history": SCD.q_scd2_history,
-        "semantic_dedup": CU.q_semantic_dedup,
-        "dedup_stats": D.q_dedup_stats,
-        "dup_span_coverage": CU.q_dup_span_coverage,
         "bm25_retrieval": R.q_bm25_retrieval,
         "knn_label_vote": S.q_knn_label_vote,
         "bpe_merges": T.q_bpe_merges,
         "bpe_encode": T.q_bpe_encode,
-        "dedup_keep_best": G.q_dedup_keep_best,
         "token_budget_select": CU.q_token_budget_select,
         "source_overlap": AU.q_source_overlap,
         "cms_merge_bound": SK.q_cms_merge_bound,
@@ -262,55 +285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": A10.q_latest_event_per_user,
         "lang_id": T.q_lang_id,
         "doc_fingerprint": T.q_doc_fingerprint,
-        "hll_merge_bound": SK.q_hll_merge_bound,
-        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
-        "heavy_hitters": SK.q_heavy_hitters,
-        # NEW in round 10, outside the window: the per-row fingerprint
-        # value check backing audio_near_dup (rotates into the window
-        # with word_positions next round), and the bench-only BPE
-        # training loop (driver-looped; see bench.py EAGER_QUERIES)
-        "audio_fingerprints": M.q_audio_fingerprints,
-        "semantic_decontaminate": C.q_semantic_decontaminate,
-        # NEW late in round 10, outside the window: the remaining
-        # TPC-H-shaped analytics the schema can express (Q7/Q8/Q10/Q15/
-        # Q17/Q19 direct; Q21/Q22 adapted — see analytics14 docstring)
-        # and the fastText-style linear quality classifier (zero-shuffle
-        # narrow-pass inference). All fully oracle-checked; they join the
-        # round-11 rotation queue behind the entries already listed.
-        "volume_shipping_q7": A14.q_volume_shipping_q7,
-        "market_share_q8": A14.q_market_share_q8,
-        "returned_items_q10": A14.q_returned_items_q10,
-        "top_supplier_q15": A14.q_top_supplier_q15,
-        "small_qty_revenue_q17": A14.q_small_qty_revenue_q17,
-        "disjunctive_revenue_q19": A14.q_disjunctive_revenue_q19,
-        "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
-        "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
-        "quality_classifier": C.q_quality_classifier,
-        # JL random projection (pre-ANN dimensionality reduction as a
-        # literal-matrix zero-shuffle pass) and token-entropy repetition
-        # scoring — both fully oracle-checked
-        "jl_project": PR.q_jl_project,
-        "token_entropy": T.q_token_entropy,
-        # exact-k-per-group reproducible sampling (md5 order matches
-        # DuckDB byte-for-byte; salted two-phase top-k internally)
-        "hash_sample_per_group": CU.q_hash_sample_per_group,
-        # trigram stupid-backoff LM scoring of a HELD-OUT split (Brants
-        # 2007) — every backoff tier fires; fully oracle-checked
-        "trigram_backoff_score": C.q_trigram_backoff_score,
-        # per-doc n-gram novelty (first-occurrence audit; ExactSubstr's
-        # gram-keyed min-agg discipline) — fully oracle-checked
-        "ngram_novelty": AU.q_ngram_novelty,
-        # point-in-time SCD2 lookup as a union-spine (no range join;
-        # the query side of scd2_history) — fully oracle-checked against
-        # the classic BETWEEN-join spelling
-        "scd2_pit_lookup": SCD.q_scd2_pit_lookup,
-        # EXACT decontamination through a Bloom prefilter (eval side as
-        # a bit-array literal, never a string broadcast; bloom FPs die
-        # in the confirm join) — shares decontaminate's oracle verbatim
-        "decontaminate_bloom": C.q_decontaminate_bloom,
+        # bench-only surface (driver-looped, EAGER-timed in bench.py —
+        # never inside the window)
         "bpe_train": T.q_bpe_train,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -422,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "dedup_stats": D.ORACLE_DEDUP_STATS,
         "knn_label_vote": S.ORACLE_KNN_LABEL_VOTE,
+        "knn_ivf_agreement": API.ORACLE_KNN_IVF_AGREEMENT,
+        "dsir_resample": DSR.ORACLE_DSIR_RESAMPLE,
         "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
         "bpe_merges": T.ORACLE_BPE_MERGES,
         "bpe_encode": T.ORACLE_BPE_ENCODE,

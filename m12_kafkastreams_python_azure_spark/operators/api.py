@@ -458,3 +458,98 @@ def q_knn_label_vote_ivf(spark, sf_dir: str) -> DataFrame:
         labeled, unlabeled, method="ivf", k=k, nprobe=default_nprobe(k),
         index_path=ivf_index_dir(sf_dir, "knn_label_vote_ivf"),
     )
+
+
+# ------------------------------------------- IVF vote agreement bound
+
+# Tripwire floors for the oracle-checked agreement row. With 10 balanced
+# labels, chance agreement is ~0.10 and a broken candidate stage scores
+# ~chance (or coverage 0): measured label agreement at default nprobe is
+# 0.54 / 0.28 / 0.25 at sf0.001 / sf0.01 / sf0.1 — comfortably above the
+# floor at every tier, and any regression that breaks the IVF probe,
+# the vote join, or the coverage contract trips a flag to FALSE and
+# hash-mismatches the oracle's TRUE.
+KNN_IVF_AGREEMENT_FLOOR = 0.18
+KNN_IVF_COVERAGE_FLOOR = 0.95
+
+
+def knn_ivf_agreement(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 10,
+    agreement_floor: float = KNN_IVF_AGREEMENT_FLOOR,
+    coverage_floor: float = KNN_IVF_COVERAGE_FLOOR,
+    **ivf_kwargs,
+) -> DataFrame:
+    """Bound the IVF-approximate kNN vote against the exact twin IN the
+    query output (VERDICT r10 #6): run both candidate stages through the
+    shared vote, join on query_id, and emit ONE summary row —
+    ``(n_queries, k_used, agreement_ok, coverage_ok)`` — whose flag
+    columns assert the committed floors. The DuckDB oracle computes
+    ``n_queries`` for real (count of the unlabeled split) and predicts
+    the flags as literal TRUE, so the driver's value hash goes red the
+    moment IVF agreement or coverage regresses below floor. This is the
+    SQL-expressible spelling of the bound that previously lived only in
+    pytest (full-probe == exact parity + recall tests).
+
+    VALIDATION query by design: it embeds the exact brute-force scan
+    (O(|corpus|*|Q|)) next to the IVF path, so it belongs at audit
+    scale, not on the 100 TB hot path — the production spelling stays
+    ``knn_label_vote(method="ivf")``, bench-only, quadratic-free."""
+    from m12_kafkastreams_python_azure_spark.operators.ivf import default_nprobe
+
+    ivf_kwargs.setdefault("nprobe", default_nprobe(k))
+    ivf = knn_label_vote(labeled, unlabeled, method="ivf", k=k, **ivf_kwargs)
+    exact = knn_label_vote(labeled, unlabeled, method="exact", k=k)
+    j = exact.select(
+        "query_id", F.col("pred_label").alias("exact_label")
+    ).join(
+        ivf.select("query_id", F.col("pred_label").alias("ivf_label")),
+        "query_id",
+        "left",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(k).cast("int").alias("k_used"),
+        (
+            # coalesce: a query the IVF stage missed (NULL pred) must
+            # COUNT as disagreement, not be dropped from the average
+            F.avg(
+                F.coalesce(
+                    F.col("ivf_label") == F.col("exact_label"), F.lit(False)
+                ).cast("double")
+            )
+            >= F.lit(float(agreement_floor))
+        ).alias("agreement_ok"),
+        (
+            F.avg(F.col("ivf_label").isNotNull().cast("double"))
+            >= F.lit(float(coverage_floor))
+        ).alias("coverage_ok"),
+    )
+
+
+def q_knn_ivf_agreement(spark, sf_dir: str) -> DataFrame:
+    """Driver row for the IVF vote bound: same corpus split as the
+    production spelling (every 10th vector queries, the rest labeled),
+    same persisted index."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 10 == 0)
+    labeled = emb.filter(F.col("vec_id") % 10 != 0)
+    return knn_ivf_agreement(
+        labeled,
+        unlabeled,
+        k=10,
+        index_path=ivf_index_dir(sf_dir, "knn_label_vote_ivf"),
+    )
+
+
+ORACLE_KNN_IVF_AGREEMENT = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(10 AS INTEGER) AS k_used,
+       TRUE AS agreement_ok,
+       TRUE AS coverage_ok
+FROM embeddings
+WHERE vec_id % 10 = 0
+"""

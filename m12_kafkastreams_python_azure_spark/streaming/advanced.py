@@ -421,3 +421,123 @@ def start_keep_best_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------- streaming decontamination
+
+
+def decontaminate_batch_processor(
+    eval_docs: DataFrame,
+    state_dir: str,
+    n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch function for ``start_decontaminate_stream`` — the
+    incremental twin of ``corpus.decontaminate_bloom`` (VERDICT r10 #4):
+    corpus shards arrive as micro-batches and each is screened against a
+    FIXED eval set whose Bloom filter is built exactly once, at
+    processor construction, then reused by every batch.
+
+    Why stream == batch EXACTLY: per-document contamination is a
+    function of (the doc's grams, the eval gram set) alone — there is no
+    cross-document state — so screening shard-by-shard against the same
+    persisted eval grams produces precisely the rows the batch operator
+    produces over the union of shards. The discipline being exercised is
+    the state lifecycle, not the math:
+
+    - the eval gram set is written once to ``{state_dir}/eval_grams``
+      (parquet, the exact-confirm side) and the bloom words are
+      collected once into the closure (the ~25x-smaller probe side) —
+      a 10^8-gram eval set costs each micro-batch a closure-shipped bit
+      array plus a confirm join that only moves the bloom-surviving
+      sliver, never a per-batch rebuild or a string broadcast;
+    - per-batch output is a partition dir ``{state_dir}/contam/
+      batch=<id>`` written in overwrite mode — an at-least-once replay
+      of a batch rewrites its own partition instead of double-counting
+      (the ``keep_best_batch_processor`` replay discipline).
+    """
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        DECONTAM_N,
+        bloom_might_contain,
+        build_gram_bloom,
+        word_ngrams,
+    )
+
+    ngram_n = DECONTAM_N if n is None else n
+    spark = eval_docs.sparkSession
+    eval_dir = f"{state_dir}/eval_grams"
+    contam_dir = f"{state_dir}/contam"
+    if not dir_has_data(spark, eval_dir):
+        (
+            eval_docs.select(
+                F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("gram")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(eval_dir)
+        )
+    bloom, m_bits = build_gram_bloom(spark.read.parquet(eval_dir))
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        grams = batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("gram"),
+        )
+        totals = grams.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+        cand = grams.filter(bloom_might_contain(bloom, m_bits, F.col("gram")))
+        ev = bspark.read.parquet(eval_dir).withColumn("hit", F.lit(True))
+        confirmed = cand.join(ev, "gram")
+        out = (
+            confirmed.groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("n_collisions"))
+            .join(totals, "doc_id")
+            .select(
+                "doc_id",
+                "n_collisions",
+                "n_grams",
+                F.round(
+                    F.col("n_collisions").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ).alias("contam_ratio"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{contam_dir}/batch={batch_id}")
+
+    return _process
+
+
+def read_contaminated(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All contaminated docs seen by the stream so far (union of batch
+    partitions; ``batch`` column retained for audit)."""
+    return spark.read.option("basePath", f"{state_dir}/contam").parquet(
+        f"{state_dir}/contam"
+    )
+
+
+def start_decontaminate_stream(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming decontamination: after every micro-batch,
+    ``read_contaminated`` over ``state_dir`` equals
+    ``corpus.decontaminate_bloom``'s output on all train shards seen so
+    far (pinned in tests/test_streaming_decontam.py, replay included)."""
+    return (
+        docs.writeStream.foreachBatch(
+            decontaminate_batch_processor(
+                eval_docs, state_dir, n, text_col, id_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

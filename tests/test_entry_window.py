@@ -23,94 +23,88 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# Code/oracle changed in round 10 — each needs a fresh driver row
-# (phash_near_dup: planted near-dup corpus so the row value-checks real
-# pairs, VERDICT r09 #2; image_dhash: oracle builder parameterized
-# alongside; knn_label_vote_ivf: probe sizing revisited, VERDICT r09 #7).
-CHANGED_IN_R10 = [
-    "phash_near_dup",
-    "image_dhash",
-    "knn_label_vote_ivf",
+# Rotation-queue head (VERDICT r10 #1): word_positions ceded its r10
+# slot; audio_fingerprints/semantic_decontaminate were new-in-r10 at
+# 51+; quality_percentile_filter/dedup_keep_best gained shared-subtree
+# persists in r10 after that round's window was pinned.
+QUEUE_HEAD = [
+    "word_positions",
+    "audio_fingerprints",
+    "semantic_decontaminate",
+    "quality_percentile_filter",
+    "dedup_keep_best",
 ]
 
-# NEW in round 10: video near-dup (per-frame perceptual hashes composed
-# into clip-level matched-frame-fraction pairs; fully oracle-checked,
-# planted trimmed clones provide real positives — VERDICT r09 #4).
-NEW_IN_R10 = [
-    "video_near_dup",
-    "audio_near_dup",
+# The sixteen late-round-10 queries that never had a driver row
+# (judge-swept 18/18 green in r10; VERDICT r10 #1).
+LATE_R10_WAVE = [
+    "volume_shipping_q7",
+    "market_share_q8",
+    "returned_items_q10",
+    "top_supplier_q15",
+    "small_qty_revenue_q17",
+    "disjunctive_revenue_q19",
+    "lone_fault_supplier_q21",
+    "dormant_rich_customers_q22",
+    "quality_classifier",
+    "jl_project",
+    "token_entropy",
+    "hash_sample_per_group",
+    "trigram_backoff_score",
+    "ngram_novelty",
+    "scd2_pit_lookup",
+    "decontaminate_bloom",
 ]
 
-# The sixteen r02 rows VERDICT r09 #3 named as stale, rotated back in.
-R02_ROTATED_IN_R10 = [
-    "big_orders_having",
-    "cast_battery",
-    "date_spine_daily",
-    "decimal_totals",
-    "forecast_revenue_q6",
-    "grouping_sets",
-    "priority_count_q4",
-    "promo_revenue_q14",
-    "regexp_battery",
-    "shipmode_priority_q12",
-    "tumbling_hourly",
-    "union_all_activity",
-    "user_event_profile",
-    "window_frames",
-    "word_count",
-    "zscore_events",
+# NEW in round 11: the IVF vote bound as an oracle-checked summary row
+# (VERDICT r10 #6) and DSIR importance resampling (VERDICT r10 #5).
+NEW_IN_R11 = [
+    "knn_ivf_agreement",
+    "dsir_resample",
 ]
 
-# The fourteen r04 rows VERDICT r09 #3 named as stale, rotated back in.
-R04_ROTATED_IN_R10 = [
-    "asof_latest_order",
-    "asof_next_order",
-    "cte_sql",
-    "dataset_split",
-    "edit_distance_pairs",
-    "histogram_bins",
-    "hopping_hourly",
-    "map_functions",
-    "purchase_funnel",
-    "quality_report",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "value_band_join",
-    "zorder_key",
+# Next-stalest rows: last driver rows r06.
+R06_ROTATED_IN_R11 = [
+    "hll_merge_bound",
+    "quantile_sketch_bound",
+    "heavy_hitters",
 ]
 
-# Ten of the eleven next-stalest rows (last driver rows r05);
-# word_positions ceded its slot to audio_near_dup and rotates first
-# next round.
-R05_ROTATED_IN_R10 = [
-    "array_set_ops",
-    "arrow_byte_stats",
-    "benford_digits",
-    "bitwise_aggregates",
-    "cheapest_supplier",
-    "corr_battery",
-    "median_aggregates",
-    "orderkey_islands",
-    "region_revenue_share",
-    "string_functions2",
+# Nineteen of the forty-two r08-row queries (the oracle-checked cohort;
+# the remaining twenty-three rotate next round, stalest first).
+R08_ROTATED_IN_R11 = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "pagerank_parts",
+    "ann_topk",
+    "embedding_near_dup",
+    "normalize_embeddings",
+    "text_quality",
+    "clean_corpus",
+    "decontaminate",
+    "gopher_quality",
+    "pack_sequences",
+    "media_features",
+    "rollup_merge",
+    "record_linkage",
+    "scd2_history",
+    "semantic_dedup",
+    "dedup_stats",
+    "dup_span_coverage",
 ]
 
-# The only window entry allowed to lack a DuckDB oracle: k-means probing
-# is not SQL-expressible; bounded by the oracle-checked exact twins
-# (ann_topk, knn_label_vote — green rows on record) plus recall/parity
-# tests. phash_near_dup and video_near_dup are NOT here: their candidate
-# stages are complete (pigeonhole banding / exact frame-hash equi-join),
-# so both are fully oracle-checked despite being LSH-shaped.
-ROWS_ONLY = {
-    "knn_label_vote_ivf",
-}
+# Round 11's window has NO rows-only entry: knn_label_vote_ivf (the only
+# r10 one) moved to 51+ as the production bench spelling, and its bound
+# now lives in-window as the fully oracle-checked knn_ivf_agreement.
+ROWS_ONLY: set[str] = set()
 
 
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + CHANGED_IN_R10 + NEW_IN_R10
-        + R02_ROTATED_IN_R10 + R04_ROTATED_IN_R10 + R05_ROTATED_IN_R10
+        REFERENCE_SURFACE + QUEUE_HEAD + LATE_R10_WAVE + NEW_IN_R11
+        + R06_ROTATED_IN_R11 + R08_ROTATED_IN_R11
     )
     assert len(expected) == WINDOW
     assert window == expected
@@ -144,3 +138,14 @@ def test_bpe_train_is_outside_the_window():
     names = list(entrymod.queries())
     assert "bpe_train" in names
     assert names.index("bpe_train") >= WINDOW
+    assert names[-1] == "bpe_train"
+
+
+def test_production_ivf_spelling_still_declared():
+    """knn_label_vote_ivf must stay a queries() entry (bench surface,
+    rows-only by design) even though its correctness bound now rides
+    in-window as knn_ivf_agreement."""
+    names = list(entrymod.queries())
+    assert "knn_label_vote_ivf" in names
+    assert names.index("knn_label_vote_ivf") >= WINDOW
+    assert "knn_label_vote_ivf" not in entrymod.oracle_sql()
