@@ -133,6 +133,12 @@ HEADLINE = [
     "ngram_novelty",
     "scd2_pit_lookup",
     "decontaminate_bloom",
+    # round 11: DSIR importance resampling and the oracle-checked IVF
+    # vote bound (the latter EMBEDS the exact quadratic twin by design —
+    # validation query; joins knn_label_vote on the sf1 exclude list,
+    # its scale front door being knn_label_vote_ivf)
+    "dsir_resample",
+    "knn_ivf_agreement",
     "bpe_train",
 ]
 
@@ -207,10 +213,12 @@ def main() -> None:
     # SPARK_GRAFT_EXCLUDE: comma-separated queries to skip, recorded in the
     # output (never silent). Used by the sf1 tier to skip the
     # quadratic-BY-DESIGN oracle twins whose production paths ARE included:
-    # embedding_near_dup (LSH variant runs) and knn_label_vote (the exact
-    # brute-force candidate scan; knn_label_vote_ivf runs). At sf1 each
-    # exact twin is pure O(n^2) ground-truth machinery, not a plan anyone
-    # would run at scale.
+    # embedding_near_dup (LSH variant runs), knn_label_vote (the exact
+    # brute-force candidate scan; knn_label_vote_ivf runs), and — since
+    # round 11 — knn_ivf_agreement, which EMBEDS knn_label_vote as the
+    # ground-truth side of its oracle-checked bound (scale front door:
+    # knn_label_vote_ivf). At sf1 each exact twin is pure O(n^2)
+    # ground-truth machinery, not a plan anyone would run at scale.
     exclude = {
         s.strip() for s in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",")
         if s.strip()

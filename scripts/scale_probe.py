@@ -71,10 +71,18 @@ def main() -> None:
     out["docs_1x"] = n1
     out["docs_10x"] = n1 * REPLICAS
 
+    from m12_kafkastreams_python_azure_spark.operators import audits as AU
+
     for name, fn in (
         ("decontaminate", C.decontaminate),
         ("gopher_quality", C.gopher_quality),
         ("bigram_lm_score", C.bigram_lm_score),
+        # VERDICT r10 #3: the round-10 gram-keyed newcomers join the
+        # ladder — decontaminate_bloom (bit-array prefilter + confirm
+        # join) and ngram_novelty (gram-keyed min-agg) must show the
+        # same sublinear 10x factors as the dedup suite
+        ("decontaminate_bloom", C.decontaminate_bloom),
+        ("ngram_novelty", AU.ngram_novelty),
     ):
         t1 = timed(lambda: fn(parallel_scan(docs1)).count())
         t10 = timed(lambda: fn(parallel_scan(docs10)).count())
