@@ -92,28 +92,50 @@ def dsir_weights(
 
     Both count tables and both totals are bounded and broadcast; the
     only shuffle over corpus-sized data is the final doc_id sum."""
+    from pyspark.sql.window import Window
+
     tg = _grams(target, text_col)
     rg = _grams(raw, text_col)
-    tcounts = tg.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    rcounts = rg.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    ntot = tg.agg(F.count(F.lit(1)).cast("double").alias("nt"))
-    rtot = rg.agg(F.count(F.lit(1)).cast("double").alias("nr"))
+    # the model total rides INSIDE each count table as a window over the
+    # post-aggregation <=B rows (single partition of at most `buckets`
+    # rows — bounded by construction, and it saves two whole extra
+    # corpus scans + explodes that separate total subtrees would cost,
+    # Spark having no cross-subtree CSE)
+    wall = Window.partitionBy()
+    # dense bucket spine: the TARGET model must cover every bucket a raw
+    # gram can hash to (a bucket unseen in the target still needs the
+    # smoothed probability and the global total), so the <=B count rows
+    # join onto the full 0..B-1 spine before the total-window rides on
+    spine = target.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("b")
+    ).select(F.col("b").cast("long").alias("b"))
+    tcounts = (
+        spine.join(tg.groupBy("b").agg(F.count(F.lit(1)).alias("ct")), "b", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .withColumn("nt", F.sum("ct").over(wall).cast("double"))
+    )
+    rcounts = (
+        rg.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .withColumn("nr", F.sum("cr").over(wall).cast("double"))
+    )
     a = float(alpha)
     ab = float(alpha * buckets)
     scored = (
+        # tcounts covers all B buckets (inner-equivalent); rcounts is
+        # built from rg itself so every rg bucket is present — cr/nr
+        # never null
         rg.join(F.broadcast(tcounts), "b", "left")
         .join(F.broadcast(rcounts), "b", "left")
-        .crossJoin(F.broadcast(ntot))
-        .crossJoin(F.broadcast(rtot))
         .select(
             "doc_id",
             (
                 F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(a))
+                    (F.col("ct").cast("double") + F.lit(a))
                     / (F.col("nt") + F.lit(ab))
                 )
                 - F.log(
-                    (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + F.lit(a))
+                    (F.col("cr").cast("double") + F.lit(a))
                     / (F.col("nr") + F.lit(ab))
                 )
             ).alias("lr"),

@@ -80,10 +80,16 @@ def test_plan_topn_is_distributed_and_models_broadcast(spark):
     s = explain_str(DS.q_dsir_resample(spark, SF))
     assert "TakeOrderedAndProject" in s, "top-n must not be a global sort"
     assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s  # totals ride IN the models
     assert "BroadcastHashJoin" in s  # the bounded count-table models
     # the only Exchanges allowed: broadcasts + the doc_id hash aggs —
     # never a single-partition range/sort exchange
     assert "rangepartitioning" not in s.lower()
+    # scan budget: raw ids + raw grams-for-scoring + raw counts + target
+    # counts — the separate totals subtrees were folded into the models
+    # (count in the plan TREE only; the detail section repeats nodes)
+    tree = s.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 4, tree.count("Scan parquet")
 
 
 def test_construction_is_lazy(spark):
