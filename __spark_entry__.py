@@ -41,7 +41,10 @@ r04 rows, the 10 r05 rows) and knn_label_vote_ivf (its bound is now
 IN-window via knn_ivf_agreement). ``bpe_train`` stays last as a
 bench-only surface (driver-looped, EAGER-timed in bench.py — never
 inside the window).
-ROTATION QUEUE for round 12 (stalest first): the twenty-three r08
+ROTATION QUEUE for round 12 (stalest first): hard_negative_mining +
+anisotropy_audit (new late in round 11 at 51+, both oracle-checked
+and locally swept green at sf0.001 AND sf0.01 before commit), then
+the twenty-three r08
 rows not pulled this round (minhash_near_dup, ann_lsh, ann_ivf,
 embedding_near_dup_lsh, bm25_retrieval, knn_label_vote, bpe_merges,
 bpe_encode, token_budget_select, source_overlap, cms_merge_bound,
@@ -78,6 +81,7 @@ from m12_kafkastreams_python_azure_spark.operators import analytics13 as A13
 from m12_kafkastreams_python_azure_spark.operators import analytics14 as A14
 from m12_kafkastreams_python_azure_spark.operators import api as API
 from m12_kafkastreams_python_azure_spark.operators import dsir as DSR
+from m12_kafkastreams_python_azure_spark.operators import mining as MN
 from m12_kafkastreams_python_azure_spark.operators import audits as AU
 from m12_kafkastreams_python_azure_spark.operators import corpus as C
 from m12_kafkastreams_python_azure_spark.operators import curation as CU
@@ -285,6 +289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": A10.q_latest_event_per_user,
         "lang_id": T.q_lang_id,
         "doc_fingerprint": T.q_doc_fingerprint,
+        # NEW late in round 11, outside the window (join the round-12
+        # rotation queue): contrastive hard-negative mining (exact
+        # oracle twin; IVF front door) and the O(n) anisotropy audit
+        "hard_negative_mining": MN.q_hard_negative_mining,
+        "anisotropy_audit": MN.q_anisotropy_audit,
         # bench-only surface (driver-looped, EAGER-timed in bench.py —
         # never inside the window)
         "bpe_train": T.q_bpe_train,
@@ -402,6 +411,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_vote": S.ORACLE_KNN_LABEL_VOTE,
         "knn_ivf_agreement": API.ORACLE_KNN_IVF_AGREEMENT,
         "dsir_resample": DSR.ORACLE_DSIR_RESAMPLE,
+        "hard_negative_mining": MN.ORACLE_HARD_NEGATIVE_MINING,
+        "anisotropy_audit": MN.ORACLE_ANISOTROPY_AUDIT,
         "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
         "bpe_merges": T.ORACLE_BPE_MERGES,
         "bpe_encode": T.ORACLE_BPE_ENCODE,

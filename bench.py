@@ -136,9 +136,11 @@ HEADLINE = [
     # round 11: DSIR importance resampling and the oracle-checked IVF
     # vote bound (the latter EMBEDS the exact quadratic twin by design —
     # validation query; joins knn_label_vote on the sf1 exclude list,
-    # its scale front door being knn_label_vote_ivf)
+    # its scale front door being knn_label_vote_ivf), plus the O(n)
+    # anisotropy audit
     "dsir_resample",
     "knn_ivf_agreement",
+    "anisotropy_audit",
     "bpe_train",
 ]
 
