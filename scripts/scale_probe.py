@@ -72,6 +72,14 @@ def main() -> None:
     out["docs_10x"] = n1 * REPLICAS
 
     from m12_kafkastreams_python_azure_spark.operators import audits as AU
+    from m12_kafkastreams_python_azure_spark.operators import dsir as DS
+
+    def _dsir(docs):
+        # same split as q_dsir_resample; replicas repeat every source, so
+        # both halves scale 10x together
+        tgt = docs.filter(F.col("source").isin(*DS.DSIR_TARGET_SOURCES))
+        raw = docs.filter(~F.col("source").isin(*DS.DSIR_TARGET_SOURCES))
+        return DS.dsir_resample(tgt, raw)
 
     for name, fn in (
         ("decontaminate", C.decontaminate),
@@ -83,6 +91,10 @@ def main() -> None:
         # same sublinear 10x factors as the dedup suite
         ("decontaminate_bloom", C.decontaminate_bloom),
         ("ngram_novelty", AU.ngram_novelty),
+        # round-11 newcomer: hashed-n-gram models + Gumbel top-n — the
+        # models stay 256-row broadcasts at any corpus size, so the
+        # factor should track the explode+sum shuffle alone
+        ("dsir_resample", _dsir),
     ):
         t1 = timed(lambda: fn(parallel_scan(docs1)).count())
         t10 = timed(lambda: fn(parallel_scan(docs10)).count())
