@@ -141,6 +141,7 @@ HEADLINE = [
     "dsir_resample",
     "knn_ivf_agreement",
     "anisotropy_audit",
+    "ccnet_buckets",
     "bpe_train",
 ]
 

@@ -951,3 +951,98 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # bloom is transparent: the output contract IS decontaminate's, so the
 # oracle SQL is shared verbatim (assigned in __spark_entry__).
+
+
+# --------------------------------------- CCNet perplexity bucketing
+
+CCNET_HEAD_FRAC = 1.0 / 3.0
+CCNET_MIDDLE_FRAC = 2.0 / 3.0
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's language-model quality split (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document under a corpus LM, then split EACH LANGUAGE
+    into head / middle / tail terciles by score — pretraining recipes
+    keep head+middle and drop the tail. The scorer here is the engine's
+    own ``bigram_lm_score`` (CCNet uses a 5-gram KenLM; the bucketing
+    logic — per-language percentile split on a per-doc LM score — is
+    identical and scorer-agnostic).
+
+    Per-doc bucket = percent_rank within the language, ordered by
+    (avg_log2p DESC, doc_id) — higher mean log-probability = lower
+    perplexity = head. Deterministic across engines (the tie-break is
+    total). Output one row per (lang, bucket): any single mis-bucketed
+    document shifts a count and a mean.
+
+    Scale shape: the LM model tables are vocabulary-bounded broadcasts
+    (see ``bigram_lm_score``); the tercile split is ONE window per
+    language. Exact per-language percent_rank buffers a language's
+    scores on its reducer — kept exact for oracle parity (the
+    ``quality_percentile_filter`` discipline); the documented web-scale
+    path is per-language ``percentile_approx`` thresholds (a mergeable
+    sketch, no per-group buffering) joined back as a broadcast."""
+    from pyspark.sql.window import Window
+
+    scored = bigram_lm_score(docs)
+    langs = docs.select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_log2p").desc(), F.col("doc_id").asc()
+    )
+    bucketed = (
+        scored.join(langs, "doc_id")
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn(
+            "bucket",
+            F.when(F.col("pr") <= F.lit(CCNET_HEAD_FRAC), F.lit("head"))
+            .when(F.col("pr") <= F.lit(CCNET_MIDDLE_FRAC), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("avg_log2p"), 6).alias("mean_log2p"),
+        F.round(F.min("avg_log2p"), 6).alias("worst_log2p"),
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_buckets(parallel_scan(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH bi AS (
+  SELECT doc_id, unnest({word_ngrams_sql('text', 2)}) AS gram
+  FROM documents
+), g AS (
+  SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM bi
+), bc AS (
+  SELECT gram, count(*) AS c_bi FROM g GROUP BY gram
+), hc AS (
+  SELECT w1, count(*) AS c_w1 FROM g GROUP BY w1
+), scored AS (
+  -- ROUND to 6 like bigram_lm_score's output: the Spark path ranks and
+  -- averages the scorer's rounded per-doc scores, so the oracle must
+  -- rank/average the same values (and break rounding-induced ties the
+  -- same way, by doc_id)
+  SELECT g.doc_id,
+         ROUND(avg(log2(CAST(bc.c_bi AS DOUBLE) / CAST(hc.c_w1 AS DOUBLE))), 6)
+           AS avg_log2p
+  FROM g JOIN bc USING (gram) JOIN hc USING (w1)
+  GROUP BY g.doc_id
+), ranked AS (
+  SELECT d.lang, s.avg_log2p,
+         percent_rank() OVER (PARTITION BY d.lang
+                              ORDER BY s.avg_log2p DESC, s.doc_id) AS pr
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE WHEN pr <= {CCNET_HEAD_FRAC!r} THEN 'head'
+            WHEN pr <= {CCNET_MIDDLE_FRAC!r} THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(avg_log2p), 6) AS mean_log2p,
+       ROUND(min(avg_log2p), 6) AS worst_log2p
+FROM ranked
+GROUP BY 1, 2
+"""

@@ -252,3 +252,88 @@ FROM weighted
 ORDER BY gumbel_key DESC, doc_id
 LIMIT {DSIR_SELECT_N}
 """
+
+
+# ------------------------- persisted-model surface (streaming scorer)
+
+
+def dsir_model_tables(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """The two hashed-n-gram models as SPINE-COMPLETE tables — exactly
+    ``buckets`` rows each: (b, ct, nt) and (b, cr, nr). Batch
+    ``dsir_weights`` derives the same numbers inline; this spelling
+    exists so the models can be PERSISTED once and probed by many later
+    scoring passes (the streaming processor's contract — and the real
+    deployment shape: fit once on a raw sample, score shards forever).
+    Spine-completeness matters for the persisted form: a shard gram may
+    hash to a bucket the fitting sample never produced, and the smoothed
+    probability + the global total must still be there."""
+    spine = target.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("b")
+    ).select(F.col("b").cast("long").alias("b"))
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    tg = _grams(target, text_col)
+    rg = _grams(raw, text_col)
+    tmodel = (
+        spine.join(tg.groupBy("b").agg(F.count(F.lit(1)).alias("ct")), "b", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .withColumn("nt", F.sum("ct").over(wall).cast("double"))
+    )
+    rmodel = (
+        spine.join(rg.groupBy("b").agg(F.count(F.lit(1)).alias("cr")), "b", "left")
+        .withColumn("cr", F.coalesce("cr", F.lit(0)))
+        .withColumn("nr", F.sum("cr").over(wall).cast("double"))
+    )
+    return tmodel, rmodel
+
+
+def dsir_score_with_models(
+    docs: DataFrame,
+    tmodel: DataFrame,
+    rmodel: DataFrame,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """Score documents against PRE-FIT models (the probe half of
+    ``dsir_weights``): one explode + two <=B-row broadcast joins + one
+    doc_id sum; gram-less docs come back neutral (0 weight). With
+    models fit on the same target/raw split, this reproduces
+    ``dsir_weights`` exactly — pinned in tests."""
+    a = float(alpha)
+    ab = float(alpha * buckets)
+    g = _grams(docs, text_col)
+    scored = (
+        g.join(F.broadcast(tmodel), "b", "left")
+        .join(F.broadcast(rmodel), "b", "left")
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("ct").cast("double") + F.lit(a)) / (F.col("nt") + F.lit(ab)))
+                - F.log((F.col("cr").cast("double") + F.lit(a)) / (F.col("nr") + F.lit(ab)))
+            ).alias("lr"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("log_weight"), F.count(F.lit(1)).alias("n_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        )
+    )
+
+
+def gumbel_key_col(id_col: Column) -> Column:
+    """Public spelling of the deterministic Gumbel draw (streaming and
+    batch must share it bit-for-bit)."""
+    return _gumbel_key(id_col)

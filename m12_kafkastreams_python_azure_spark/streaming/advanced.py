@@ -541,3 +541,106 @@ def start_decontaminate_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ----------------------------------------------- streaming DSIR scoring
+
+
+def dsir_batch_processor(
+    target_docs: DataFrame,
+    raw_sample: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch function for ``start_dsir_stream`` — the incremental
+    twin of ``dsir.dsir_weights``, in the deployment shape the paper
+    assumes: the target and raw hashed-n-gram models are FIT ONCE (on
+    the target set and a raw sample) at processor construction,
+    persisted to ``{state_dir}/models/``, and every arriving corpus
+    shard is scored against them — a narrow pass + two <=256-row
+    broadcast joins per batch, never a per-batch model rebuild.
+
+    Why stream == batch EXACTLY (pinned in tests): per-document weight
+    is a function of (the doc's grams, the two fixed models) alone, so
+    scoring shard-by-shard against persisted models reproduces the
+    batch weights whenever the batch models were fit on the same split.
+    The per-doc Gumbel key (md5-derived) is written alongside, so a
+    downstream ``read_dsir_selection`` over the CUMULATIVE weights is
+    the same Gumbel-top-n sample ``dsir_resample`` draws — the stream
+    never has to re-shuffle history to keep the sample correct, because
+    top-n over (append-only keys) is monotone.
+
+    Replay safety: per-batch overwrite partitions, the
+    ``decontaminate_batch_processor`` discipline."""
+    from m12_kafkastreams_python_azure_spark.operators.dsir import (
+        dsir_model_tables,
+        dsir_score_with_models,
+        gumbel_key_col,
+    )
+
+    spark = target_docs.sparkSession
+    tdir = f"{state_dir}/models/target"
+    rdir = f"{state_dir}/models/raw"
+    wdir = f"{state_dir}/weights"
+    if not (dir_has_data(spark, tdir) and dir_has_data(spark, rdir)):
+        tmodel, rmodel = dsir_model_tables(
+            target_docs, raw_sample, text_col
+        )
+        tmodel.coalesce(1).write.mode("overwrite").parquet(tdir)
+        rmodel.coalesce(1).write.mode("overwrite").parquet(rdir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        tmodel = bspark.read.parquet(tdir)
+        rmodel = bspark.read.parquet(rdir)
+        docs = batch.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        out = dsir_score_with_models(docs, tmodel, rmodel).withColumn(
+            "gumbel_key", F.col("log_weight") + gumbel_key_col(F.col("doc_id"))
+        )
+        out.write.mode("overwrite").parquet(f"{wdir}/batch={batch_id}")
+
+    return _process
+
+
+def read_dsir_weights(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.option("basePath", f"{state_dir}/weights").parquet(
+        f"{state_dir}/weights"
+    )
+
+
+def read_dsir_selection(
+    spark: SparkSession, state_dir: str, n: int
+) -> DataFrame:
+    """Gumbel-top-n over everything scored so far — equals
+    ``dsir_resample`` on the union of shards when the models match."""
+    return (
+        read_dsir_weights(spark, state_dir)
+        .drop("batch")
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(n)
+    )
+
+
+def start_dsir_stream(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    raw_sample: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming DSIR scoring: fit-once models, score every micro-batch,
+    cumulative Gumbel-top-n via ``read_dsir_selection``."""
+    return (
+        docs.writeStream.foreachBatch(
+            dsir_batch_processor(
+                target_docs, raw_sample, state_dir, text_col, id_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
