@@ -142,6 +142,7 @@ HEADLINE = [
     "knn_ivf_agreement",
     "anisotropy_audit",
     "ccnet_buckets",
+    "temperature_sample",
     "bpe_train",
 ]
 

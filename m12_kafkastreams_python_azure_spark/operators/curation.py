@@ -967,3 +967,105 @@ FROM (
 )
 WHERE rk <= {SAMPLE_K}
 """
+
+
+# ------------------------------ multilingual temperature sampling
+
+TEMP_ALPHA = 0.3       # XLM-R / mT5 exponent: upsample the tail
+TEMP_BUDGET_FRAC = 0.5  # target corpus size as a fraction of the input
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = TEMP_ALPHA,
+    budget_frac: float = TEMP_BUDGET_FRAC,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual sampling (Conneau et al. 2019
+    XLM-R §3.1; Xue et al. 2020 mT5): resample so language l's share
+    moves from n_l/N toward the flattened p_l = n_l^alpha / sum_m
+    n_m^alpha — high-resource languages are downsampled, the tail keeps
+    (relatively) more. For a target budget S = budget_frac * N, each
+    doc of language l is kept with probability q_l = min(1,
+    S * p_l / n_l), decided by the doc's own md5-derived uniform — the
+    sample is REPRODUCIBLE across engines and runs, and adding new
+    documents never flips the keep decision of an old one (a property
+    random.random() sampling lacks; the dataset_mix discipline).
+
+    Output one row per language — (lang, n_docs, n_kept, keep_prob) —
+    so any single flipped keep decision shifts a count.
+
+    Scale shape: the rates table is |langs| rows built from one
+    map-side-combined count (totals fold in as a bounded window, the
+    dsir discipline) and broadcast back; the keep decision is one
+    narrow filter. Nothing anywhere is proportional to corpus size but
+    the single scan."""
+    rates_w = Window.partitionBy()
+    rates = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("n_total", F.sum("n_docs").over(rates_w))
+        .withColumn("p_num", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+        .withColumn("p_den", F.sum("p_num").over(rates_w))
+        .withColumn(
+            "keep_prob",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_frac))
+                * F.col("n_total").cast("double")
+                * (F.col("p_num") / F.col("p_den"))
+                / F.col("n_docs").cast("double"),
+            ),
+        )
+        .select(group_col, "n_docs", "keep_prob")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    kept = (
+        docs.join(F.broadcast(rates), group_col)
+        .withColumn("_keep", u < F.col("keep_prob"))
+    )
+    return kept.groupBy(group_col).agg(
+        F.max("n_docs").alias("n_docs"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.round(F.max("keep_prob"), 6).alias("keep_prob"),
+    )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _md5_u_sql(expr: str) -> str:
+    nib = "(strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1)"
+    terms = " + ".join(
+        nib.format(e=expr, i=i + 1) + f" * {16 ** (12 - i)}" for i in range(13)
+    )
+    return f"((({terms}) + 0.5) / {float(1 << 52)!r})"
+
+
+ORACLE_TEMPERATURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_docs,
+         LEAST(1.0,
+               {TEMP_BUDGET_FRAC!r} * (SUM(n_docs) OVER ())
+               * (pow(n_docs, {TEMP_ALPHA!r})
+                  / (SUM(pow(n_docs, {TEMP_ALPHA!r})) OVER ()))
+               / n_docs) AS keep_prob
+  FROM counts
+)
+SELECT d.lang,
+       CAST(MAX(r.n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {_md5_u_sql("CAST(d.doc_id AS VARCHAR)")}
+                          < r.keep_prob THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       ROUND(MAX(r.keep_prob), 6) AS keep_prob
+FROM documents d JOIN rates r USING (lang)
+GROUP BY d.lang
+"""

@@ -788,3 +788,64 @@ def banded_hamming_pairs(
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on documents (rows-only driver check)."""
     return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------- LSH banding planner
+
+
+def lsh_recall(j: float, bands: int, rows: int) -> float:
+    """Probability a pair at Jaccard ``j`` lands in >=1 shared band:
+    ``1 - (1 - j^rows)^bands`` (the MMDS banding S-curve)."""
+    return 1.0 - (1.0 - j**rows) ** bands
+
+
+def minhash_plan(
+    jaccard_threshold: float,
+    target_recall: float = 0.95,
+    max_hashes: int = 64,
+) -> dict:
+    """Choose (num_hashes, bands, rows_per_band) for
+    ``minhash_near_dup_pairs``: the CHEAPEST banding whose S-curve
+    recall at the operating threshold meets ``target_recall``.
+
+    Cost model, in order: fewer total hashes k = bands*rows beats more
+    (k drives both the signature compute and the shuffle width — each
+    band hash is one shuffle key row per doc); at equal k, more rows
+    per band beats fewer (higher r sharpens the S-curve, so fewer
+    sub-threshold candidate pairs reach the exact-Jaccard verify).
+    The measured SCALE.md banding sweep is the empirical version of
+    this table (r dominates recall; every r=2 config hits 1.0 at
+    J=0.8).
+
+    Returns {num_hashes, bands, rows_per_band, recall_at_threshold} —
+    the recall is the guarantee AT the threshold; pairs above it only
+    do better (the S-curve is monotone in j). Raises if no plan within
+    ``max_hashes`` meets the target (lower the target or raise the
+    budget)."""
+    if not 0.0 < jaccard_threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1): {jaccard_threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1): {target_recall}")
+    best = None
+    for k in range(2, max_hashes + 1):
+        for r in range(k, 0, -1):  # prefer sharp curves at equal k
+            if k % r != 0:
+                continue
+            b = k // r
+            rec = lsh_recall(jaccard_threshold, b, r)
+            if rec >= target_recall:
+                best = {
+                    "num_hashes": k,
+                    "bands": b,
+                    "rows_per_band": r,
+                    "recall_at_threshold": round(rec, 6),
+                }
+                break
+        if best:
+            break
+    if best is None:
+        raise ValueError(
+            f"no banding within {max_hashes} hashes reaches recall "
+            f"{target_recall} at J={jaccard_threshold}"
+        )
+    return best
