@@ -389,3 +389,108 @@ def test_hash_sample_matches_brute_force(spark, rows, k):
         for rank, i in enumerate(ranked[:k], start=1):
             expected[(g, i)] = rank
     assert got == expected
+
+
+# ----------------------------------------------- dsir_weights (r11)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=24),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.text(alphabet="bcd ", min_size=1, max_size=24),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_dsir_weights_match_pure_python(spark, tgt_texts, raw_texts):
+    import hashlib
+    import math
+
+    from m12_kafkastreams_python_azure_spark.operators.dsir import (
+        DSIR_ALPHA,
+        DSIR_BUCKETS,
+        dsir_weights,
+    )
+
+    def grams(text):
+        toks = [w for w in text.strip().split() if w]
+        gs = list(toks)
+        gs += [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        # word_ngrams(n=2) returns [] below 2 tokens
+        if len(toks) < 2:
+            gs = list(toks)
+        return gs
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:2], 16) % DSIR_BUCKETS
+
+    tgt = [(i, t) for i, t in enumerate(tgt_texts)]
+    raw = [(100 + i, t) for i, t in enumerate(raw_texts)]
+    tdf = spark.createDataFrame(tgt, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    got = {
+        r.doc_id: (round(r.log_weight, 6), r.n_grams)
+        for r in dsir_weights(tdf, rdf).collect()
+    }
+
+    tcounts: dict[int, int] = {}
+    for _, t in tgt:
+        for g in grams(t):
+            tcounts[bucket(g)] = tcounts.get(bucket(g), 0) + 1
+    rcounts: dict[int, int] = {}
+    for _, t in raw:
+        for g in grams(t):
+            rcounts[bucket(g)] = rcounts.get(bucket(g), 0) + 1
+    nt, nr = sum(tcounts.values()), sum(rcounts.values())
+    a, ab = DSIR_ALPHA, DSIR_ALPHA * DSIR_BUCKETS
+    for did, text in raw:
+        gs = grams(text)
+        w = sum(
+            math.log((tcounts.get(bucket(g), 0) + a) / (nt + ab))
+            - math.log((rcounts.get(bucket(g), 0) + a) / (nr + ab))
+            for g in gs
+        )
+        assert got[did][1] == len(gs), (text, got[did])
+        assert abs(got[did][0] - round(w, 6)) < 2e-6, (text, got[did], w)
+
+
+# ------------------------------------------ temperature_sample (r11)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["de", "en", "fr", "sw"]),
+        st.integers(1, 40),
+        min_size=1,
+        max_size=4,
+    ),
+    st.floats(0.1, 1.0),
+)
+def test_temperature_rates_match_pure_python(spark, lang_sizes, alpha):
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        TEMP_BUDGET_FRAC,
+        temperature_sample,
+    )
+
+    rows, nid = [], 0
+    for lang, n in sorted(lang_sizes.items()):
+        for _ in range(n):
+            rows.append((nid, "t", lang))
+            nid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.lang: (r.n_docs, r.keep_prob)
+        for r in temperature_sample(docs, alpha=alpha).collect()
+    }
+    n_total = sum(lang_sizes.values())
+    den = sum(n**alpha for n in lang_sizes.values())
+    for lang, n in lang_sizes.items():
+        q = min(1.0, TEMP_BUDGET_FRAC * n_total * (n**alpha / den) / n)
+        assert got[lang][0] == n
+        assert abs(got[lang][1] - round(q, 6)) < 2e-6, (lang, q, got[lang])
