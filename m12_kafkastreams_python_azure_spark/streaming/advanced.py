@@ -644,3 +644,110 @@ def start_dsir_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ------------------------------------- streaming temperature sampling
+
+
+def temperature_batch_processor(
+    fit_docs: DataFrame,
+    state_dir: str,
+    alpha: float | None = None,
+    budget_frac: float | None = None,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+):
+    """foreachBatch function for ``start_temperature_stream`` — the
+    incremental twin of ``curation.temperature_sample``: per-language
+    keep RATES are fit once (on a fitting corpus — in production, the
+    crawl's language census) and persisted to ``{state_dir}/rates``;
+    every arriving shard is filtered by each doc's md5-derived uniform
+    against its language's rate — one broadcast join + one narrow
+    filter per batch.
+
+    stream == batch EXACTLY because the keep decision is a pure
+    function of (doc_id, the fixed rates): shards filtered one at a
+    time keep precisely the docs ``temperature_sample`` keeps over the
+    union (pinned in tests, per-batch and cumulative). Kept doc_ids are
+    written per-batch (overwrite partitions — replay idempotent)."""
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        TEMP_ALPHA,
+        TEMP_BUDGET_FRAC,
+    )
+    from pyspark.sql.window import Window
+
+    a = TEMP_ALPHA if alpha is None else alpha
+    bf = TEMP_BUDGET_FRAC if budget_frac is None else budget_frac
+    spark = fit_docs.sparkSession
+    rdir = f"{state_dir}/rates"
+    kdir = f"{state_dir}/kept"
+    if not dir_has_data(spark, rdir):
+        w = Window.partitionBy()
+        rates = (
+            fit_docs.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("n_total", F.sum("n_docs").over(w))
+            .withColumn(
+                "p_num",
+                F.pow(F.col("n_docs").cast("double"), F.lit(float(a))),
+            )
+            .withColumn("p_den", F.sum("p_num").over(w))
+            .withColumn(
+                "keep_prob",
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(bf))
+                    * F.col("n_total").cast("double")
+                    * (F.col("p_num") / F.col("p_den"))
+                    / F.col("n_docs").cast("double"),
+                ),
+            )
+            .select(group_col, "keep_prob")
+        )
+        rates.coalesce(1).write.mode("overwrite").parquet(rdir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        rates = bspark.read.parquet(rdir)
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 52))
+        kept = (
+            batch.join(F.broadcast(rates), group_col)
+            .filter(u < F.col("keep_prob"))
+            .select(F.col(id_col).alias("doc_id"), group_col)
+        )
+        kept.write.mode("overwrite").parquet(f"{kdir}/batch={batch_id}")
+
+    return _process
+
+
+def read_temperature_kept(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.option("basePath", f"{state_dir}/kept").parquet(
+        f"{state_dir}/kept"
+    )
+
+
+def start_temperature_stream(
+    docs: DataFrame,
+    fit_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    alpha: float | None = None,
+    budget_frac: float | None = None,
+) -> StreamingQuery:
+    """Streaming temperature sampling: fit-once rates, filter every
+    micro-batch; ``read_temperature_kept`` equals the batch operator's
+    keep set over all shards seen."""
+    return (
+        docs.writeStream.foreachBatch(
+            temperature_batch_processor(
+                fit_docs, state_dir, alpha, budget_frac
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
