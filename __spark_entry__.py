@@ -42,8 +42,8 @@ IN-window via knn_ivf_agreement). ``bpe_train`` stays last as a
 bench-only surface (driver-looped, EAGER-timed in bench.py — never
 inside the window).
 ROTATION QUEUE for round 12 (stalest first): hard_negative_mining +
-anisotropy_audit + ccnet_buckets + temperature_sample (new late in
-round 11 at 51+, all oracle-checked
+anisotropy_audit + ccnet_buckets + temperature_sample +
+cdc_chunk_dedup (new late in round 11 at 51+, all oracle-checked
 and locally swept green at sf0.001 AND sf0.01 before commit), then
 the twenty-three r08
 rows not pulled this round (minhash_near_dup, ann_lsh, ann_ivf,
@@ -301,6 +301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # XLM-R/mT5 temperature sampling (md5-reproducible keeps) —
         # fully oracle-checked
         "temperature_sample": CU.q_temperature_sample,
+        # content-defined chunking dedup (LBFS rolling-boundary; planted
+        # prefix-shifted clones give real shared-chunk positives) —
+        # fully oracle-checked
+        "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
         # bench-only surface (driver-looped, EAGER-timed in bench.py —
         # never inside the window)
         "bpe_train": T.q_bpe_train,
@@ -422,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "anisotropy_audit": MN.ORACLE_ANISOTROPY_AUDIT,
         "ccnet_buckets": C.ORACLE_CCNET_BUCKETS,
         "temperature_sample": CU.ORACLE_TEMPERATURE_SAMPLE,
+        "cdc_chunk_dedup": CU.ORACLE_CDC_CHUNK_DEDUP,
         "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
         "bpe_merges": T.ORACLE_BPE_MERGES,
         "bpe_encode": T.ORACLE_BPE_ENCODE,

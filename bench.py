@@ -143,6 +143,7 @@ HEADLINE = [
     "anisotropy_audit",
     "ccnet_buckets",
     "temperature_sample",
+    "cdc_chunk_dedup",
     "bpe_train",
 ]
 

@@ -45,6 +45,9 @@ from m12_kafkastreams_python_azure_spark.functions.vectors import (
     l2_norm,
 )
 from m12_kafkastreams_python_azure_spark.operators.similarity import _probe_dim
+from m12_kafkastreams_python_azure_spark.operators.corpus import (
+    word_ngrams as corpus_ngrams,
+)
 from m12_kafkastreams_python_azure_spark.sources.readers import (
     load_table,
     parallel_scan,
@@ -1069,3 +1072,194 @@ SELECT d.lang,
 FROM documents d JOIN rates r USING (lang)
 GROUP BY d.lang
 """
+
+
+# ------------------------------ content-defined chunking (CDC dedup)
+
+CDC_WINDOW = 3   # rolling window (tokens) the boundary test hashes
+CDC_DIVISOR = 8  # boundary prob 1/D -> ~D-token expected chunks
+CDC_PLANT_EVERY = 10
+CDC_PLANT_OFFSET = 10_000_000
+CDC_PLANT_PREFIX = "inserted preamble tokens"
+
+
+def _md5_byte(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("long")
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync trick — Muthitacharoen
+    et al. 2001): cut each document where the hash of the LAST ``window``
+    tokens satisfies ``H % divisor == 0``, so chunk boundaries are a
+    function of CONTENT, not position. A few tokens inserted at the
+    front of a copied document shifts every fixed-width segment
+    (``segment_dedup`` finds nothing) but leaves all post-edit CDC
+    boundaries in place — the duplicated tail still chunks identically
+    and cross-doc chunk dedup still fires. Output: (doc_id, chunk_idx,
+    chunk).
+
+    Pure narrow pass: tokens, the window-gram array, boundary
+    positions, and chunk slices are all per-row HOF algebra over
+    PROJECTED attributes (each stage materializes its array into a
+    column first — a lambda capturing an attribute re-reads it, a
+    lambda capturing an expression TREE re-computes it per element).
+    The boundary hash is one md5 byte, so the DuckDB oracle cuts at
+    byte-identical positions."""
+    w = window
+    toked = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("w"),
+        corpus_ngrams(F.col("text"), w).alias("g"),
+    )
+    n = F.size("w")
+    with_bounds = toked.select(
+        "doc_id",
+        "w",
+        F.when(
+            n > w,
+            F.filter(
+                F.sequence(F.lit(w), n - 1),
+                lambda j: _md5_byte(F.element_at(F.col("g"), j - F.lit(w - 1)))
+                % divisor
+                == 0,
+            ),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("bpos"),
+    )
+    cuts = F.concat(
+        F.array(F.lit(0)), F.col("bpos").cast("array<int>"), F.array(F.size("w"))
+    )
+    with_cuts = with_bounds.select("doc_id", "w", cuts.alias("cuts"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("cuts") - 1),
+        lambda k: F.array_join(
+            F.slice(
+                F.col("w"),
+                F.element_at(F.col("cuts"), k) + 1,
+                F.element_at(F.col("cuts"), k + 1)
+                - F.element_at(F.col("cuts"), k),
+            ),
+            " ",
+        ),
+    )
+    return with_cuts.filter(F.size("w") > 0).select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document CDC dedup audit: total chunks, chunks also present
+    in >= ``min_docs`` distinct documents, and the shared fraction.
+    The cross-doc frequency is a chunk-keyed groupBy + countDistinct
+    (map-side combined; never a collect_set window over the hottest
+    chunk — the segment_dedup discipline), joined back on the chunk."""
+    ch = cdc_chunks(docs, window, divisor)
+    freq = (
+        ch.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .select("chunk", (F.col("_nd") >= min_docs).alias("is_shared"))
+    )
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("is_shared").cast("long")).alias("n_shared"),
+            F.round(
+                F.sum(F.col("is_shared").cast("double"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def docs_with_planted_shifted_clones(docs: DataFrame) -> DataFrame:
+    """Every CDC_PLANT_EVERY-th document cloned with a short PREFIX
+    insertion (id + CDC_PLANT_OFFSET) — the edit that defeats
+    fixed-width segmentation but not content-defined boundaries; gives
+    the driver row real shared-chunk positives at every SF (the
+    multimodal planted-corpus discipline)."""
+    clones = docs.filter(
+        (F.col("doc_id") % CDC_PLANT_EVERY == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + F.lit(CDC_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.lit(CDC_PLANT_PREFIX + " "), F.col("text")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(clones)
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_chunk_dedup(
+        docs_with_planted_shifted_clones(
+            parallel_scan(load_table(spark, sf_dir, "documents"))
+        )
+    )
+
+
+def _oracle_cdc() -> str:
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        word_ngrams_sql,
+    )
+
+    w, d = CDC_WINDOW, CDC_DIVISOR
+    md5b = (
+        "((strpos('0123456789abcdef', substr(md5({e}), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5({e}), 2, 1)) - 1))"
+    )
+    bexpr = md5b.format(e=f"g[j - {w - 1}]")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CDC_PLANT_OFFSET}, '{CDC_PLANT_PREFIX} ' || text
+  FROM documents
+  WHERE doc_id % {CDC_PLANT_EVERY} = 0 AND text IS NOT NULL
+), toked AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         {word_ngrams_sql('text', w)} AS g
+  FROM base WHERE text IS NOT NULL
+), bounded AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) > {w}
+              THEN list_filter(range({w}, len(w)),
+                               j -> {bexpr} % {d} = 0)
+              ELSE [] END AS bpos
+  FROM toked
+), cutted AS (
+  SELECT doc_id, w,
+         list_concat(list_concat([0], bpos), [len(w)]) AS cuts
+  FROM bounded WHERE len(w) > 0
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(cuts)),
+                k -> array_to_string(w[cuts[k] + 1:cuts[k + 1]], ' ')))
+           AS chunk
+  FROM cutted
+), freq AS (
+  SELECT chunk, count(DISTINCT doc_id) >= 2 AS is_shared
+  FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.is_shared THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(SUM(CASE WHEN f.is_shared THEN 1.0 ELSE 0.0 END) / count(*), 6)
+         AS shared_frac
+FROM chunks c JOIN freq f USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
+ORACLE_CDC_CHUNK_DEDUP = _oracle_cdc()

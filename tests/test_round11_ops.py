@@ -119,3 +119,58 @@ def test_planner_rejects_impossible_targets():
         minhash_plan(0.05, target_recall=0.999, max_hashes=4)
     with pytest.raises(ValueError):
         minhash_plan(1.5)
+
+
+# ------------------------------------------- content-defined chunking
+
+
+def test_cdc_boundaries_survive_a_prefix_insertion(spark):
+    """THE content-defined property: inserting tokens at the front of a
+    copy shifts every fixed-width segment but leaves post-edit CDC
+    boundaries (hash of the last W tokens) in place — the clone's tail
+    chunks identically and cross-doc dedup fires."""
+    base = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "three new tokens " + base)],
+        "doc_id long, text string",
+    )
+    ch = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in CU.cdc_chunks(docs).collect()
+    }
+    a = [v for (d, _), v in sorted(ch.items()) if d == 1]
+    b = [v for (d, _), v in sorted(ch.items()) if d == 2]
+    shared = set(a) & set(b)
+    # everything after the first post-insertion boundary is identical
+    assert len(shared) >= len(a) - 2, (len(shared), len(a))
+
+    out = {r.doc_id: r for r in CU.cdc_chunk_dedup(docs).collect()}
+    assert out[1].n_shared >= out[1].n_chunks - 2
+    assert out[2].shared_frac > 0.8
+
+    # the SAME edit defeats fixed-width segmentation almost entirely
+    segs = {r.doc_id: r for r in CU.segment_dedup(docs, min_docs=2).collect()}
+    assert segs[1].n_boiler <= 1  # shifted 20-word grid: ~no matches
+
+
+def test_cdc_chunks_reassemble_the_document(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(57)))],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        CU.cdc_chunks(docs).collect(), key=lambda r: r.chunk_idx
+    )
+    rebuilt = " ".join(r.chunk for r in rows)
+    assert rebuilt == docs.first().text
+
+
+def test_cdc_short_and_null_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "solo")],
+        "doc_id long, text string",
+    )
+    ch = CU.cdc_chunks(docs).collect()
+    got = {(r.doc_id, r.chunk_idx, r.chunk) for r in ch}
+    # below the window size: one chunk, the whole doc; null text: no rows
+    assert got == {(1, 0, "a b"), (3, 0, "solo")}
