@@ -72,6 +72,7 @@ def main() -> None:
     out["docs_10x"] = n1 * REPLICAS
 
     from m12_kafkastreams_python_azure_spark.operators import audits as AU
+    from m12_kafkastreams_python_azure_spark.operators import curation as CU2
     from m12_kafkastreams_python_azure_spark.operators import dsir as DS
 
     def _dsir(docs):
@@ -95,6 +96,14 @@ def main() -> None:
         # models stay 256-row broadcasts at any corpus size, so the
         # factor should track the explode+sum shuffle alone
         ("dsir_resample", _dsir),
+        # round-11 late wave: per-lang LM terciles (the exact-percentile
+        # window is the documented caveat — the 10x factor shows its
+        # cost), CDC chunk dedup (10x-replicated docs are the
+        # worst-case all-chunks-shared corpus), and temperature
+        # sampling (|langs|-row rates — should be ~flat)
+        ("ccnet_buckets", C.ccnet_buckets),
+        ("cdc_chunk_dedup", CU2.cdc_chunk_dedup),
+        ("temperature_sample", CU2.temperature_sample),
     ):
         t1 = timed(lambda: fn(parallel_scan(docs1)).count())
         t10 = timed(lambda: fn(parallel_scan(docs10)).count())
