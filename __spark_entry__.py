@@ -43,7 +43,8 @@ bench-only surface (driver-looped, EAGER-timed in bench.py — never
 inside the window).
 ROTATION QUEUE for round 12 (stalest first): hard_negative_mining +
 anisotropy_audit + ccnet_buckets + temperature_sample +
-cdc_chunk_dedup (new late in round 11 at 51+, all oracle-checked
+cdc_chunk_dedup + quality_calibration (new late in round 11 at 51+,
+all oracle-checked
 and locally swept green at sf0.001 AND sf0.01 before commit), then
 the twenty-three r08
 rows not pulled this round (minhash_near_dup, ann_lsh, ann_ivf,
@@ -305,6 +306,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-shifted clones give real shared-chunk positives) —
         # fully oracle-checked
         "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
+        # reliability-diagram calibration of the quality classifier
+        # against the Gopher gate (fully oracle-checked), and the
+        # PRODUCTION IVF spelling of hard-negative mining (rows-only,
+        # bounded by the oracle-checked exact twin + parity test)
+        "quality_calibration": C.q_quality_calibration,
+        "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
         # bench-only surface (driver-looped, EAGER-timed in bench.py —
         # never inside the window)
         "bpe_train": T.q_bpe_train,
@@ -427,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": C.ORACLE_CCNET_BUCKETS,
         "temperature_sample": CU.ORACLE_TEMPERATURE_SAMPLE,
         "cdc_chunk_dedup": CU.ORACLE_CDC_CHUNK_DEDUP,
+        "quality_calibration": C.ORACLE_QUALITY_CALIBRATION,
         "bpe_pair_counts": T.ORACLE_BPE_PAIR_COUNTS,
         "bpe_merges": T.ORACLE_BPE_MERGES,
         "bpe_encode": T.ORACLE_BPE_ENCODE,
@@ -469,10 +477,11 @@ def oracle_sql() -> dict[str, str]:
         "normalize_embeddings": V.ORACLE_NORMALIZE_EMBEDDINGS,
         "geomean_prices": V.ORACLE_GEOMEAN_PRICES,
         # minhash_near_dup / simhash_near_dup / ann_lsh / ann_ivf /
-        # embedding_near_dup_lsh / ann_pq / ann_ivfpq / knn_label_vote_ivf:
+        # embedding_near_dup_lsh / ann_pq / ann_ivfpq / knn_label_vote_ivf /
+        # hard_negative_mining_ivf:
         # intentionally no oracle — LSH banding and k-means probing are not
         # SQL-expressible; their exact counterparts (ngram_jaccard_pairs,
-        # embedding_near_dup, ann_topk, knn_label_vote) are oracle-checked
-        # and bound them. phash_near_dup is the exception that proves the
+        # embedding_near_dup, ann_topk, knn_label_vote,
+        # hard_negative_mining) are oracle-checked and bound them. phash_near_dup is the exception that proves the
         # rule: its banding is pigeonhole-complete, so it IS oracle-checked.
     }

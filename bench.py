@@ -144,6 +144,8 @@ HEADLINE = [
     "ccnet_buckets",
     "temperature_sample",
     "cdc_chunk_dedup",
+    "quality_calibration",
+    "hard_negative_mining_ivf",
     "bpe_train",
 ]
 

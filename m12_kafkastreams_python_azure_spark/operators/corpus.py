@@ -1046,3 +1046,65 @@ SELECT lang,
 FROM ranked
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------ classifier calibration audit
+
+CALIB_BINS = 10
+
+
+def quality_calibration(docs: DataFrame, bins: int = CALIB_BINS) -> DataFrame:
+    """Reliability curve for the linear quality classifier: bin every
+    document by predicted keep-probability (deciles by default) and
+    compare the bin's mean prediction against the observed pass rate of
+    an INDEPENDENT reference rule (the Gopher repetition gate). A
+    calibrated classifier's curve hugs the diagonal; a drifted one
+    (new corpus mix, stale weights) bows away — the audit that tells a
+    curation pipeline its keep-threshold still means what it meant
+    (Guo et al. 2017 'On Calibration of Modern Neural Networks' — this
+    is their reliability diagram, with the corpus-rule stand-in for
+    labels).
+
+    Shape: the classifier is the zero-shuffle narrow pass; the gopher
+    reference is two doc_id-keyed aggs; one doc_id join + one
+    bins-bounded agg. Output: (bin, n_docs, mean_prob, pass_rate)."""
+    clf = quality_classifier(docs).select("doc_id", "quality_prob")
+    ref = gopher_quality(docs).select(
+        "doc_id", F.col("keep").alias("ref_keep")
+    )
+    j = clf.join(ref, "doc_id")
+    b = F.least(
+        F.floor(F.col("quality_prob") * bins).cast("int"), F.lit(bins - 1)
+    )
+    return (
+        j.select(b.alias("bin"), "quality_prob", "ref_keep")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_prob"), 6).alias("mean_prob"),
+            F.round(F.avg(F.col("ref_keep").cast("double")), 6).alias(
+                "pass_rate"
+            ),
+        )
+    )
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_calibration(
+        parallel_scan(load_table(spark, sf_dir, "documents"))
+    )
+
+
+ORACLE_QUALITY_CALIBRATION = f"""
+SELECT CAST(LEAST(CAST(floor(c.quality_prob * {CALIB_BINS}) AS INT),
+             {CALIB_BINS - 1}) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(c.quality_prob), 6) AS mean_prob,
+       ROUND(avg(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END), 6) AS pass_rate
+FROM ({{clf}}) c JOIN ({{gq}}) g USING (doc_id)
+GROUP BY 1
+"""
+
+ORACLE_QUALITY_CALIBRATION = ORACLE_QUALITY_CALIBRATION.format(
+    clf=ORACLE_QUALITY_CLASSIFIER, gq=ORACLE_GOPHER_QUALITY
+)

@@ -378,3 +378,48 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf(emb, k=16, iters=2)
     index = build_ivf_index(emb, centroids)
     return ann_ivf_topk(index, emb.filter(F.col("vec_id") < 8), centroids, k=5, nprobe=4)
+
+
+# ----------------------------------------------- index balance audit
+
+IVF_IMBALANCE_MAX = 8.0  # max_list / mean_list before a retrain is advised
+
+
+def ivf_balance_audit(
+    lists: DataFrame,
+    train_k: int | None = None,
+    imbalance_max: float = IVF_IMBALANCE_MAX,
+) -> DataFrame:
+    """One-row health check closing the index lifecycle (build / persist
+    / insert / probe / DECIDE-TO-RETRAIN): per-list population from one
+    centroid_id count, then
+    (n_lists, n_vectors, max_list, mean_list, imbalance, retrain) —
+    ``retrain`` fires when the hottest list holds ``imbalance_max``x
+    the mean (inserts drifted the corpus away from the quantizer: probe
+    cost concentrates on hot lists and the nprobe/k prune ratio decays)
+    or when the corpus has outgrown sqrt(n) lists (``train_k`` passed:
+    mean list size past 4*sqrt-target means ``default_train_k`` now
+    wants more lists). Cost: one partial-agg'd count shuffle over
+    (centroid_id) — runs casually against a 100 TB index."""
+    per = lists.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("n").alias("n_vectors"),
+        F.max("n").alias("max_list"),
+        F.round(F.avg("n"), 2).alias("mean_list"),
+    ).select(
+        "n_lists",
+        "n_vectors",
+        "max_list",
+        "mean_list",
+        F.round(F.col("max_list") / F.col("mean_list"), 4).alias("imbalance"),
+    )
+    grown = (
+        F.col("n_lists") * F.col("n_lists") * 16 < F.col("n_vectors")
+        if train_k is None
+        else F.lit(train_k * train_k * 16) < F.col("n_vectors")
+    )
+    return agg.withColumn(
+        "retrain",
+        (F.col("imbalance") > F.lit(float(imbalance_max))) | grown,
+    )

@@ -247,3 +247,25 @@ SELECT n_vectors,
        ROUND(mean_norm_raw, 6) AS mean_norm
 FROM stats CROSS JOIN sums
 """
+
+
+def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION spelling of hard-negative mining: IVF candidate
+    stage (persisted index, 4x over-fetch) feeding the label filter +
+    re-rank. Bench/scale entry — approximate by design, so rows-only:
+    bounded by the oracle-checked exact twin ``hard_negative_mining``
+    plus the full-probe == exact parity test (test_mining.py)."""
+    from m12_kafkastreams_python_azure_spark.operators.api import ivf_index_dir
+    from m12_kafkastreams_python_azure_spark.operators.ivf import default_nprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 10 == 0)
+    k = HARD_NEG_K
+    return hard_negative_mining(
+        emb,
+        anchors,
+        k=k,
+        method="ivf",
+        nprobe=default_nprobe(k * HARD_NEG_OVERSAMPLE),
+        index_path=ivf_index_dir(sf_dir, "hard_negative_mining_ivf"),
+    )

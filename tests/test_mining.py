@@ -127,3 +127,73 @@ def test_anisotropy_plan_has_no_quadratic_node(spark):
     # the single crossJoin is the two 1-row aggregates meeting — both
     # sides are bounded; no corpus-sized side may feed a nested loop
     assert tree.count("Scan parquet") == 2
+
+
+def test_hard_negative_mining_ivf_bench_spelling(spark):
+    """The production (rows-only) spelling: per-anchor <= k rows, never
+    a same-label negative, schema identical to the exact twin."""
+    import m12_kafkastreams_python_azure_spark.operators.mining as MNM
+
+    out = MNM.q_hard_negative_mining_ivf(spark, SF)
+    rows = out.collect()
+    assert rows
+    assert out.columns == ["anchor_id", "negative_id", "sim", "rank"]
+    per: dict = {}
+    for r in rows:
+        per[r.anchor_id] = per.get(r.anchor_id, 0) + 1
+    assert max(per.values()) <= MN.HARD_NEG_K
+    emb = load_table(spark, SF, "embeddings")
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert lab[r.anchor_id] != lab[r.negative_id]
+
+
+# ------------------------------------------------- IVF balance audit
+
+
+def test_ivf_balance_audit_flags_drifted_inserts(spark, tmp_path):
+    from m12_kafkastreams_python_azure_spark.operators.ivf import (
+        build_ivf_index,
+        insert_into_ivf_index,
+        ivf_balance_audit,
+        load_ivf_index,
+        save_ivf_index,
+        train_ivf,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_bal")
+    cents = train_ivf(emb, k=8, iters=2)
+    save_ivf_index(build_ivf_index(emb, cents), cents, path)
+    lists, _ = load_ivf_index(spark, path)
+    healthy = ivf_balance_audit(lists, train_k=8).first()
+    assert healthy.n_vectors == emb.count()
+    assert healthy.n_lists <= 8
+    assert not healthy.retrain, healthy
+
+    # drift: insert 5x the corpus as copies of ONE vector — every copy
+    # lands in a single list and the hot list dwarfs the mean
+    one = emb.orderBy("vec_id").limit(1).collect()[0]
+    skew = spark.createDataFrame(
+        [(100_000 + i, list(one.embedding), int(one.label)) for i in range(2500)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    insert_into_ivf_index(skew, path)
+    lists2, _ = load_ivf_index(spark, path)
+    drifted = ivf_balance_audit(lists2, train_k=8).first()
+    assert drifted.retrain, drifted
+    assert drifted.imbalance > healthy.imbalance
+
+
+def test_ivf_balance_audit_flags_outgrown_quantizer(spark):
+    from m12_kafkastreams_python_azure_spark.operators.ivf import (
+        ivf_balance_audit,
+    )
+
+    # 4 lists, 1000 vectors: mean list 250 >> 16*k -> the corpus wants
+    # more lists even though balance is perfect
+    lists = spark.range(1000).select(
+        (F.col("id") % 4).alias("centroid_id"), F.col("id").alias("vec_id")
+    )
+    r = ivf_balance_audit(lists, train_k=4).first()
+    assert r.retrain and r.imbalance < 1.01
