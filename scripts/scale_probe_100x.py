@@ -1,0 +1,90 @@
+"""100x rung for the document-operator ladder (VERDICT r10 #3 asked the
+gram-keyed newcomers for the SAME 100x evidence the dedup suite has —
+the 10x rung lives in scale_probe.py; this is the tall one).
+
+Replicates sf0.1 documents 100x with shifted doc_ids (500k docs,
+~30M tokens) and times the gram-/chunk-/model-keyed operators at 1x,
+10x, and 100x. Prints one JSON line.
+
+Usage: python scripts/scale_probe_100x.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m12_kafkastreams_python_azure_spark.operators import audits as AU  # noqa: E402
+from m12_kafkastreams_python_azure_spark.operators import corpus as C  # noqa: E402
+from m12_kafkastreams_python_azure_spark.operators import curation as CU  # noqa: E402
+from m12_kafkastreams_python_azure_spark.operators import dsir as DS  # noqa: E402
+from m12_kafkastreams_python_azure_spark.session import get_spark  # noqa: E402
+from m12_kafkastreams_python_azure_spark.sources.readers import (  # noqa: E402
+    load_table,
+    parallel_scan,
+)
+
+RUNGS = (1, 10, 100)
+
+
+def replicate(docs, times: int):
+    out = docs
+    for i in range(1, times):
+        out = out.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    return out
+
+
+def timed(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def _dsir(docs):
+    tgt = docs.filter(F.col("source").isin(*DS.DSIR_TARGET_SOURCES))
+    raw = docs.filter(~F.col("source").isin(*DS.DSIR_TARGET_SOURCES))
+    return DS.dsir_resample(tgt, raw)
+
+
+OPS = (
+    ("decontaminate_bloom", C.decontaminate_bloom),
+    ("ngram_novelty", AU.ngram_novelty),
+    ("dsir_resample", _dsir),
+    ("ccnet_buckets", C.ccnet_buckets),
+    ("cdc_chunk_dedup", CU.cdc_chunk_dedup),
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    spark = get_spark(app_name="scale-probe-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs1 = load_table(spark, sf_dir, "documents")
+    n1 = docs1.count()
+    out: dict[str, object] = {"sf_dir": sf_dir, "docs_1x": n1}
+    for rung in RUNGS:
+        docs = replicate(docs1, rung)
+        for name, fn in OPS:
+            t = timed(lambda: fn(parallel_scan(docs)).count())
+            out[f"{name}_{rung}x_s"] = t
+    for name, _ in OPS:
+        t1, t100 = out[f"{name}_1x_s"], out[f"{name}_100x_s"]
+        out[f"{name}_100x_factor"] = round(t100 / t1, 1) if t1 else None
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
