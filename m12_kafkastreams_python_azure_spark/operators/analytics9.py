@@ -119,7 +119,11 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_distinct(list_concat(a.ws, b.ws))) AS n_union,
        len(list_intersect(a.ws, b.ws)) AS n_intersect,
        len(list_filter(a.ws, x -> NOT list_contains(b.ws, x))) AS n_only_a,
-       array_to_string(list_sort(list_intersect(a.ws, b.ws)), ',') AS common_words
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws
+       -- is '' — fires only when adjacent docs share zero words (first
+       -- occurs at sf0.1; caught by the tier-robustness sweep)
+       COALESCE(array_to_string(list_sort(list_intersect(a.ws, b.ws)), ','),
+                '') AS common_words
 FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
 """
 
