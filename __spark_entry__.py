@@ -12,49 +12,45 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-11 rotation (exactly VERDICT r10 #1/#5/#6): the 5 reference-
-surface queries stay first (every round), then the FULL rotation queue
-the r10 docstring sequenced — word_positions (ceded its r10 slot),
-audio_fingerprints + semantic_decontaminate (new in r10 at 51+),
-quality_percentile_filter + dedup_keep_best (code changed in r10 after
-the window was pinned), and the sixteen late-round-10 queries that had
-never had a driver row (volume_shipping_q7 … decontaminate_bloom; all
-judge-swept 18/18 green in r10). Then the TWO new round-11 entries:
-knn_ivf_agreement — the IVF kNN-vote bound as an ORACLE-CHECKED
-summary row (n_queries + floor flags; replaces the rows-only
-knn_label_vote_ivf in the window, which stays at 51+ as the production
-bench spelling) — and dsir_resample (DSIR hashed-n-gram importance
-resampling with Gumbel-top-k selection, fully oracle-checked). Then
-the next-stalest rows: the three r06 sketch-bound queries
-(hll_merge_bound, quantile_sketch_bound, heavy_hitters) and nineteen
-of the forty-two r08-row queries (dedup_exact … dup_span_coverage,
-the oracle-checked cohort; the remaining twenty-three r08 rows plus
-the r09/r10 cohorts rotate in future rounds, stalest first).
-Code changed in round 11 and in-window: trigram_backoff_score (lazy
-scalar, VERDICT r10 #2), scd2_pit_lookup (drops orders predating the
-first version — ADVICE r10), jl_project (``_v`` no longer leaks —
-ADVICE r10).
-Displaced to 51+ this round, every one with a hash-green r10 driver
-row and code untouched: the full r10 rotation (phash_near_dup,
-image_dhash, video_near_dup, audio_near_dup, the 16 r02 rows, the 14
-r04 rows, the 10 r05 rows) and knn_label_vote_ivf (its bound is now
-IN-window via knn_ivf_agreement). ``bpe_train`` stays last as a
-bench-only surface (driver-looped, EAGER-timed in bench.py — never
-inside the window).
-ROTATION QUEUE for round 12 (stalest first): hard_negative_mining +
-anisotropy_audit + ccnet_buckets + temperature_sample +
-cdc_chunk_dedup + quality_calibration (new late in round 11 at 51+,
-all oracle-checked
-and locally swept green at sf0.001 AND sf0.01 before commit), then
-the twenty-three r08
-rows not pulled this round (minhash_near_dup, ann_lsh, ann_ivf,
-embedding_near_dup_lsh, bm25_retrieval, knn_label_vote, bpe_merges,
-bpe_encode, token_budget_select, source_overlap, cms_merge_bound,
-dataset_mix, segment_dedup, chunk_documents, domain_cap,
-trailing_hour_counts, full_outer_activity, unpivot_metrics,
-event_pairs_10min, latest_event_per_user, lang_id, doc_fingerprint,
-knn_label_vote_ivf), then the r09 cohort (pmi_bigrams …
-above_avg_orders).
+Round-13 rotation (VERDICT r12 #1 — round 12 stalled with zero builder
+turns, so this executes the carried round-11 queue): the 5 reference-
+surface queries stay first (every round), then the SIX late-round-11
+queries that have NEVER had a driver row (hard_negative_mining,
+anisotropy_audit, ccnet_buckets, temperature_sample, cdc_chunk_dedup,
+quality_calibration — all oracle-checked; the other two r11 latecomers,
+hard_negative_mining_ivf and bpe_train, stay rows-only/bench-only by
+declaration). Then the TWO queries whose plan-affecting code changes
+THIS round and must therefore re-enter the window (the r11 hygiene
+rule, VERDICT r12 #8): decontaminate_bloom (gains the build-once bloom
+artifact, VERDICT r12 #3) and record_linkage (blocked_link gains the
+max_block star-expansion guard, VERDICT r12 #5). Then the stalest
+ledger rows: the EIGHTEEN oracle-checked queries whose last driver row
+is r08 (bm25_retrieval, knn_label_vote, bpe_merges, bpe_encode,
+token_budget_select, source_overlap, cms_merge_bound, dataset_mix,
+segment_dedup, chunk_documents, domain_cap, trailing_hour_counts,
+full_outer_activity, unpivot_metrics, event_pairs_10min,
+latest_event_per_user, lang_id, doc_fingerprint) and the first
+NINETEEN of the thirty-eight r09-row queries (pmi_bigrams,
+source_length_drift, exact_substring_dedup, vocab_encode, pii_scrub,
+bigram_lm_score, sq_error_stats, geomean_prices, bpe_pair_counts,
+pricing_summary, top_revenue_orders, region_revenue, top_customers,
+window_top_orders, events_daily, window_functions, string_functions,
+math_functions, sessionize_events). 5+6+2+18+19 = 50.
+Displaced to 51+ this round, every one with hash-green r11 AND r12
+driver rows and code untouched this round: the r11 rotation cohort
+(word_positions … dup_span_coverage, minus the two retained above).
+``ccnet_buckets`` enters the window in the same round its thresholds
+parameter lands — the default ``thresholds="exact"`` output is
+byte-identical to the r11 spelling (the approx path is opt-in).
+ROTATION QUEUE for round 14 (stalest first): the nineteen remaining
+r09 rows (customers_without_orders, purchase_and_click_users,
+rollup_returnflag, priority_orders_exists, orders_no_lineitems_anti,
+quantity_percentiles, date_parse_lenient, token_count, cube_events,
+array_functions, inactive_customers_except, json_extract, pivot_daily,
+datetime_functions, hash_sample, salted_user_counts,
+conditional_functions, stats_battery, above_avg_orders), then the
+forty-four r10 rows (phash_near_dup … string_functions2), then the
+r11/r12 cohort.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -119,17 +115,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,
         "stay_enrich": A.q_stay_enrich,
         "hotels_count": A.q_hotels_count,
-        # rotation-queue head (VERDICT r10 #1): word_positions ceded its
-        # r10 slot; audio_fingerprints/semantic_decontaminate were new at
-        # 51+; quality_percentile_filter/dedup_keep_best gained shared-
-        # subtree persists in r10 AFTER the window was pinned
+        # the six late-round-11 queries that never had a driver row
+        # (VERDICT r12 #1 — the standing rotation debt, now cleared)
+        "hard_negative_mining": MN.q_hard_negative_mining,
+        "anisotropy_audit": MN.q_anisotropy_audit,
+        "ccnet_buckets": C.q_ccnet_buckets,
+        "temperature_sample": CU.q_temperature_sample,
+        "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
+        "quality_calibration": C.q_quality_calibration,
+        # plan-affecting code changes THIS round re-enter the window
+        # (hygiene rule): bloom build-once artifact (VERDICT r12 #3),
+        # blocked_link max_block guard (VERDICT r12 #5)
+        "decontaminate_bloom": C.q_decontaminate_bloom,
+        "record_linkage": LK.q_record_linkage,
+        # the eighteen oracle-checked queries whose last driver row is
+        # r08 — the stalest cohort in the ledger
+        "bm25_retrieval": R.q_bm25_retrieval,
+        "knn_label_vote": S.q_knn_label_vote,
+        "bpe_merges": T.q_bpe_merges,
+        "bpe_encode": T.q_bpe_encode,
+        "token_budget_select": CU.q_token_budget_select,
+        "source_overlap": AU.q_source_overlap,
+        "cms_merge_bound": SK.q_cms_merge_bound,
+        "dataset_mix": A10.q_dataset_mix,
+        "segment_dedup": CU.q_segment_dedup,
+        "chunk_documents": CU.q_chunk_documents,
+        "domain_cap": CU.q_domain_cap,
+        "trailing_hour_counts": A9.q_trailing_hour_counts,
+        "full_outer_activity": A10.q_full_outer_activity,
+        "unpivot_metrics": A10.q_unpivot_metrics,
+        "event_pairs_10min": J.q_event_pairs_10min,
+        "latest_event_per_user": A10.q_latest_event_per_user,
+        "lang_id": T.q_lang_id,
+        "doc_fingerprint": T.q_doc_fingerprint,
+        # the first nineteen of the thirty-eight r09-row queries (the
+        # remaining nineteen head the round-14 queue)
+        "pmi_bigrams": T.q_pmi_bigrams,
+        "source_length_drift": AU.q_source_length_drift,
+        "exact_substring_dedup": CU.q_exact_substring_dedup,
+        "vocab_encode": T.q_vocab_encode,
+        "pii_scrub": C.q_pii_scrub,
+        "bigram_lm_score": C.q_bigram_lm_score,
+        "sq_error_stats": PQ.q_sq_error_stats,
+        "geomean_prices": V.q_geomean_prices,
+        "bpe_pair_counts": T.q_bpe_pair_counts,
+        "pricing_summary": A.q_pricing_summary,
+        "top_revenue_orders": A.q_top_revenue_orders,
+        "region_revenue": A.q_region_revenue,
+        "top_customers": A.q_top_customers,
+        "window_top_orders": A.q_window_top_orders,
+        "events_daily": A.q_events_daily,
+        "window_functions": A3.q_window_functions,
+        "string_functions": A2.q_string_functions,
+        "math_functions": A2.q_math_functions,
+        "sessionize_events": A2.q_sessionize_events,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has hash-green r11 AND r12 rows and code
+        # untouched this round; knn_label_vote_ivf stays the rows-only
+        # PRODUCTION bench spelling — its bound lives in the ledger as
+        # knn_ivf_agreement (green r11+r12)
         "word_positions": A9.q_word_positions,
         "audio_fingerprints": M.q_audio_fingerprints,
         "semantic_decontaminate": C.q_semantic_decontaminate,
         "quality_percentile_filter": CU.q_quality_percentile_filter,
         "dedup_keep_best": G.q_dedup_keep_best,
-        # the sixteen late-round-10 queries that have never had a driver
-        # row — judge-swept 18/18 green in r10, now driver-recorded
         "volume_shipping_q7": A14.q_volume_shipping_q7,
         "market_share_q8": A14.q_market_share_q8,
         "returned_items_q10": A14.q_returned_items_q10,
@@ -145,20 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_backoff_score": C.q_trigram_backoff_score,
         "ngram_novelty": AU.q_ngram_novelty,
         "scd2_pit_lookup": SCD.q_scd2_pit_lookup,
-        "decontaminate_bloom": C.q_decontaminate_bloom,
-        # NEW in round 11: the IVF vote bound as an ORACLE-CHECKED row
-        # (VERDICT r10 #6 — replaces the rows-only knn_label_vote_ivf in
-        # the window; flags go FALSE and hash-mismatch if agreement or
-        # coverage regress below the committed floors) and DSIR hashed-
-        # n-gram importance resampling (VERDICT r10 #5, Xie 2023)
         "knn_ivf_agreement": API.q_knn_ivf_agreement,
         "dsir_resample": DSR.q_dsir_resample,
-        # next-stalest rows: last driver rows r06
         "hll_merge_bound": SK.q_hll_merge_bound,
         "quantile_sketch_bound": SK.q_quantile_sketch_bound,
         "heavy_hitters": SK.q_heavy_hitters,
-        # nineteen of the forty-two r08-row queries (stalest oracle-
-        # checked cohort; the rest rotate next round)
         "dedup_exact": D.q_dedup_exact,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "dedup_clusters": G.q_dedup_clusters,
@@ -173,16 +213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": C.q_pack_sequences,
         "media_features": M.q_media_features,
         "rollup_merge": SK.q_rollup_merge,
-        "record_linkage": LK.q_record_linkage,
         "scd2_history": SCD.q_scd2_history,
         "semantic_dedup": CU.q_semantic_dedup,
         "dedup_stats": D.q_dedup_stats,
         "dup_span_coverage": CU.q_dup_span_coverage,
-        # ---- entries 51+: outside the driver window this round ----
-        # every displaced entry has a hash-green r10 row and code
-        # untouched this round; knn_label_vote_ivf stays the rows-only
-        # PRODUCTION bench spelling — its bound now lives in the window
-        # as knn_ivf_agreement
         "phash_near_dup": M.q_phash_near_dup,
         "image_dhash": M.q_image_dhash,
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
@@ -228,28 +262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orderkey_islands": A12.q_orderkey_islands,
         "region_revenue_share": A12.q_region_revenue_share,
         "string_functions2": A9.q_string_functions2,
-        "pmi_bigrams": T.q_pmi_bigrams,
-        "source_length_drift": AU.q_source_length_drift,
         "simhash_near_dup": D.q_simhash_near_dup,
-        "exact_substring_dedup": CU.q_exact_substring_dedup,
-        "vocab_encode": T.q_vocab_encode,
-        "pii_scrub": C.q_pii_scrub,
-        "bigram_lm_score": C.q_bigram_lm_score,
-        "sq_error_stats": PQ.q_sq_error_stats,
-        "geomean_prices": V.q_geomean_prices,
-        "bpe_pair_counts": T.q_bpe_pair_counts,
         "ann_pq": PQ.q_ann_pq,
         "ann_ivfpq": PQ.q_ann_ivfpq,
-        "pricing_summary": A.q_pricing_summary,
-        "top_revenue_orders": A.q_top_revenue_orders,
-        "region_revenue": A.q_region_revenue,
-        "top_customers": A.q_top_customers,
-        "window_top_orders": A.q_window_top_orders,
-        "events_daily": A.q_events_daily,
-        "window_functions": A3.q_window_functions,
-        "string_functions": A2.q_string_functions,
-        "math_functions": A2.q_math_functions,
-        "sessionize_events": A2.q_sessionize_events,
         "customers_without_orders": A.q_customers_without_orders,
         "purchase_and_click_users": A.q_purchase_and_click_users,
         "rollup_returnflag": A.q_rollup_returnflag,
@@ -273,44 +288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": S.q_ann_lsh,
         "ann_ivf": IV.q_ann_ivf,
         "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
-        "bm25_retrieval": R.q_bm25_retrieval,
-        "knn_label_vote": S.q_knn_label_vote,
-        "bpe_merges": T.q_bpe_merges,
-        "bpe_encode": T.q_bpe_encode,
-        "token_budget_select": CU.q_token_budget_select,
-        "source_overlap": AU.q_source_overlap,
-        "cms_merge_bound": SK.q_cms_merge_bound,
-        "dataset_mix": A10.q_dataset_mix,
-        "segment_dedup": CU.q_segment_dedup,
-        "chunk_documents": CU.q_chunk_documents,
-        "domain_cap": CU.q_domain_cap,
-        "trailing_hour_counts": A9.q_trailing_hour_counts,
-        "full_outer_activity": A10.q_full_outer_activity,
-        "unpivot_metrics": A10.q_unpivot_metrics,
-        "event_pairs_10min": J.q_event_pairs_10min,
-        "latest_event_per_user": A10.q_latest_event_per_user,
-        "lang_id": T.q_lang_id,
-        "doc_fingerprint": T.q_doc_fingerprint,
-        # NEW late in round 11, outside the window (join the round-12
-        # rotation queue): contrastive hard-negative mining (exact
-        # oracle twin; IVF front door) and the O(n) anisotropy audit
-        "hard_negative_mining": MN.q_hard_negative_mining,
-        "anisotropy_audit": MN.q_anisotropy_audit,
-        # CCNet perplexity terciles per language (Wenzek 2020) over the
-        # engine's own bigram LM — fully oracle-checked
-        "ccnet_buckets": C.q_ccnet_buckets,
-        # XLM-R/mT5 temperature sampling (md5-reproducible keeps) —
-        # fully oracle-checked
-        "temperature_sample": CU.q_temperature_sample,
-        # content-defined chunking dedup (LBFS rolling-boundary; planted
-        # prefix-shifted clones give real shared-chunk positives) —
-        # fully oracle-checked
-        "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
-        # reliability-diagram calibration of the quality classifier
-        # against the Gopher gate (fully oracle-checked), and the
         # PRODUCTION IVF spelling of hard-negative mining (rows-only,
         # bounded by the oracle-checked exact twin + parity test)
-        "quality_calibration": C.q_quality_calibration,
         "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
         # bench-only surface (driver-looped, EAGER-timed in bench.py —
         # never inside the window)

@@ -23,88 +23,85 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# Rotation-queue head (VERDICT r10 #1): word_positions ceded its r10
-# slot; audio_fingerprints/semantic_decontaminate were new-in-r10 at
-# 51+; quality_percentile_filter/dedup_keep_best gained shared-subtree
-# persists in r10 after that round's window was pinned.
-QUEUE_HEAD = [
-    "word_positions",
-    "audio_fingerprints",
-    "semantic_decontaminate",
-    "quality_percentile_filter",
-    "dedup_keep_best",
+# The six late-round-11 queries that never had a driver row (VERDICT r12
+# #1 — the standing rotation debt; the other two r11 latecomers,
+# hard_negative_mining_ivf and bpe_train, stay rows-only/bench-only by
+# declaration).
+NEVER_ROWED_R11_WAVE = [
+    "hard_negative_mining",
+    "anisotropy_audit",
+    "ccnet_buckets",
+    "temperature_sample",
+    "cdc_chunk_dedup",
+    "quality_calibration",
 ]
 
-# The sixteen late-round-10 queries that never had a driver row
-# (judge-swept 18/18 green in r10; VERDICT r10 #1).
-LATE_R10_WAVE = [
-    "volume_shipping_q7",
-    "market_share_q8",
-    "returned_items_q10",
-    "top_supplier_q15",
-    "small_qty_revenue_q17",
-    "disjunctive_revenue_q19",
-    "lone_fault_supplier_q21",
-    "dormant_rich_customers_q22",
-    "quality_classifier",
-    "jl_project",
-    "token_entropy",
-    "hash_sample_per_group",
-    "trigram_backoff_score",
-    "ngram_novelty",
-    "scd2_pit_lookup",
+# Queries whose plan-affecting code changed in round 13 and therefore
+# re-enter the window (the window-hygiene rule, VERDICT r12 #8):
+# decontaminate_bloom gained the build-once bloom artifact (r12 #3),
+# record_linkage's blocked_link gained the max_block guard (r12 #5).
+CODE_CHANGED_R13 = [
     "decontaminate_bloom",
-]
-
-# NEW in round 11: the IVF vote bound as an oracle-checked summary row
-# (VERDICT r10 #6) and DSIR importance resampling (VERDICT r10 #5).
-NEW_IN_R11 = [
-    "knn_ivf_agreement",
-    "dsir_resample",
-]
-
-# Next-stalest rows: last driver rows r06.
-R06_ROTATED_IN_R11 = [
-    "hll_merge_bound",
-    "quantile_sketch_bound",
-    "heavy_hitters",
-]
-
-# Nineteen of the forty-two r08-row queries (the oracle-checked cohort;
-# the remaining twenty-three rotate next round, stalest first).
-R08_ROTATED_IN_R11 = [
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "pagerank_parts",
-    "ann_topk",
-    "embedding_near_dup",
-    "normalize_embeddings",
-    "text_quality",
-    "clean_corpus",
-    "decontaminate",
-    "gopher_quality",
-    "pack_sequences",
-    "media_features",
-    "rollup_merge",
     "record_linkage",
-    "scd2_history",
-    "semantic_dedup",
-    "dedup_stats",
-    "dup_span_coverage",
 ]
 
-# Round 11's window has NO rows-only entry: knn_label_vote_ivf (the only
-# r10 one) moved to 51+ as the production bench spelling, and its bound
-# now lives in-window as the fully oracle-checked knn_ivf_agreement.
+# The eighteen oracle-checked queries whose last driver row was r08 —
+# the stalest cohort in the cumulative ledger.
+R08_ROTATED_IN_R13 = [
+    "bm25_retrieval",
+    "knn_label_vote",
+    "bpe_merges",
+    "bpe_encode",
+    "token_budget_select",
+    "source_overlap",
+    "cms_merge_bound",
+    "dataset_mix",
+    "segment_dedup",
+    "chunk_documents",
+    "domain_cap",
+    "trailing_hour_counts",
+    "full_outer_activity",
+    "unpivot_metrics",
+    "event_pairs_10min",
+    "latest_event_per_user",
+    "lang_id",
+    "doc_fingerprint",
+]
+
+# The first nineteen of the thirty-eight r09-row queries (the remaining
+# nineteen head the round-14 queue).
+R09_ROTATED_IN_R13 = [
+    "pmi_bigrams",
+    "source_length_drift",
+    "exact_substring_dedup",
+    "vocab_encode",
+    "pii_scrub",
+    "bigram_lm_score",
+    "sq_error_stats",
+    "geomean_prices",
+    "bpe_pair_counts",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "top_customers",
+    "window_top_orders",
+    "events_daily",
+    "window_functions",
+    "string_functions",
+    "math_functions",
+    "sessionize_events",
+]
+
+# Round 13's window has NO rows-only entry: every in-window query is
+# fully oracle-checked.
 ROWS_ONLY: set[str] = set()
 
 
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + QUEUE_HEAD + LATE_R10_WAVE + NEW_IN_R11
-        + R06_ROTATED_IN_R11 + R08_ROTATED_IN_R11
+        REFERENCE_SURFACE + NEVER_ROWED_R11_WAVE + CODE_CHANGED_R13
+        + R08_ROTATED_IN_R13 + R09_ROTATED_IN_R13
     )
     assert len(expected) == WINDOW
     assert window == expected
@@ -141,11 +138,14 @@ def test_bpe_train_is_outside_the_window():
     assert names[-1] == "bpe_train"
 
 
-def test_production_ivf_spelling_still_declared():
-    """knn_label_vote_ivf must stay a queries() entry (bench surface,
-    rows-only by design) even though its correctness bound now rides
-    in-window as knn_ivf_agreement."""
+def test_production_ivf_spellings_still_declared():
+    """knn_label_vote_ivf and hard_negative_mining_ivf must stay
+    queries() entries (bench surfaces, rows-only by design) even though
+    their correctness bounds ride in the ledger via knn_ivf_agreement
+    and the exact hard_negative_mining twin."""
     names = list(entrymod.queries())
-    assert "knn_label_vote_ivf" in names
-    assert names.index("knn_label_vote_ivf") >= WINDOW
-    assert "knn_label_vote_ivf" not in entrymod.oracle_sql()
+    oracles = entrymod.oracle_sql()
+    for prod in ("knn_label_vote_ivf", "hard_negative_mining_ivf"):
+        assert prod in names
+        assert names.index(prod) >= WINDOW
+        assert prod not in oracles
