@@ -959,7 +959,10 @@ CCNET_HEAD_FRAC = 1.0 / 3.0
 CCNET_MIDDLE_FRAC = 2.0 / 3.0
 
 
-def ccnet_buckets(docs: DataFrame) -> DataFrame:
+CCNET_APPROX_ACCURACY = 10000  # percentile_approx: rank err <= 1/accuracy
+
+
+def ccnet_buckets(docs: DataFrame, thresholds: str = "exact") -> DataFrame:
     """CCNet's language-model quality split (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     score every document under a corpus LM, then split EACH LANGUAGE
@@ -969,36 +972,81 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
     logic — per-language percentile split on a per-doc LM score — is
     identical and scorer-agnostic).
 
-    Per-doc bucket = percent_rank within the language, ordered by
+    ``thresholds="exact"`` (default, the oracle-parity spelling):
+    per-doc bucket = percent_rank within the language, ordered by
     (avg_log2p DESC, doc_id) — higher mean log-probability = lower
     perplexity = head. Deterministic across engines (the tie-break is
     total). Output one row per (lang, bucket): any single mis-bucketed
-    document shifts a count and a mean.
+    document shifts a count and a mean. Exact per-language percent_rank
+    buffers a language's scores on its reducer — fine on the driver
+    tiers, NOT the plan for a 100 TB language.
+
+    ``thresholds="approx"`` (the web-scale path, VERDICT r12 #2):
+    per-language head/middle score cutoffs via ``percentile_approx`` (a
+    mergeable Greenwald-Khanna sketch — per-group state bounded by the
+    accuracy parameter, never the row count), joined back onto the
+    scored table as a |langs|-row broadcast; the bucket decision is a
+    narrow scan-side comparison. No window, no per-reducer buffering —
+    the ``quality_percentile_filter`` discipline. Head = score >= the
+    ascending 2/3-quantile (the top tercile), middle = score >= the
+    1/3-quantile. Tied scores land in ONE bucket here (the exact path's
+    total ordering splits ties by doc_id), so counts can differ by the
+    tie width plus the sketch's <=0.01% rank error — the parity band
+    ``tests/test_corpus.py`` pins.
 
     Scale shape: the LM model tables are vocabulary-bounded broadcasts
-    (see ``bigram_lm_score``); the tercile split is ONE window per
-    language. Exact per-language percent_rank buffers a language's
-    scores on its reducer — kept exact for oracle parity (the
-    ``quality_percentile_filter`` discipline); the documented web-scale
-    path is per-language ``percentile_approx`` thresholds (a mergeable
-    sketch, no per-group buffering) joined back as a broadcast."""
+    (see ``bigram_lm_score``) on both paths; the approx path's only
+    corpus-keyed shuffles are the scorer's own doc_id aggregation and
+    the final (lang, bucket) agg."""
     from pyspark.sql.window import Window
 
+    if thresholds not in ("exact", "approx"):
+        raise ValueError(f"thresholds must be exact|approx, got {thresholds!r}")
     scored = bigram_lm_score(docs)
     langs = docs.select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_log2p").desc(), F.col("doc_id").asc()
-    )
-    bucketed = (
-        scored.join(langs, "doc_id")
-        .withColumn("pr", F.percent_rank().over(w))
-        .withColumn(
+    if thresholds == "approx":
+        from m12_kafkastreams_python_azure_spark.sources.readers import (
+            register_parallel_cache,
+        )
+
+        # persisted: the cutoff aggregate AND the bucketing join both
+        # consume the scored table (no cross-subtree CSE — the LM scoring
+        # explode+joins would run twice); output is 3 narrow cols/doc, so
+        # the persist-selectivity rule says cache
+        j = scored.join(langs, "doc_id").persist()
+        register_parallel_cache(j)
+        cuts = j.groupBy("lang").agg(
+            F.percentile_approx(
+                "avg_log2p",
+                F.lit(1.0 - CCNET_HEAD_FRAC),
+                F.lit(CCNET_APPROX_ACCURACY),
+            ).alias("c_head"),
+            F.percentile_approx(
+                "avg_log2p",
+                F.lit(1.0 - CCNET_MIDDLE_FRAC),
+                F.lit(CCNET_APPROX_ACCURACY),
+            ).alias("c_mid"),
+        )
+        bucketed = j.join(F.broadcast(cuts), "lang").withColumn(
             "bucket",
-            F.when(F.col("pr") <= F.lit(CCNET_HEAD_FRAC), F.lit("head"))
-            .when(F.col("pr") <= F.lit(CCNET_MIDDLE_FRAC), F.lit("middle"))
+            F.when(F.col("avg_log2p") >= F.col("c_head"), F.lit("head"))
+            .when(F.col("avg_log2p") >= F.col("c_mid"), F.lit("middle"))
             .otherwise(F.lit("tail")),
         )
-    )
+    else:
+        w = Window.partitionBy("lang").orderBy(
+            F.col("avg_log2p").desc(), F.col("doc_id").asc()
+        )
+        bucketed = (
+            scored.join(langs, "doc_id")
+            .withColumn("pr", F.percent_rank().over(w))
+            .withColumn(
+                "bucket",
+                F.when(F.col("pr") <= F.lit(CCNET_HEAD_FRAC), F.lit("head"))
+                .when(F.col("pr") <= F.lit(CCNET_MIDDLE_FRAC), F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+        )
     return bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("avg_log2p"), 6).alias("mean_log2p"),

@@ -57,3 +57,78 @@ def test_bucketing_is_deterministic(spark):
     a = sorted(map(tuple, C.ccnet_buckets(docs).collect()))
     b = sorted(map(tuple, C.ccnet_buckets(docs).collect()))
     assert a == b
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_approx_thresholds_have_no_window(spark):
+    """The web-scale path (VERDICT r12 #2) must not buffer a language on
+    a reducer: no Window operator anywhere in the plan — the cutoffs are
+    a percentile_approx aggregate joined back. The exact default keeps
+    its per-language window (the oracle-parity spelling)."""
+    docs = load_table(spark, SF, "documents")
+    approx_plan = explain_str(C.ccnet_buckets(docs, thresholds="approx"))
+    assert "Window" not in approx_plan
+    assert "approx_percentile" in approx_plan or "percentile_approx" in approx_plan
+    exact_plan = explain_str(C.ccnet_buckets(docs, thresholds="exact"))
+    assert "Window" in exact_plan
+
+
+def test_approx_thresholds_match_exact_within_sketch_tolerance(spark):
+    """Parity at sf0.1 (10x the driver's correctness tier — the tier the
+    round-11 robustness sweep established): per-(lang, bucket) counts
+    from the approx path must sit within the documented band — the
+    sketch's <=0.01% rank error plus the tie width at the cutoff (the
+    exact path splits tied scores by doc_id; the threshold comparison
+    cannot). Scores are rounded to 6 places by the scorer, so cutoff
+    ties are real but narrow on this corpus."""
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    exact = {
+        (r.lang, r.bucket): r.n_docs
+        for r in C.ccnet_buckets(docs, thresholds="exact").collect()
+    }
+    approx = {
+        (r.lang, r.bucket): r.n_docs
+        for r in C.ccnet_buckets(docs, thresholds="approx").collect()
+    }
+    assert set(exact) == set(approx)
+    lang_totals: dict[str, int] = {}
+    for (lang, _), n in exact.items():
+        lang_totals[lang] = lang_totals.get(lang, 0) + n
+    # tie width at the cutoffs: the largest same-score cohort per language
+    # bounds how many docs a threshold decision can move between buckets
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        bigram_lm_score,
+    )
+
+    ties = {
+        r.lang: r.w
+        for r in (
+            bigram_lm_score(docs)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang", "avg_log2p")
+            .count()
+            .groupBy("lang")
+            .agg(F.max("count").alias("w"))
+            .collect()
+        )
+    }
+    for key, n_exact in exact.items():
+        lang = key[0]
+        band = max(2, ties[lang], round(0.0001 * lang_totals[lang]) + 1)
+        assert abs(approx[key] - n_exact) <= band, (key, n_exact, approx[key], band)
+
+
+def test_default_is_exact_and_bad_value_raises(spark):
+    import pytest
+
+    docs = load_table(spark, SF, "documents")
+    a = sorted(map(tuple, C.ccnet_buckets(docs).collect()))
+    b = sorted(map(tuple, C.ccnet_buckets(docs, thresholds="exact").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        C.ccnet_buckets(docs, thresholds="median")
