@@ -32,6 +32,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -902,7 +904,45 @@ def bloom_might_contain(
     return cond
 
 
-def decontaminate_bloom(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+class DecontamBloom(NamedTuple):
+    """Build-once eval-side artifact for ``decontaminate_bloom``
+    (VERDICT r12 #3): the bloom bit words (closure-shippable probe
+    side), the persisted distinct eval grams (exact-confirm side), and
+    the n-gram order they were built at. The batch twin of what
+    ``streaming.advanced.decontaminate_batch_processor`` already does —
+    build at construction, reuse every micro-batch — so a corpus swept
+    shard-by-shard (or re-screened after every curation stage) pays the
+    eval aggregation once, not once per call."""
+
+    words: list
+    m_bits: int
+    eval_grams: DataFrame
+    n: int
+
+
+def build_decontam_bloom(docs: DataFrame, n: int = DECONTAM_N) -> DecontamBloom:
+    """Derive the eval split (``doc_id % EVAL_MOD == 0``), persist its
+    distinct grams, and build the bloom over them — the offline index
+    step. The eval-gram cache feeds both the bloom construction and
+    every subsequent confirm join."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
+
+    eval_grams = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(word_ngrams(F.col("text"), n)).alias("gram"))
+        .distinct()
+        .persist()
+    )
+    register_parallel_cache(eval_grams)
+    words, m_bits = build_gram_bloom(eval_grams)
+    return DecontamBloom(words, m_bits, eval_grams, n)
+
+
+def decontaminate_bloom(
+    docs: DataFrame, n: int = DECONTAM_N, bloom: DecontamBloom | None = None
+) -> DataFrame:
     """EXACT decontamination (same output as ``decontaminate`` — the
     oracle is literally shared) through a Bloom prefilter: the eval
     side ships as a bit array instead of broadcast gram strings, and
@@ -910,24 +950,33 @@ def decontaminate_bloom(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
     bloom-surviving sliver of train grams plus the eval grams — no
     broadcast of the eval set anywhere.
 
+    ``bloom``: a prebuilt ``DecontamBloom`` (``build_decontam_bloom``)
+    to amortize the eval aggregation across calls — the 100x ladder's
+    worst factor (11.8x, docs/SCALE.md) was almost entirely per-call
+    rebuild cost. Omitted, the artifact is built internally (output
+    identical either way; pinned in tests/test_corpus_ops.py).
+
     When this wins at 100 TB: benchmarks with 10^8+ distinct grams make
     the string broadcast multi-GB per executor; the bloom is ~10 bits
     per gram (~125 MB at 10^8 — closure-shippable) and the FP rate
     (~1%) only costs a 1% oversized confirm join, never a wrong answer
     (no false negatives; false positives fail the confirm join)."""
-    grams = docs.select(
+    if bloom is None:
+        bloom = build_decontam_bloom(docs, n)
+    elif bloom.n != n:
+        raise ValueError(
+            f"bloom artifact built at n={bloom.n}, call requested n={n}"
+        )
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
         "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
     )
-    eval_grams = (
-        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
-    )
-    bloom, m_bits = build_gram_bloom(eval_grams)
-    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
     per_doc_total = train.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams")
     )
-    cand = train.filter(bloom_might_contain(bloom, m_bits, F.col("gram")))
-    confirmed = cand.join(eval_grams.withColumn("hit", F.lit(True)), "gram")
+    cand = train.filter(
+        bloom_might_contain(bloom.words, bloom.m_bits, F.col("gram"))
+    )
+    confirmed = cand.join(bloom.eval_grams.withColumn("hit", F.lit(True)), "gram")
     per_doc_hits = confirmed.groupBy("doc_id").agg(
         F.count_distinct("gram").alias("n_collisions")
     )

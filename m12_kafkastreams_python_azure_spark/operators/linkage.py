@@ -32,6 +32,7 @@ from ..sources.readers import load_table
 
 BLOCK_SUFFIX = 4  # block on the last 4 chars of the name
 MAX_EDIT = 2
+MAX_BLOCK = 1000  # per-side, per-salt-cell row cap inside one block
 
 
 def perturbed_names(cust: DataFrame) -> DataFrame:
@@ -48,11 +49,63 @@ def perturbed_names(cust: DataFrame) -> DataFrame:
     )
 
 
-def blocked_link(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Blocked fuzzy join: suffix-block equi-join then Levenshtein verify."""
+def _salted_candidates(
+    lb: DataFrame, rb: DataFrame, max_block: int
+) -> DataFrame:
+    """Grid-salted block join (the mega-block guard, VERDICT r12 #5).
+
+    A hot block (many rows sharing one suffix) makes the plain
+    ``join(rb, "blk")`` emit |L_b| x |R_b| candidate pairs INSIDE ONE
+    JOIN KEY — one shuffle partition, one task, quadratic wall time
+    pinned to a single core. Exact linkage cannot borrow
+    ``dedup.star_pairs``'s linear overflow: near-dup clustering only
+    needs the block to stay CONNECTED, while linkage's output contract
+    is every verified pair, so dropping in-block pairs changes the
+    answer. What CAN be bounded without touching the output is the
+    per-task volume: each side of a block is split into
+    ceil(n/max_block) deterministic salt groups and each side explodes
+    across the OTHER side's salt range, so the join key becomes
+    (blk, salt_l, salt_r) and a cell carries ~max_block rows per side
+    (uniform xxhash64 salting; the planted-mega-block test pins a 2x
+    slack bound) — total work is unchanged (inherent to exact
+    linkage; shrinking it is a recall policy — block purging or key
+    refinement — not an execution concern), but it now spreads across
+    ceil(|L_b|/max_block) * ceil(|R_b|/max_block) parallel tasks instead
+    of pinning one. Small blocks get salt counts of 1 and take this
+    path untouched — same pairs, same single cell.
+
+    The per-side block counts are two count aggs keyed on blk —
+    shuffle-aligned with the join-back that attaches them."""
+    lc = lb.groupBy("blk").agg(F.count(F.lit(1)).alias("_nl"))
+    rc = rb.groupBy("blk").agg(F.count(F.lit(1)).alias("_nr"))
+    n_salt_l = F.greatest(F.ceil(F.col("_nl") / max_block), F.lit(1)).cast("int")
+    n_salt_r = F.greatest(F.ceil(F.col("_nr") / max_block), F.lit(1)).cast("int")
+    ls = (
+        lb.join(lc, "blk")
+        .join(rc, "blk")
+        .withColumn("_salt_l", F.pmod(F.xxhash64("l_key"), n_salt_l).cast("int"))
+        .withColumn("_salt_r", F.explode(F.sequence(F.lit(0), n_salt_r - 1)))
+        .drop("_nl", "_nr")
+    )
+    rs = (
+        rb.join(rc, "blk")
+        .join(lc, "blk")
+        .withColumn("_salt_r", F.pmod(F.xxhash64("r_key"), n_salt_r).cast("int"))
+        .withColumn("_salt_l", F.explode(F.sequence(F.lit(0), n_salt_l - 1)))
+        .drop("_nl", "_nr")
+    )
+    return ls.join(rs, ["blk", "_salt_l", "_salt_r"])
+
+
+def blocked_link(
+    left: DataFrame, right: DataFrame, max_block: int = MAX_BLOCK
+) -> DataFrame:
+    """Blocked fuzzy join: suffix-block equi-join then Levenshtein
+    verify, with the grid-salt guard bounding any one block's join cell
+    to ``max_block`` rows per side (see ``_salted_candidates``)."""
     lb = left.withColumn("blk", F.expr(f"right(l_name, {BLOCK_SUFFIX})"))
     rb = right.withColumn("blk", F.expr(f"right(r_name, {BLOCK_SUFFIX})"))
-    cand = lb.join(rb, "blk")
+    cand = _salted_candidates(lb, rb, max_block)
     return (
         cand.withColumn("dist", F.levenshtein("l_name", "r_name"))
         .filter(F.col("dist") <= MAX_EDIT)

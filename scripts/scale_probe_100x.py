@@ -6,7 +6,9 @@ Replicates sf0.1 documents 100x with shifted doc_ids (500k docs,
 ~30M tokens) and times the gram-/chunk-/model-keyed operators at 1x,
 10x, and 100x. Prints one JSON line.
 
-Usage: python scripts/scale_probe_100x.py [sf_dir]
+Usage: python scripts/scale_probe_100x.py [sf_dir] [op ...]
+(op names filter OPS — e.g. `decontaminate_bloom decontaminate_bloom_prebuilt`
+re-runs just the bloom pair, VERDICT r12 #3.)
 """
 
 from __future__ import annotations
@@ -58,29 +60,51 @@ def _dsir(docs):
     return DS.dsir_resample(tgt, raw)
 
 
+def _bloom_prebuilt(docs):
+    """The amortized lifecycle (VERDICT r12 #3): the eval bloom artifact
+    is built ONCE per corpus (offline index cost, untimed — the same
+    charge-to-build discipline as the PQ/IVF memos in bench.py) and the
+    timed call only screens the train side against it."""
+    art = C.build_decontam_bloom(docs)
+    return lambda: C.decontaminate_bloom(docs, bloom=art).count()
+
+
 OPS = (
     ("decontaminate_bloom", C.decontaminate_bloom),
     ("ngram_novelty", AU.ngram_novelty),
     ("dsir_resample", _dsir),
     ("ccnet_buckets", C.ccnet_buckets),
+    ("ccnet_buckets_approx", lambda d: C.ccnet_buckets(d, thresholds="approx")),
     ("cdc_chunk_dedup", CU.cdc_chunk_dedup),
+)
+
+# ops with a build-once artifact: the thunk factory is called once per
+# rung (build untimed), the returned thunk is what gets timed
+PREBUILT_OPS = (
+    ("decontaminate_bloom_prebuilt", _bloom_prebuilt),
 )
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark(app_name="scale-probe-100x")
     spark.sparkContext.setLogLevel("ERROR")
     docs1 = load_table(spark, sf_dir, "documents")
     n1 = docs1.count()
     out: dict[str, object] = {"sf_dir": sf_dir, "docs_1x": n1}
+    ops = [(n, f) for n, f in OPS if not only or n in only]
+    pre = [(n, f) for n, f in PREBUILT_OPS if not only or n in only]
     for rung in RUNGS:
         docs = replicate(docs1, rung)
-        for name, fn in OPS:
+        for name, fn in ops:
             t = timed(lambda: fn(parallel_scan(docs)).count())
             out[f"{name}_{rung}x_s"] = t
-    for name, _ in OPS:
+        for name, factory in pre:
+            thunk = factory(parallel_scan(docs))
+            out[f"{name}_{rung}x_s"] = timed(thunk)
+    for name, _ in ops + pre:
         t1, t100 = out[f"{name}_1x_s"], out[f"{name}_100x_s"]
         out[f"{name}_100x_factor"] = round(t100 / t1, 1) if t1 else None
     print(json.dumps(out))

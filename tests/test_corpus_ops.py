@@ -196,6 +196,51 @@ def test_bloom_decontaminate_equals_broadcast_decontaminate(spark, sf_dir):
     assert len(a) > 0  # the planted eval overlap must actually fire
 
 
+def test_prebuilt_bloom_artifact_matches_per_call_build(spark, sf_dir):
+    """build_decontam_bloom once + N decontaminate_bloom calls (the
+    amortized 100 TB lifecycle, VERDICT r12 #3) must produce exactly the
+    per-call-build output — on the full corpus AND on shard subsets
+    (the batch mirror of the streaming processor's build-once
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        build_decontam_bloom,
+        decontaminate_bloom,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    art = build_decontam_bloom(docs)
+    full_pre = sorted(map(tuple, decontaminate_bloom(docs, bloom=art).collect()))
+    full_def = sorted(map(tuple, decontaminate_bloom(docs).collect()))
+    assert full_pre == full_def and len(full_pre) > 0
+    # shard reuse: screening half the train corpus against the SAME
+    # artifact returns exactly that half's rows
+    shard = docs.filter(F.col("doc_id") % 2 == 0)
+    shard_rows = sorted(
+        map(tuple, decontaminate_bloom(shard, bloom=art).collect())
+    )
+    expected = sorted(t for t in full_pre if t[0] % 2 == 0)
+    assert shard_rows == expected
+
+
+def test_prebuilt_bloom_rejects_mismatched_ngram_order(spark, sf_dir):
+    import pytest
+
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        DECONTAM_N,
+        build_decontam_bloom,
+        decontaminate_bloom,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    art = build_decontam_bloom(docs, n=DECONTAM_N)
+    with pytest.raises(ValueError):
+        decontaminate_bloom(docs, n=DECONTAM_N + 1, bloom=art)
+
+
 def test_bloom_has_no_false_negatives(spark):
     """Every member of the build set must pass might_contain — the
     bloom guarantee the exactness proof rests on."""
