@@ -74,22 +74,40 @@ def _salted_candidates(
     of pinning one. Small blocks get salt counts of 1 and take this
     path untouched — same pairs, same single cell.
 
-    The per-side block counts are two count aggs keyed on blk —
-    shuffle-aligned with the join-back that attaches them."""
-    lc = lb.groupBy("blk").agg(F.count(F.lit(1)).alias("_nl"))
-    rc = rb.groupBy("blk").agg(F.count(F.lit(1)).alias("_nr"))
-    n_salt_l = F.greatest(F.ceil(F.col("_nl") / max_block), F.lit(1)).cast("int")
-    n_salt_r = F.greatest(F.ceil(F.col("_nr") / max_block), F.lit(1)).cast("int")
+    The guard's steady-state cost is two blk-keyed count aggs (map-side
+    combined partial counts — key traffic only) whose results are
+    FILTERED to the oversized blocks before the join-back: hot blocks
+    are at most n/max_block and in practice a handful, so AQE broadcasts
+    the filtered side and healthy rows never pay a per-row shuffle for
+    the guard (the unconditional join-back spelling cost 3x on the
+    bench's all-healthy corpus). LEFT-join misses mean 'block under the
+    cap' and coalesce to a single cell."""
+    lc_hot = (
+        lb.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_nl"))
+        .filter(F.col("_nl") > max_block)
+    )
+    rc_hot = (
+        rb.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_nr"))
+        .filter(F.col("_nr") > max_block)
+    )
+    n_salt_l = F.coalesce(
+        F.ceil(F.col("_nl") / max_block).cast("int"), F.lit(1)
+    )
+    n_salt_r = F.coalesce(
+        F.ceil(F.col("_nr") / max_block).cast("int"), F.lit(1)
+    )
     ls = (
-        lb.join(lc, "blk")
-        .join(rc, "blk")
+        lb.join(lc_hot, "blk", "left")
+        .join(rc_hot, "blk", "left")
         .withColumn("_salt_l", F.pmod(F.xxhash64("l_key"), n_salt_l).cast("int"))
         .withColumn("_salt_r", F.explode(F.sequence(F.lit(0), n_salt_r - 1)))
         .drop("_nl", "_nr")
     )
     rs = (
-        rb.join(rc, "blk")
-        .join(lc, "blk")
+        rb.join(rc_hot, "blk", "left")
+        .join(lc_hot, "blk", "left")
         .withColumn("_salt_r", F.pmod(F.xxhash64("r_key"), n_salt_r).cast("int"))
         .withColumn("_salt_l", F.explode(F.sequence(F.lit(0), n_salt_l - 1)))
         .drop("_nl", "_nr")

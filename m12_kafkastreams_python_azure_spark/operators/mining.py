@@ -99,9 +99,27 @@ def hard_negative_mining(
         )
     elif method == "ivf":
         from m12_kafkastreams_python_azure_spark.operators import api as _api
+        from m12_kafkastreams_python_azure_spark.operators.dedup import (
+            collapse_exact_groups,
+        )
 
+        # Collapse byte-identical (vector, label) contents to their min-id
+        # representative BEFORE the candidate stage — the engine-wide
+        # duplicate law (docs/SCALE.md round 6), which the mining path
+        # violated until the round-13 100x probe measured the failure
+        # mode: on a duplicate-heavy corpus every copy of the anchor's own
+        # content crowds the k*OVERSAMPLE candidate list, the label filter
+        # then removes ALL of them, and the output starves (ZERO pairs at
+        # 100x replication; 6% under-delivery already at 10x). Over
+        # distinct contents the over-fetch behaves as sized, the index is
+        # duplication-free, and the k negatives are k DISTINCT contents —
+        # what a contrastive batch actually wants (duplicate negatives
+        # contribute identical gradients). On a duplicate-free corpus the
+        # collapse is an exact identity (reps == corpus; pinned by the
+        # full-probe == exact parity test).
+        _, reps = collapse_exact_groups(corpus, [vec_col, label_col], id_col)
         neigh = _api.ann_topk(
-            corpus,
+            reps,
             anchors,
             method="ivf",
             k=k * HARD_NEG_OVERSAMPLE,
@@ -112,7 +130,7 @@ def hard_negative_mining(
         alab = anchors.select(
             F.col(id_col).alias("query_id"), F.col(label_col).alias("alabel")
         )
-        nlab = corpus.select(
+        nlab = reps.select(
             F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
         )
         scored = (

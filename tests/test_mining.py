@@ -79,6 +79,42 @@ def test_ivf_mining_never_returns_same_label(spark):
     assert per <= 4
 
 
+def test_ivf_mining_survives_duplicate_heavy_corpus(spark):
+    """The round-13 100x probe measured the starvation mode: replicas of
+    the anchor's own content crowd the over-fetched candidate list and
+    the label filter empties it (0 pairs at 100x replication). With the
+    exact-duplicate collapse in the candidate stage, a 20x-replicated
+    corpus must (a) deliver the full k negatives per anchor, (b) emit
+    only representative (min, i.e. original) ids, and (c) reproduce the
+    exact mining result on the UNREPLICATED corpus — distinct contents
+    are identical, so the full-probe answer is too."""
+    emb = load_table(spark, SF, "embeddings")
+    shift = 10_000_000
+    rep = emb
+    for i in range(1, 20):
+        rep = rep.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * shift))
+        )
+    anchors = emb.filter(F.col("vec_id") < 8)
+    k_full = 16
+    got = MN.hard_negative_mining(
+        rep, anchors, k=3, method="ivf", train_k=k_full, nprobe=k_full,
+        iters=2,
+    ).collect()
+    assert all(r.negative_id < shift for r in got)
+    per_anchor = {}
+    for r in got:
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    assert set(per_anchor.values()) == {3}, per_anchor
+    exact = {
+        (r.anchor_id, r.negative_id, r.rank)
+        for r in MN.hard_negative_mining(
+            emb, anchors, k=3, method="exact"
+        ).collect()
+    }
+    assert {(r.anchor_id, r.negative_id, r.rank) for r in got} == exact
+
+
 def test_unknown_method_raises(spark):
     emb = load_table(spark, SF, "embeddings")
     with pytest.raises(ValueError, match="exact|ivf"):
