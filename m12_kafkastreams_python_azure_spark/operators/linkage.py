@@ -56,8 +56,12 @@ def _salted_candidates(
 
     A hot block (many rows sharing one suffix) makes the plain
     ``join(rb, "blk")`` emit |L_b| x |R_b| candidate pairs INSIDE ONE
-    JOIN KEY — one shuffle partition, one task, quadratic wall time
-    pinned to a single core. Exact linkage cannot borrow
+    JOIN KEY. AQE's skew-join split parallelizes the hot key's scan
+    ranges (measured: a planted 4k x 4k block runs at the same wall
+    either way), but every split task still sort-merge-BUFFERS the
+    entire right-side group of that key — per-key state AQE never
+    bounds, and the piece that spills once a hot key outgrows executor
+    memory at real scale. Exact linkage cannot borrow
     ``dedup.star_pairs``'s linear overflow: near-dup clustering only
     needs the block to stay CONNECTED, while linkage's output contract
     is every verified pair, so dropping in-block pairs changes the
