@@ -42,8 +42,10 @@ driver rows and code untouched this round: the r11 rotation cohort
 ``ccnet_buckets`` enters the window in the same round its thresholds
 parameter lands — the default ``thresholds="exact"`` output is
 byte-identical to the r11 spelling (the approx path is opt-in).
-ROTATION QUEUE for round 14 (stalest first): the nineteen remaining
-r09 rows (customers_without_orders, purchase_and_click_users,
+ROTATION QUEUE for round 14 (stalest first): containment_near_dup
+(NEW late in round 13 at 51+ — never rowed; oracle-checked, swept
+green at sf0.001/sf0.01/sf0.1 before commit), then the nineteen
+remaining r09 rows (customers_without_orders, purchase_and_click_users,
 rollup_returnflag, priority_orders_exists, orders_no_lineitems_anti,
 quantity_percentiles, date_parse_lenient, token_count, cube_events,
 array_functions, inactive_customers_except, json_extract, pivot_daily,
@@ -291,6 +293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PRODUCTION IVF spelling of hard-negative mining (rows-only,
         # bounded by the oracle-checked exact twin + parity test)
         "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
+        # NEW in round 13, outside the window (heads the round-14 queue
+        # with the other never-rowed entries): asymmetric n-gram
+        # containment near-dup over planted prefix-excerpt clones —
+        # fully oracle-checked, swept green at sf0.001/sf0.01/sf0.1
+        "containment_near_dup": D.q_containment_near_dup,
         # bench-only surface (driver-looped, EAGER-timed in bench.py —
         # never inside the window)
         "bpe_train": T.q_bpe_train,
@@ -449,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_retrieval": R.ORACLE_BM25_RETRIEVAL,
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
+        "containment_near_dup": D.ORACLE_CONTAINMENT_NEAR_DUP,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,
         "pagerank_parts": G.ORACLE_PAGERANK_PARTS,
         "ann_topk": S.ORACLE_ANN_TOPK,

@@ -146,6 +146,9 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "quality_calibration",
     "hard_negative_mining_ivf",
+    # round 13: asymmetric n-gram containment near-dup (planted
+    # prefix-excerpt clones; fully oracle-checked)
+    "containment_near_dup",
     "bpe_train",
 ]
 

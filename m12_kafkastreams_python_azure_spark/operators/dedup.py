@@ -566,6 +566,152 @@ FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
 """
 
 
+# --------------------------------------------------- n-gram containment
+
+CONTAIN_THRESHOLD = 0.8
+CONTAIN_MAX_DF = 64        # gram document-frequency ubiquity guard
+CONTAIN_CLONE_SHIFT = 10_000_000
+CONTAIN_CLONE_FRAC = 0.6   # planted clone keeps the first 60% of tokens
+
+
+def docs_with_planted_contained(docs: DataFrame) -> DataFrame:
+    """Every 20th document gains a clone carrying only its first 60% of
+    tokens (id shifted by CONTAIN_CLONE_SHIFT): a contiguous-prefix
+    excerpt whose grams are a strict SUBSET of the original's — maximal
+    containment (1.0) at a Jaccard of only ~0.6, i.e. exactly the
+    subsumption shape symmetric-Jaccard dedup under-scores. Mirrored
+    verbatim in the oracle SQL (the multimodal planted-clone
+    discipline)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.ceil(F.size(toks) * F.lit(CONTAIN_CLONE_FRAC)).cast("int")
+    clones = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(CONTAIN_CLONE_SHIFT)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(clones)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_df: int = CONTAIN_MAX_DF,
+) -> DataFrame:
+    """Asymmetric near-dup: document pairs whose shared distinct n-grams
+    cover >= ``threshold`` of the SMALLER side's gram set — containment
+    C(A,B) = |A∩B| / min(|A|,|B|) (Broder 1997's resemblance twin).
+    Catches subsumption — excerpts, quotes, prefix crawls re-served as
+    new pages — where symmetric Jaccard dilutes with the length gap and
+    stays under every dedup threshold. Output: (id_a, id_b,
+    shared_grams, containment_a, containment_b, containment), both
+    asymmetric directions carried so the caller can tell "A inside B"
+    from "B inside A".
+
+    Scale shape (fully SQL-expressible — oracle-checked end to end,
+    unlike the banded LSH paths): one gram explode; UBIQUITOUS grams
+    (document frequency > ``max_df``) are dropped from candidate
+    generation AND the size denominators by an anti-join against the
+    (tiny — boilerplate only) hot-gram table, which AQE broadcasts — the
+    audio-fingerprint fan-out discipline, bounding any gram's pair
+    expansion at max_df^2/2; then one gram-keyed equi-join, one
+    map-side-combined pair count, two AQE-broadcast size join-backs.
+    Containment over NON-ubiquitous grams is the principled measure
+    anyway: a boilerplate gram shared by 10^6 docs carries no
+    subsumption signal, and exact/minhash dedup owns those clusters."""
+    g = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
+    )
+    hot = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("gram")
+    )
+    rare = g.join(hot, "gram", "left_anti")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = rare.select(F.col("doc_id").alias("id_a"), "gram")
+    b = rare.select(F.col("doc_id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("_nb"))
+    contain = F.col("shared_grams").cast("double") / F.least(
+        "_na", "_nb"
+    ).cast("double")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(contain >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams").cast("double") / F.col("_na").cast("double"), 6
+            ).alias("containment_a"),
+            F.round(
+                F.col("shared_grams").cast("double") / F.col("_nb").cast("double"), 6
+            ).alias("containment_b"),
+            F.round(contain, 6).alias("containment"),
+        )
+    )
+
+
+def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup over documents plus planted prefix-excerpt
+    clones (every 20th doc, 60% of its tokens — containment 1.0 at
+    Jaccard ~0.6): real subsumption positives at every SF, fully
+    oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs_with_planted_contained(docs))
+
+
+_DUCK_CLONE_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+ORACLE_CONTAINMENT_NEAR_DUP = f"""
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_CLONE_SHIFT},
+         array_to_string(
+           list_slice({_DUCK_CLONE_TOKS}, 1,
+             CAST(ceil(len({_DUCK_CLONE_TOKS}) * {CONTAIN_CLONE_FRAC!r}) AS INT)),
+           ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t='text')} AS s FROM docs_all
+), g AS (
+  SELECT doc_id, unnest(s) AS gram FROM sh
+), hot AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) > {CONTAIN_MAX_DF}
+), rare AS (
+  SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM rare GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM rare a JOIN rare b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_grams,
+       ROUND(CAST(shared_grams AS DOUBLE) / sa.n_grams, 6) AS containment_a,
+       ROUND(CAST(shared_grams AS DOUBLE) / sb.n_grams, 6) AS containment_b,
+       ROUND(CAST(shared_grams AS DOUBLE) / least(sa.n_grams, sb.n_grams), 6)
+         AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = shared.id_a
+JOIN sizes sb ON sb.doc_id = shared.id_b
+WHERE CAST(shared_grams AS DOUBLE) / least(sa.n_grams, sb.n_grams)
+      >= {CONTAIN_THRESHOLD!r}
+"""
+
+
 # ------------------------------------------------------------------ simhash
 
 
