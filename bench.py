@@ -370,16 +370,17 @@ def main() -> None:
                             "best-of-N replays don't share state and "
                             "would only multiply cost; reported as "
                             "keep_best_docs_per_sec",
-        "curation_streams": "decontaminate/dsir/temperature batch "
+        "curation_streams": "decontaminate/dsir/temperature/ccnet batch "
                             "processors replayed over 4 micro-batch "
                             "shards of their stream side (fresh state "
                             "dirs; half-corpus 2-batch warm-up replay "
                             "first): processor CONSTRUCTION — the "
-                            "build-once bloom/model/rate artifacts — is "
-                            "charged as an offline build (the PQ/IVF "
-                            "discipline) and the timed replay measures "
-                            "the per-shard screen/score/filter; sidecar-"
-                            "only metrics *_stream_docs_per_sec",
+                            "build-once bloom/model/rate/cutoff "
+                            "artifacts — is charged as an offline build "
+                            "(the PQ/IVF discipline) and the timed "
+                            "replay measures the per-shard "
+                            "screen/score/filter/bucket; sidecar-only "
+                            "metrics *_stream_docs_per_sec",
     }
     deltas = _baseline_deltas(timings, streaming_eps)
     if deltas:
@@ -638,6 +639,7 @@ def _curation_stream_throughput(spark) -> dict:
     )
     from m12_kafkastreams_python_azure_spark.sources.readers import load_table
     from m12_kafkastreams_python_azure_spark.streaming.advanced import (
+        ccnet_batch_processor,
         decontaminate_batch_processor,
         dsir_batch_processor,
         temperature_batch_processor,
@@ -683,6 +685,12 @@ def _curation_stream_throughput(spark) -> dict:
         _replay(
             "temperature_stream_docs_per_sec",
             lambda d: temperature_batch_processor(td, d),
+            td,
+        )
+
+        _replay(
+            "ccnet_stream_docs_per_sec",
+            lambda d: ccnet_batch_processor(td, d),
             td,
         )
         return out

@@ -415,6 +415,48 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_lm_model_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The bigram MLE model as two fit-once tables — (bigram_counts:
+    gram/c_bi, hist_counts: w1/c_w1), both vocabulary-bounded regardless
+    of corpus size. The streaming ccnet twin persists these at processor
+    construction (the dsir_model_tables discipline)."""
+    bi = docs.select(
+        F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+    ).withColumn("w1", F.split("gram", " ")[0])
+    return (
+        bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi")),
+        bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1")),
+    )
+
+
+def bigram_lm_score_with_model(
+    docs: DataFrame, bigram_counts: DataFrame, hist_counts: DataFrame
+) -> DataFrame:
+    """Score docs under FIXED model tables (same output contract as
+    ``bigram_lm_score``, which fits and scores in one plan — that
+    spelling stays untouched as the oracle-checked batch entry). Inner
+    joins: a bigram absent from the model drops out of the doc's mean,
+    so the fit corpus must cover the scored stream's vocabulary — the
+    CCNet deployment shape, where the LM is fit on the very crawl
+    snapshot being bucketed."""
+    bi = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("text"), 2)).alias("gram"),
+    ).withColumn("w1", F.split("gram", " ")[0])
+    scored = (
+        bi.join(F.broadcast(bigram_counts), "gram")
+        .join(F.broadcast(hist_counts), "w1")
+        .withColumn(
+            "logp",
+            F.log2(F.col("c_bi").cast("double") / F.col("c_w1").cast("double")),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_log2p"),
+    )
+
+
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(parallel_scan(load_table(spark, sf_dir, "documents")))
 

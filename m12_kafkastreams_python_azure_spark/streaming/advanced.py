@@ -646,6 +646,139 @@ def start_dsir_stream(
     )
 
 
+# ----------------------------------------- streaming CCNet bucketing
+
+
+def ccnet_batch_processor(
+    fit_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+):
+    """foreachBatch function for ``start_ccnet_stream`` — the incremental
+    twin of ``corpus.ccnet_buckets(thresholds="approx")`` (the round-13
+    web-scale path), completing the streaming curation set: the bigram
+    LM tables AND the per-language head/middle score cutoffs are fit
+    ONCE (on the fitting corpus — CCNet fits its LM on the crawl
+    snapshot being bucketed) and persisted under ``{state_dir}/model``;
+    every arriving shard is scored against the fixed model (two
+    vocabulary-bounded broadcast joins) and bucketed by the fixed
+    cutoffs (a |langs|-row broadcast + a narrow when-chain) — no window,
+    no per-language buffering, no per-batch refit.
+
+    stream == batch-with-the-same-artifacts EXACTLY (pinned in
+    tests/test_streaming_ccnet.py, including shard-invariance and
+    replay): a doc's bucket is a pure function of (its grams, the fixed
+    model, the fixed cutoffs). Per-batch output is overwrite-partitioned
+    ``{state_dir}/buckets/batch=<id>`` — the replay discipline shared by
+    the whole curation set."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        CCNET_APPROX_ACCURACY,
+        CCNET_HEAD_FRAC,
+        CCNET_MIDDLE_FRAC,
+        bigram_lm_model_tables,
+        bigram_lm_score_with_model,
+    )
+
+    spark = fit_docs.sparkSession
+    bdir = f"{state_dir}/model/bigram"
+    hdir = f"{state_dir}/model/hist"
+    cdir = f"{state_dir}/model/cutoffs"
+    outdir = f"{state_dir}/buckets"
+    if not (
+        dir_has_data(spark, bdir)
+        and dir_has_data(spark, hdir)
+        and dir_has_data(spark, cdir)
+    ):
+        bigram_counts, hist_counts = bigram_lm_model_tables(fit_docs)
+        bigram_counts.write.mode("overwrite").parquet(bdir)
+        hist_counts.coalesce(1).write.mode("overwrite").parquet(hdir)
+        scored = bigram_lm_score_with_model(
+            fit_docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            spark.read.parquet(bdir),
+            spark.read.parquet(hdir),
+        )
+        cuts = (
+            scored.join(
+                fit_docs.select(
+                    F.col(id_col).alias("doc_id"), group_col
+                ),
+                "doc_id",
+            )
+            .groupBy(group_col)
+            .agg(
+                F.percentile_approx(
+                    "avg_log2p",
+                    F.lit(1.0 - CCNET_HEAD_FRAC),
+                    F.lit(CCNET_APPROX_ACCURACY),
+                ).alias("c_head"),
+                F.percentile_approx(
+                    "avg_log2p",
+                    F.lit(1.0 - CCNET_MIDDLE_FRAC),
+                    F.lit(CCNET_APPROX_ACCURACY),
+                ).alias("c_mid"),
+            )
+        )
+        cuts.coalesce(1).write.mode("overwrite").parquet(cdir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        bigram_counts = bspark.read.parquet(bdir)
+        hist_counts = bspark.read.parquet(hdir)
+        cuts = bspark.read.parquet(cdir)
+        docs = batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.col(group_col).alias("lang"),
+        )
+        scored = bigram_lm_score_with_model(
+            docs.select("doc_id", "text"), bigram_counts, hist_counts
+        )
+        out = (
+            scored.join(docs.select("doc_id", "lang"), "doc_id")
+            .join(F.broadcast(cuts.withColumnRenamed(group_col, "lang")), "lang")
+            .withColumn(
+                "bucket",
+                F.when(F.col("avg_log2p") >= F.col("c_head"), F.lit("head"))
+                .when(F.col("avg_log2p") >= F.col("c_mid"), F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+            .select("doc_id", "lang", "bucket", "avg_log2p")
+        )
+        out.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
+
+    return _process
+
+
+def read_ccnet_buckets(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-doc bucket assignments seen by the stream so far (union of
+    batch partitions; ``batch`` column retained for audit)."""
+    return spark.read.option("basePath", f"{state_dir}/buckets").parquet(
+        f"{state_dir}/buckets"
+    )
+
+
+def start_ccnet_stream(
+    docs: DataFrame,
+    fit_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming CCNet bucketing: fit-once LM + cutoffs, bucket every
+    micro-batch; aggregating ``read_ccnet_buckets`` reproduces the batch
+    operator's (lang, bucket) rollup over all shards seen."""
+    return (
+        docs.writeStream.foreachBatch(
+            ccnet_batch_processor(fit_docs, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 # ------------------------------------- streaming temperature sampling
 
 
