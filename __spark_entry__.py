@@ -293,11 +293,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PRODUCTION IVF spelling of hard-negative mining (rows-only,
         # bounded by the oracle-checked exact twin + parity test)
         "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
-        # NEW in round 13, outside the window (heads the round-14 queue
-        # with the other never-rowed entries): asymmetric n-gram
-        # containment near-dup over planted prefix-excerpt clones —
-        # fully oracle-checked, swept green at sf0.001/sf0.01/sf0.1
+        # NEW in round 13, outside the window (they head the round-14
+        # queue as never-rowed entries): asymmetric n-gram containment
+        # near-dup over planted prefix-excerpt clones, the per-source
+        # Zipf vocabulary fit (degenerate-slice screen), and the
+        # per-language BPE tokenizer-fertility audit — all fully
+        # oracle-checked, swept green at sf0.001/sf0.01/sf0.1
         "containment_near_dup": D.q_containment_near_dup,
+        "zipf_vocab_audit": AU.q_zipf_vocab_audit,
+        "tokenizer_fertility": T.q_tokenizer_fertility,
         # bench-only surface (driver-looped, EAGER-timed in bench.py —
         # never inside the window)
         "bpe_train": T.q_bpe_train,
@@ -457,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "containment_near_dup": D.ORACLE_CONTAINMENT_NEAR_DUP,
+        "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,
+        "tokenizer_fertility": T.ORACLE_TOKENIZER_FERTILITY,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,
         "pagerank_parts": G.ORACLE_PAGERANK_PARTS,
         "ann_topk": S.ORACLE_ANN_TOPK,

@@ -147,8 +147,11 @@ HEADLINE = [
     "quality_calibration",
     "hard_negative_mining_ivf",
     # round 13: asymmetric n-gram containment near-dup (planted
-    # prefix-excerpt clones; fully oracle-checked)
+    # prefix-excerpt clones), the per-source Zipf vocabulary fit, and
+    # the per-language BPE fertility audit — all fully oracle-checked
     "containment_near_dup",
+    "zipf_vocab_audit",
+    "tokenizer_fertility",
     "bpe_train",
 ]
 

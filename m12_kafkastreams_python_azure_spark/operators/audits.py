@@ -354,3 +354,128 @@ GROUP BY 1
 
 
 ORACLE_NGRAM_NOVELTY = _oracle_ngram_novelty()
+
+
+# ------------------------------------------------ Zipf vocabulary audit
+
+ZIPF_MAX_RANK = 10_000  # fit the regression on the frequency head only
+
+
+def zipf_vocab_audit(
+    docs: DataFrame, group_col: str = "source", max_rank: int = ZIPF_MAX_RANK
+) -> DataFrame:
+    """Per-slice Zipf fit: least-squares slope of log(freq) on log(rank)
+    over the slice's word-frequency head, plus type/token totals.
+    Natural text sits near slope -1 (Zipf 1949); template/boilerplate
+    expansions and model-generated loops flatten toward 0 (few types,
+    near-uniform head), while key-mashing/random-id corpora steepen past
+    -1.5 with huge type counts — a one-row-per-source screen for
+    degenerate slices that per-doc quality gates (gopher, classifier)
+    miss because every individual document looks fine.
+
+    Output per slice: (source, n_types, n_tokens, zipf_slope, zipf_r2)
+    — slope/r2 via closed-form covar_pop/var_pop/corr on (ln rank,
+    ln freq), identical in DuckDB, ties in frequency broken by word so
+    ranks are a total order on both engines.
+
+    Scale shape: one tokenize+explode, one (slice, word) count with
+    map-side partials, per-slice ranking over the TYPE table (vocab-
+    bounded, never corpus rows — same bound as the BPE/LM model tables)
+    trimmed to ``max_rank`` before the regression (the head is where the
+    power law holds; the tail is sampling noise), and a slice-keyed
+    closed-form aggregate. Totals come from the same type table."""
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+    )
+    freq = words.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("freq"))
+    totals = freq.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("freq").desc(), F.col("word").asc()
+    )
+    head = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_rank)
+        .select(
+            "grp",
+            F.log(F.col("rank").cast("double")).alias("lr"),
+            F.log(F.col("freq").cast("double")).alias("lf"),
+        )
+    )
+    # slope/r2 from raw moments with explicit zero-variance guards —
+    # F.corr under ANSI mode THROWS on a zero-variance side, and the
+    # zero-variance cases are exactly the degenerate slices this audit
+    # exists to flag (uniform head: var(lf)=0 -> slope 0, r2 NULL;
+    # single-type slice: var(lr)=0 -> both NULL). The oracle mirrors the
+    # same CASE arithmetic rather than relying on either engine's
+    # corr-at-zero-variance behavior.
+    moments = head.groupBy("grp").agg(
+        F.covar_pop("lr", "lf").alias("c"),
+        F.var_pop("lr").alias("vlr"),
+        F.var_pop("lf").alias("vlf"),
+    )
+    fit = moments.select(
+        "grp",
+        F.when(
+            F.col("vlr") > 0, F.round(F.col("c") / F.col("vlr"), 6)
+        ).alias("zipf_slope"),
+        F.when(
+            (F.col("vlr") > 0) & (F.col("vlf") > 0),
+            F.round(
+                F.col("c") * F.col("c") / (F.col("vlr") * F.col("vlf")), 6
+            ),
+        ).alias("zipf_r2"),
+    )
+    return (
+        totals.join(fit, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_types",
+            "n_tokens",
+            "zipf_slope",
+            "zipf_r2",
+        )
+    )
+
+
+def q_zipf_vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_vocab_audit(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_ZIPF_VOCAB_AUDIT = f"""
+WITH words AS (
+  SELECT source AS grp,
+         unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), freq AS (
+  SELECT grp, word, CAST(count(*) AS BIGINT) AS freq
+  FROM words GROUP BY grp, word
+), totals AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(freq) AS BIGINT) AS n_tokens
+  FROM freq GROUP BY grp
+), head AS (
+  SELECT grp, ln(CAST(rank AS DOUBLE)) AS lr, ln(CAST(freq AS DOUBLE)) AS lf
+  FROM (
+    SELECT grp, freq,
+           row_number() OVER (PARTITION BY grp ORDER BY freq DESC, word)
+             AS rank
+    FROM freq
+  ) WHERE rank <= {ZIPF_MAX_RANK}
+), moments AS (
+  SELECT grp, covar_pop(lr, lf) AS c,
+         var_pop(lr) AS vlr, var_pop(lf) AS vlf
+  FROM head GROUP BY grp
+), fit AS (
+  SELECT grp,
+         CASE WHEN vlr > 0 THEN ROUND(c / vlr, 6) END AS zipf_slope,
+         CASE WHEN vlr > 0 AND vlf > 0
+              THEN ROUND(c * c / (vlr * vlf), 6) END AS zipf_r2
+  FROM moments
+)
+SELECT grp AS source, n_types, n_tokens, zipf_slope, zipf_r2
+FROM totals JOIN fit USING (grp)
+"""

@@ -924,3 +924,64 @@ SELECT doc_id, n_tok, n_distinct,
             ELSE 0.0 END AS norm_entropy
 FROM agg
 """
+
+
+# -------------------------------------------- tokenizer fertility audit
+
+
+def tokenizer_fertility(docs: DataFrame, iters: int = BPE_MERGE_ITERS) -> DataFrame:
+    """Per-language tokenizer fertility under the corpus-trained BPE:
+    subword tokens per whitespace word (the mT5/XLM-R multilingual audit
+    — Rust et al. 2021 'How Good is Your Tokenizer?') plus characters
+    per token. A language whose fertility runs far above the corpus
+    mean is under-served by the merge table (its words shatter into
+    many subwords), burns context budget per unit of text, and is the
+    first place a shared-vocab model quietly degrades — the audit that
+    decides whether the temperature-sampling alpha or the vocab size
+    needs revisiting.
+
+    Composition: ``bpe_encode``'s per-doc (n_words, n_tokens) rolled up
+    by the documents table's lang column, with chars from the fixture's
+    n_chars. Scale shape inherits bpe_encode's: vocab-sized merge
+    application, one corpus explode+join, per-doc agg — then a
+    |langs|-row rollup. Output: (lang, n_docs, n_words, n_tokens,
+    fertility, chars_per_token)."""
+    enc = bpe_encode(docs, iters)
+    meta = docs.select("doc_id", "lang", "n_chars")
+    return (
+        enc.join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(sum(e.n_tokens) / CAST(sum(e.n_words) AS DOUBLE), 6)
+         AS fertility,
+       ROUND(sum(d.n_chars) / CAST(sum(e.n_tokens) AS DOUBLE), 6)
+         AS chars_per_token
+FROM ({ORACLE_BPE_ENCODE}) e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
