@@ -34,8 +34,14 @@ TABLES = [
 def duck_con(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # single-file tiers (testdata/sf*) are plain files; the derived
+        # sf1 tier (scripts/gen_sf1.py) is Spark-written DIRECTORIES of
+        # part files — DuckDB needs the glob form for those
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
