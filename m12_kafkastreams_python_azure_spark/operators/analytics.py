@@ -224,7 +224,18 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # DECIMAL-exact money sum: a double sum is partition-order-dependent
+    # and at sf1 the accumulated ulp error crossed the 2-decimal rounding
+    # boundary against DuckDB (one group off by $0.01 — caught by the
+    # round-13 sf1 oracle sweep). Per-row casts are deterministic (the
+    # fixture's money columns carry <=2/<=4 decimals), the decimal product
+    # is exact at (18,6), and a decimal sum is order-independent — the
+    # same answer on any partitioning, which is also the right property
+    # at 100 TB where partition counts change run to run. Output cast
+    # back to double for a stable driver hash dtype.
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(5,4)")
+    )
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders.select("o_orderkey", "o_custkey"),
@@ -235,13 +246,17 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue")
+        )
     )
 
 
 ORACLE_REGION_REVENUE = """
 SELECT r_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(5,4)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON l_orderkey = o_orderkey
