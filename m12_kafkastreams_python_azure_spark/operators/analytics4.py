@@ -118,13 +118,20 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows of one order — the property training-data pipelines need for
     leakage-free holdouts. The filter is a pushdown-able predicate."""
     li = load_table(spark, sf_dir, "lineitem")
+    # decimal-exact sums (the region_revenue sf1 lesson): double sums are
+    # partition-order-dependent and price_sum crossed the compare's
+    # 6-decimal boundary at sf1; decimal sums are order-independent
     return (
         li.filter(F.pmod(F.col("l_orderkey"), F.lit(20)) == 3)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("l_quantity").alias("qty_sum"),
-            F.sum("l_extendedprice").alias("price_sum"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("qty_sum"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("price_sum"),
         )
     )
 
@@ -132,8 +139,9 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HASH_SAMPLE = """
 SELECT l_returnflag,
        count(*) AS n_rows,
-       sum(l_quantity) AS qty_sum,
-       sum(l_extendedprice) AS price_sum
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS price_sum
 FROM lineitem
 WHERE l_orderkey % 20 = 3
 GROUP BY l_returnflag
@@ -180,8 +188,15 @@ def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("capped").alias("capped_sum"),
-            F.sum("floored").alias("floored_sum"),
+            # decimal-exact money sums (the region_revenue sf1 lesson):
+            # both raw double sums crossed the 6-decimal compare boundary
+            # at sf1 on partition-order ulp drift
+            F.sum(F.col("capped").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("capped_sum"),
+            F.sum(F.col("floored").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("floored_sum"),
             F.count("prio_nn").alias("n_non_medium"),
             F.count_if(p > 100000.0).alias("n_big"),
             F.coalesce(F.avg(F.when(p < 0, p)), F.lit(0.0)).alias("neg_avg_or_zero"),
@@ -192,8 +207,10 @@ def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONDITIONAL_FUNCTIONS = """
 SELECT o_orderstatus,
        count(*) AS n,
-       sum(least(o_totalprice, 50000.0)) AS capped_sum,
-       sum(greatest(o_totalprice, 1000.0)) AS floored_sum,
+       CAST(sum(CAST(least(o_totalprice, 50000.0) AS DECIMAL(12,2)))
+            AS DOUBLE) AS capped_sum,
+       CAST(sum(CAST(greatest(o_totalprice, 1000.0) AS DECIMAL(12,2)))
+            AS DOUBLE) AS floored_sum,
        count(nullif(o_orderpriority, '3-MEDIUM')) AS n_non_medium,
        count(*) FILTER (o_totalprice > 100000.0) AS n_big,
        coalesce(avg(CASE WHEN o_totalprice < 0 THEN o_totalprice END), 0.0) AS neg_avg_or_zero
