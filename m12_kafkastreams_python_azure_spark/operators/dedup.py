@@ -570,7 +570,12 @@ FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
 
 CONTAIN_THRESHOLD = 0.8
 CONTAIN_MAX_DF = 64        # gram document-frequency ubiquity guard
-CONTAIN_CLONE_SHIFT = 10_000_000
+# Clone-id shift must sit STRICTLY above every tier's doc_id space,
+# including the replicated sf1 tier (scripts/gen_sf1.py shifts replica i
+# by i*10_000_000, so sf1 ids reach ~10^8). The previous 10_000_000 value
+# aliased planted clone ids onto replica-1's real ids there (ADVICE r13),
+# which would make bucket_pairs see duplicate ids inside a gram bucket.
+CONTAIN_CLONE_SHIFT = 1_000_000_000
 CONTAIN_CLONE_FRAC = 0.6   # planted clone keeps the first 60% of tokens
 
 
@@ -617,8 +622,22 @@ def containment_pairs(
     map-side-combined pair count, two AQE-broadcast size join-backs.
     Containment over NON-ubiquitous grams is the principled measure
     anyway: a boilerplate gram shared by 10^6 docs carries no
-    subsumption signal, and exact/minhash dedup owns those clusters."""
-    g = docs.select(
+    subsumption signal, and exact/minhash dedup owns those clusters.
+
+    Duplicate law (engine-wide, docs/SCALE.md rounds 6/9/10/13): exact
+    text duplicates are collapsed to their min-id REPRESENTATIVE before
+    the gram explode — this operator is a bucketed candidate generator,
+    and without the collapse a duplicate-heavy corpus (the normal
+    web-scale shape) pushes shared grams' document frequency past
+    ``max_df``, the ubiquity anti-join then silently drops those grams
+    from BOTH candidate generation and the size denominators, and
+    heavily-replicated documents vanish from containment detection
+    entirely (the hard_negative_mining_ivf failure class, VERDICT r13).
+    Output pairs are therefore over DISTINCT contents; pairs among exact
+    duplicates are exact-dedup's domain (``dedup_exact`` /
+    ``expand_collapsed_pairs`` own them)."""
+    _, reps = collapse_exact_groups(docs.select("doc_id", "text"), ["text"], "doc_id")
+    g = reps.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
     )
     hot = (
@@ -644,6 +663,12 @@ def containment_pairs(
         .filter(F.size("ids") > 1)
         .select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
+        # collapse_exact_groups guarantees distinct ids per bucket
+        # (grams are per-doc distinct, docs are per-content distinct);
+        # the guard is belt-and-braces against a caller feeding
+        # duplicate doc_ids, where equal ids at two array positions
+        # would otherwise emit an id_a == id_b self-pair.
+        .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
@@ -696,8 +721,12 @@ WITH docs_all AS (
              CAST(ceil(len({_DUCK_CLONE_TOKS}) * {CONTAIN_CLONE_FRAC!r}) AS INT)),
            ' ') AS text
   FROM documents WHERE doc_id % 20 = 0
+), reps AS (
+  -- mirror of collapse_exact_groups: exact text duplicates collapse to
+  -- their min-id representative before the gram explode
+  SELECT min(doc_id) AS doc_id, text FROM docs_all GROUP BY text
 ), sh AS (
-  SELECT doc_id, {_DUCK_SHINGLES.format(t='text')} AS s FROM docs_all
+  SELECT doc_id, {_DUCK_SHINGLES.format(t='text')} AS s FROM reps
 ), g AS (
   SELECT doc_id, unnest(s) AS gram FROM sh
 ), hot AS (

@@ -64,3 +64,54 @@ def test_planted_clone_recall_on_the_fixture(spark):
     n_expected = docs.filter(F.col("doc_id") % 20 == 0).count()
     assert len(planted) == n_expected
     assert all(r.containment == 1.0 for r in planted.values())
+
+
+def test_replicated_corpus_keeps_full_recall(spark):
+    """The duplicate law (VERDICT r13 #1): containment is a bucketed
+    candidate generator, so exact duplicates must collapse to min-id
+    representatives BEFORE the gram explode. Without it, a 10x-replicated
+    corpus pushes every shared gram's document frequency past max_df, the
+    ubiquity anti-join drops those grams from candidates AND denominators,
+    and the planted excerpt pair silently vanishes. With it, the
+    replicated corpus must reproduce the unreplicated answer exactly."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf wg wh wi wj"
+    rows = [(1, base), (2, "w0 w1 w2 w3 w4 w5"), (3, "p q r s t u v x y z")]
+    docs = _docs(spark, rows)
+    shift = 1000
+    rep = docs
+    for i in range(1, 11):
+        rep = rep.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+        )
+    out = D.containment_pairs(rep, max_df=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # min-id representatives only: the original ids, full containment
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment == 1.0
+    # and the replicated answer IS the unreplicated answer
+    base_out = D.containment_pairs(docs, max_df=8).collect()
+    assert [(x.id_a, x.id_b, x.containment) for x in base_out] == [
+        (r.id_a, r.id_b, r.containment)
+    ]
+
+
+def test_duplicate_ids_never_emit_self_pairs(spark):
+    """Belt-and-braces guard: a caller feeding literally duplicate
+    doc_ids (same id, same text — e.g. an upstream union bug) must not
+    produce id_a == id_b rows or double-counted pairs."""
+    rows = [
+        (1, "w0 w1 w2 w3 w4 w5 w6 w7"),
+        (1, "w0 w1 w2 w3 w4 w5 w6 w7"),
+        (2, "w0 w1 w2 w3 w4 w5"),
+    ]
+    out = D.containment_pairs(_docs(spark, rows)).collect()
+    assert all(r.id_a != r.id_b for r in out)
+    assert len(out) == len({(r.id_a, r.id_b) for r in out})
+
+
+def test_clone_shift_clears_the_sf1_replica_id_space(spark):
+    """ADVICE r13: gen_sf1.py shifts replica i's keys by i*10_000_000, so
+    sf1 doc_ids reach ~10^8; the planted-clone shift must sit strictly
+    above that or clone ids alias real replica ids."""
+    assert D.CONTAIN_CLONE_SHIFT > 10 * 10_000_000
