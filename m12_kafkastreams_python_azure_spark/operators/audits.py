@@ -359,6 +359,7 @@ ORACLE_NGRAM_NOVELTY = _oracle_ngram_novelty()
 # ------------------------------------------------ Zipf vocabulary audit
 
 ZIPF_MAX_RANK = 10_000  # fit the regression on the frequency head only
+ZIPF_SALT_P = 32        # phase-1 salt cells per slice (bounds task state)
 
 
 def zipf_vocab_audit(
@@ -379,11 +380,23 @@ def zipf_vocab_audit(
     ranks are a total order on both engines.
 
     Scale shape: one tokenize+explode, one (slice, word) count with
-    map-side partials, per-slice ranking over the TYPE table (vocab-
-    bounded, never corpus rows — same bound as the BPE/LM model tables)
-    trimmed to ``max_rank`` before the regression (the head is where the
-    power law holds; the tail is sampling noise), and a slice-keyed
-    closed-form aggregate. Totals come from the same type table."""
+    map-side partials, then the head extraction as a SALTED TWO-PHASE
+    top-``max_rank`` (the hash_sample_per_group / domain_cap
+    discipline): phase 1 ranks inside (slice, salt) — a slice's type
+    table spreads over ``ZIPF_SALT_P`` tasks, each buffering at most
+    vocab/SALT_P rows — and keeps at most ``max_rank`` per cell; phase
+    2's per-slice window then ranks at most SALT_P x max_rank
+    survivors. The global per-slice top-``max_rank`` under the
+    (freq desc, word) total order is a subset of the union of per-cell
+    tops (every global-head row is also in its own cell's head), so the
+    result is EXACTLY the single-window answer and the oracle keeps the
+    one-window spelling. The naive single window buffered a slice's
+    ENTIRE vocabulary on one reducer — unbounded precisely for the
+    key-mashing/random-id corpora this audit exists to flag (VERDICT
+    r13 #2). Trim to ``max_rank`` before the regression (the head is
+    where the power law holds; the tail is sampling noise), then a
+    slice-keyed closed-form aggregate. Totals come from the same type
+    table."""
     words = docs.select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
@@ -393,11 +406,21 @@ def zipf_vocab_audit(
         F.count(F.lit(1)).alias("n_types"),
         F.sum("freq").alias("n_tokens"),
     )
-    w = Window.partitionBy("grp").orderBy(
+    salted = freq.withColumn(
+        "_zsalt", F.pmod(F.xxhash64("word"), F.lit(ZIPF_SALT_P))
+    )
+    w1 = Window.partitionBy("grp", "_zsalt").orderBy(
+        F.col("freq").desc(), F.col("word").asc()
+    )
+    survivors = (
+        salted.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= max_rank)
+    )
+    w2 = Window.partitionBy("grp").orderBy(
         F.col("freq").desc(), F.col("word").asc()
     )
     head = (
-        freq.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= max_rank)
         .select(
             "grp",
