@@ -12,47 +12,35 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-13 rotation (VERDICT r12 #1 — round 12 stalled with zero builder
-turns, so this executes the carried round-11 queue): the 5 reference-
-surface queries stay first (every round), then the SIX late-round-11
-queries that have NEVER had a driver row (hard_negative_mining,
-anisotropy_audit, ccnet_buckets, temperature_sample, cdc_chunk_dedup,
-quality_calibration — all oracle-checked; the other two r11 latecomers,
-hard_negative_mining_ivf and bpe_train, stay rows-only/bench-only by
-declaration). Then the TWO queries whose plan-affecting code changes
-THIS round and must therefore re-enter the window (the r11 hygiene
-rule, VERDICT r12 #8): decontaminate_bloom (gains the build-once bloom
-artifact, VERDICT r12 #3) and record_linkage (blocked_link gains the
-max_block star-expansion guard, VERDICT r12 #5). Then the stalest
-ledger rows: the EIGHTEEN oracle-checked queries whose last driver row
-is r08 (bm25_retrieval, knn_label_vote, bpe_merges, bpe_encode,
-token_budget_select, source_overlap, cms_merge_bound, dataset_mix,
-segment_dedup, chunk_documents, domain_cap, trailing_hour_counts,
-full_outer_activity, unpivot_metrics, event_pairs_10min,
-latest_event_per_user, lang_id, doc_fingerprint) and the first
-NINETEEN of the thirty-eight r09-row queries (pmi_bigrams,
-source_length_drift, exact_substring_dedup, vocab_encode, pii_scrub,
-bigram_lm_score, sq_error_stats, geomean_prices, bpe_pair_counts,
-pricing_summary, top_revenue_orders, region_revenue, top_customers,
-window_top_orders, events_daily, window_functions, string_functions,
-math_functions, sessionize_events). 5+6+2+18+19 = 50.
-Displaced to 51+ this round, every one with hash-green r11 AND r12
-driver rows and code untouched this round: the r11 rotation cohort
-(word_positions … dup_span_coverage, minus the two retained above).
-``ccnet_buckets`` enters the window in the same round its thresholds
-parameter lands — the default ``thresholds="exact"`` output is
-byte-identical to the r11 spelling (the approx path is opt-in).
-ROTATION QUEUE for round 14 (stalest first): containment_near_dup
-(NEW late in round 13 at 51+ — never rowed; oracle-checked, swept
-green at sf0.001/sf0.01/sf0.1 before commit), then the nineteen
-remaining r09 rows (customers_without_orders, purchase_and_click_users,
-rollup_returnflag, priority_orders_exists, orders_no_lineitems_anti,
-quantity_percentiles, date_parse_lenient, token_count, cube_events,
-array_functions, inactive_customers_except, json_extract, pivot_daily,
-datetime_functions, hash_sample, salted_user_counts,
-conditional_functions, stats_battery, above_avg_orders), then the
-forty-four r10 rows (phash_near_dup … string_functions2), then the
-r11/r12 cohort.
+Round-14 rotation (VERDICT r13 #2): the 5 reference-surface queries
+stay first (every round). Then the THIRTEEN queries whose
+plan-affecting code changed THIS round (the hygiene rule):
+containment_near_dup (collapse-first duplicate law, VERDICT r13 #1 +
+the 1e9 clone shift, ADVICE r13), zipf_vocab_audit (salted two-phase
+head, VERDICT r13 #3), and the eleven decimal-exact money-sum
+conversions (VERDICT r13 #4, docs/MONEY_AUDIT.md): pricing_summary,
+top_revenue_orders, volume_shipping_q7, market_share_q8,
+returned_items_q10, top_supplier_q15, small_qty_revenue_q17,
+disjunctive_revenue_q19, forecast_revenue_q6, promo_revenue_q14,
+region_revenue_share. Then tokenizer_fertility (the remaining
+never-rowed r13 newcomer), then hash_sample + conditional_functions
+(decimal-fixed after the r13 window was pinned — ADVICE r13 flagged
+the deferred validation; it lands here). Then the SEVENTEEN remaining
+r09-row queries (the stalest ledger cohort) and the first TWELVE of
+the forty-four r10-row queries. 5+13+1+2+17+12 = 50.
+Displaced to 51+ this round: everything with a hash-green r12/r13 row
+and code untouched this round.
+ROTATION QUEUE for round 15 (stalest first): the thirty-two remaining
+r10-row queries (tumbling_hourly, union_all_activity,
+user_event_profile, window_frames, word_count, zscore_events,
+asof_latest_order, asof_next_order, cte_sql, dataset_split,
+edit_distance_pairs, histogram_bins, hopping_hourly, map_functions,
+purchase_funnel, quality_report, stratified_sample, tfidf_top_terms,
+value_band_join, zorder_key, array_set_ops, arrow_byte_stats,
+benford_digits, bitwise_aggregates, cheapest_supplier, corr_battery,
+median_aggregates, orderkey_islands, string_functions2, plus the three
+multimodal pair queries phash_near_dup-displaced cohort members as
+they age), then the r12 cohort (43 queries), then the r13/r14 cohorts.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -117,21 +105,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,
         "stay_enrich": A.q_stay_enrich,
         "hotels_count": A.q_hotels_count,
-        # the six late-round-11 queries that never had a driver row
-        # (VERDICT r12 #1 — the standing rotation debt, now cleared)
+        # plan-affecting code changes THIS round re-enter the window
+        # (hygiene rule): containment gains the collapse-first duplicate law
+        # (VERDICT r13 #1) + the 1e9 clone shift (ADVICE r13); zipf gains the
+        # salted two-phase head (VERDICT r13 #3); the other eleven gained
+        # decimal-exact money sums (VERDICT r13 #4, docs/MONEY_AUDIT.md)
+        "containment_near_dup": D.q_containment_near_dup,
+        "zipf_vocab_audit": AU.q_zipf_vocab_audit,
+        "pricing_summary": A.q_pricing_summary,
+        "top_revenue_orders": A.q_top_revenue_orders,
+        "volume_shipping_q7": A14.q_volume_shipping_q7,
+        "market_share_q8": A14.q_market_share_q8,
+        "returned_items_q10": A14.q_returned_items_q10,
+        "top_supplier_q15": A14.q_top_supplier_q15,
+        "small_qty_revenue_q17": A14.q_small_qty_revenue_q17,
+        "disjunctive_revenue_q19": A14.q_disjunctive_revenue_q19,
+        "forecast_revenue_q6": A6.q_forecast_revenue_q6,
+        "promo_revenue_q14": A6.q_promo_revenue_q14,
+        "region_revenue_share": A12.q_region_revenue_share,
+        # the remaining never-rowed round-13 newcomer
+        "tokenizer_fertility": T.q_tokenizer_fertility,
+        # decimal-fixed AFTER the r13 window was pinned (ADVICE r13):
+        # their deferred driver validation lands this round
+        "hash_sample": A4.q_hash_sample,
+        "conditional_functions": A4.q_conditional_functions,
+        # the seventeen remaining r09-row queries (stalest ledger cohort
+        # after the groups above; hash_sample/conditional_functions from the
+        # same cohort ride in the post-pin group)
+        "customers_without_orders": A.q_customers_without_orders,
+        "purchase_and_click_users": A.q_purchase_and_click_users,
+        "rollup_returnflag": A.q_rollup_returnflag,
+        "priority_orders_exists": A2.q_priority_orders_exists,
+        "orders_no_lineitems_anti": A2.q_orders_no_lineitems_anti,
+        "quantity_percentiles": A2.q_quantity_percentiles,
+        "date_parse_lenient": A2.q_date_parse_lenient,
+        "token_count": A3.q_token_count,
+        "cube_events": A3.q_cube_events,
+        "array_functions": A3.q_array_functions,
+        "inactive_customers_except": A3.q_inactive_customers_except,
+        "json_extract": A4.q_json_extract,
+        "pivot_daily": A4.q_pivot_daily,
+        "datetime_functions": A4.q_datetime_functions,
+        "salted_user_counts": A4.q_salted_user_counts,
+        "stats_battery": A5.q_stats_battery,
+        "above_avg_orders": A5.q_above_avg_orders,
+        # the first twelve of the forty-four r10-row queries (the remaining
+        # thirty-two head the round-15 queue)
+        "phash_near_dup": M.q_phash_near_dup,
+        "image_dhash": M.q_image_dhash,
+        "video_near_dup": M.q_video_near_dup,
+        "audio_near_dup": M.q_audio_near_dup,
+        "big_orders_having": A5.q_big_orders_having,
+        "cast_battery": A8.q_cast_battery,
+        "date_spine_daily": A7.q_date_spine_daily,
+        "decimal_totals": A8.q_decimal_totals,
+        "grouping_sets": A8.q_grouping_sets,
+        "priority_count_q4": A6.q_priority_count_q4,
+        "regexp_battery": A5.q_regexp_battery,
+        "shipmode_priority_q12": A6.q_shipmode_priority_q12,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has a hash-green r12 or r13 row with code
+        # untouched this round; knn_label_vote_ivf / hard_negative_mining_ivf
+        # stay the rows-only PRODUCTION bench spellings, bounded by
+        # knn_ivf_agreement and the exact hard_negative_mining twin
         "hard_negative_mining": MN.q_hard_negative_mining,
         "anisotropy_audit": MN.q_anisotropy_audit,
         "ccnet_buckets": C.q_ccnet_buckets,
         "temperature_sample": CU.q_temperature_sample,
         "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
         "quality_calibration": C.q_quality_calibration,
-        # plan-affecting code changes THIS round re-enter the window
-        # (hygiene rule): bloom build-once artifact (VERDICT r12 #3),
-        # blocked_link max_block guard (VERDICT r12 #5)
         "decontaminate_bloom": C.q_decontaminate_bloom,
         "record_linkage": LK.q_record_linkage,
-        # the eighteen oracle-checked queries whose last driver row is
-        # r08 — the stalest cohort in the ledger
         "bm25_retrieval": R.q_bm25_retrieval,
         "knn_label_vote": S.q_knn_label_vote,
         "bpe_merges": T.q_bpe_merges,
@@ -150,8 +194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": A10.q_latest_event_per_user,
         "lang_id": T.q_lang_id,
         "doc_fingerprint": T.q_doc_fingerprint,
-        # the first nineteen of the thirty-eight r09-row queries (the
-        # remaining nineteen head the round-14 queue)
         "pmi_bigrams": T.q_pmi_bigrams,
         "source_length_drift": AU.q_source_length_drift,
         "exact_substring_dedup": CU.q_exact_substring_dedup,
@@ -161,8 +203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_error_stats": PQ.q_sq_error_stats,
         "geomean_prices": V.q_geomean_prices,
         "bpe_pair_counts": T.q_bpe_pair_counts,
-        "pricing_summary": A.q_pricing_summary,
-        "top_revenue_orders": A.q_top_revenue_orders,
         "region_revenue": A.q_region_revenue,
         "top_customers": A.q_top_customers,
         "window_top_orders": A.q_window_top_orders,
@@ -171,22 +211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": A2.q_string_functions,
         "math_functions": A2.q_math_functions,
         "sessionize_events": A2.q_sessionize_events,
-        # ---- entries 51+: outside the driver window this round ----
-        # every displaced entry has hash-green r11 AND r12 rows and code
-        # untouched this round; knn_label_vote_ivf stays the rows-only
-        # PRODUCTION bench spelling — its bound lives in the ledger as
-        # knn_ivf_agreement (green r11+r12)
         "word_positions": A9.q_word_positions,
         "audio_fingerprints": M.q_audio_fingerprints,
         "semantic_decontaminate": C.q_semantic_decontaminate,
         "quality_percentile_filter": CU.q_quality_percentile_filter,
         "dedup_keep_best": G.q_dedup_keep_best,
-        "volume_shipping_q7": A14.q_volume_shipping_q7,
-        "market_share_q8": A14.q_market_share_q8,
-        "returned_items_q10": A14.q_returned_items_q10,
-        "top_supplier_q15": A14.q_top_supplier_q15,
-        "small_qty_revenue_q17": A14.q_small_qty_revenue_q17,
-        "disjunctive_revenue_q19": A14.q_disjunctive_revenue_q19,
         "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
         "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
         "quality_classifier": C.q_quality_classifier,
@@ -219,21 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": CU.q_semantic_dedup,
         "dedup_stats": D.q_dedup_stats,
         "dup_span_coverage": CU.q_dup_span_coverage,
-        "phash_near_dup": M.q_phash_near_dup,
-        "image_dhash": M.q_image_dhash,
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
-        "video_near_dup": M.q_video_near_dup,
-        "audio_near_dup": M.q_audio_near_dup,
-        "big_orders_having": A5.q_big_orders_having,
-        "cast_battery": A8.q_cast_battery,
-        "date_spine_daily": A7.q_date_spine_daily,
-        "decimal_totals": A8.q_decimal_totals,
-        "forecast_revenue_q6": A6.q_forecast_revenue_q6,
-        "grouping_sets": A8.q_grouping_sets,
-        "priority_count_q4": A6.q_priority_count_q4,
-        "promo_revenue_q14": A6.q_promo_revenue_q14,
-        "regexp_battery": A5.q_regexp_battery,
-        "shipmode_priority_q12": A6.q_shipmode_priority_q12,
         "tumbling_hourly": A5.q_tumbling_hourly,
         "union_all_activity": A5.q_union_all_activity,
         "user_event_profile": A7.q_user_event_profile,
@@ -262,48 +277,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_battery": A13.q_corr_battery,
         "median_aggregates": A9.q_median_aggregates,
         "orderkey_islands": A12.q_orderkey_islands,
-        "region_revenue_share": A12.q_region_revenue_share,
         "string_functions2": A9.q_string_functions2,
         "simhash_near_dup": D.q_simhash_near_dup,
         "ann_pq": PQ.q_ann_pq,
         "ann_ivfpq": PQ.q_ann_ivfpq,
-        "customers_without_orders": A.q_customers_without_orders,
-        "purchase_and_click_users": A.q_purchase_and_click_users,
-        "rollup_returnflag": A.q_rollup_returnflag,
-        "priority_orders_exists": A2.q_priority_orders_exists,
-        "orders_no_lineitems_anti": A2.q_orders_no_lineitems_anti,
-        "quantity_percentiles": A2.q_quantity_percentiles,
-        "date_parse_lenient": A2.q_date_parse_lenient,
-        "token_count": A3.q_token_count,
-        "cube_events": A3.q_cube_events,
-        "array_functions": A3.q_array_functions,
-        "inactive_customers_except": A3.q_inactive_customers_except,
-        "json_extract": A4.q_json_extract,
-        "pivot_daily": A4.q_pivot_daily,
-        "datetime_functions": A4.q_datetime_functions,
-        "hash_sample": A4.q_hash_sample,
-        "salted_user_counts": A4.q_salted_user_counts,
-        "conditional_functions": A4.q_conditional_functions,
-        "stats_battery": A5.q_stats_battery,
-        "above_avg_orders": A5.q_above_avg_orders,
         "minhash_near_dup": D.q_minhash_near_dup,
         "ann_lsh": S.q_ann_lsh,
         "ann_ivf": IV.q_ann_ivf,
         "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
-        # PRODUCTION IVF spelling of hard-negative mining (rows-only,
-        # bounded by the oracle-checked exact twin + parity test)
         "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
-        # NEW in round 13, outside the window (they head the round-14
-        # queue as never-rowed entries): asymmetric n-gram containment
-        # near-dup over planted prefix-excerpt clones, the per-source
-        # Zipf vocabulary fit (degenerate-slice screen), and the
-        # per-language BPE tokenizer-fertility audit — all fully
-        # oracle-checked, swept green at sf0.001/sf0.01/sf0.1
-        "containment_near_dup": D.q_containment_near_dup,
-        "zipf_vocab_audit": AU.q_zipf_vocab_audit,
-        "tokenizer_fertility": T.q_tokenizer_fertility,
-        # bench-only surface (driver-looped, EAGER-timed in bench.py —
-        # never inside the window)
+        # bench-only driver-loop surface — must stay LAST (pinned by
+        # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,
     }
 

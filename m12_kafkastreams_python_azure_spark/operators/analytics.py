@@ -147,14 +147,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan, partial agg makes the shuffle tiny (6 groups)."""
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money sums in DECIMAL (exact, partition-order-independent — the
+    # region_revenue pattern below; these groups are the largest in the
+    # suite, exactly where double ulp drift crosses the cent boundary
+    # first). sum_qty stays a double sum: quantities are integer-valued,
+    # so the sum is exact in double far past 2^50 rows.
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(5,4)")
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -165,8 +173,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                        AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+            AS DOUBLE)                                  AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(5,4)))), 2) AS DOUBLE)             AS sum_disc_price,
        ROUND(AVG(l_quantity), 6)                        AS avg_qty,
        ROUND(AVG(l_discount), 6)                        AS avg_disc,
        COUNT(*)                                         AS count_order
@@ -185,14 +194,16 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(5,4)")
+    )
     return (
         li.join(
             orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -200,7 +211,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOP_REVENUE_ORDERS = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(5,4)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -91,7 +91,9 @@ def q_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(5,4)")
+    )
     per_region = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -101,16 +103,23 @@ def q_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("revenue"))
     )
     w = Window.partitionBy()
+    # exact decimal sums; the 5-row window total is a sum of exact
+    # decimals (also exact), so the share divides two deterministic
+    # doubles — the market_share_q8 ratio pattern
     return per_region.select(
         "r_name",
-        F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w).cast("double"),
+            6,
+        ).alias("share"),
     )
 
 
 ORACLE_REGION_REVENUE_SHARE = """
 WITH per_region AS (
-  SELECT r_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  SELECT r_name, sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(5,4)))) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -119,7 +128,8 @@ WITH per_region AS (
   GROUP BY r_name
 )
 SELECT r_name,
-       ROUND(revenue, 2) AS revenue,
-       ROUND(revenue / sum(revenue) OVER (), 6) AS share
+       CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(revenue AS DOUBLE)
+             / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS share
 FROM per_region
 """

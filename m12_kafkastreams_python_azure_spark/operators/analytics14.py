@@ -52,6 +52,28 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
+def _revenue_dec() -> F.Column:
+    """DECIMAL-exact revenue term (the region_revenue pattern,
+    analytics.py): the fixture's money columns are 2/4-decimal closed,
+    the decimal product is exact at (18,6), and a decimal SUM is
+    partition-order-independent — the property a double sum loses at
+    scale (the round-13 sf1 sweep caught three queries whose accumulated
+    ulp error crossed the cent-rounding boundary; every large-group
+    ROUND(SUM(money), 2) carries the same hazard at 100x). Callers
+    round the exact sum and cast back to double for hash-dtype
+    stability."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(5,4)")
+    )
+
+
+#: Oracle spelling of _revenue_dec (DuckDB decimal arithmetic).
+_REV_DEC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(5,4)))"
+)
+
+
 def q_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue shipped between two nations, both
     directions, by ship year. The two 1-nation dim slices are broadcast
@@ -82,7 +104,7 @@ def q_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -90,7 +112,7 @@ ORACLE_VOLUME_SHIPPING_Q7 = f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       CAST(ROUND(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
 FROM lineitem, orders, customer, supplier, nation n1, nation n2
 WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
   AND c_custkey = o_custkey
@@ -132,24 +154,32 @@ def q_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c2, o.o_custkey == c2.c_custkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
-            _revenue().alias("vol"),
+            _revenue_dec().alias("vol"),
             "supp_nation",
         )
     )
-    target = F.when(F.col("supp_nation") == Q8_NATION, F.col("vol")).otherwise(0.0)
+    # decimal sums are exact, so the ratio divides two DETERMINISTIC
+    # doubles — one double division per group, identical on any engine
+    # and any partitioning (dividing the decimals directly would instead
+    # expose the two engines' differing decimal-division scale rules)
+    target = F.when(F.col("supp_nation") == Q8_NATION, F.col("vol")).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
     return vol.groupBy("o_year").agg(
-        F.round(F.sum(target) / F.sum("vol"), 6).alias("mkt_share"),
-        F.round(F.sum("vol"), 2).alias("total_vol"),
+        F.round(
+            F.sum(target).cast("double") / F.sum("vol").cast("double"), 6
+        ).alias("mkt_share"),
+        F.round(F.sum("vol"), 2).cast("double").alias("total_vol"),
     )
 
 
 ORACLE_MARKET_SHARE_Q8 = f"""
 SELECT year(o_orderdate) AS o_year,
-       ROUND(sum(CASE WHEN n2.n_name = '{Q8_NATION}'
-                      THEN l_extendedprice * (1.0 - l_discount)
-                      ELSE 0.0 END)
-             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
-       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_vol
+       ROUND(CAST(sum(CASE WHEN n2.n_name = '{Q8_NATION}'
+                      THEN {_REV_DEC_SQL}
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum({_REV_DEC_SQL}) AS DOUBLE), 6) AS mkt_share,
+       CAST(ROUND(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS total_vol
 FROM lineitem, orders, customer, supplier, part, nation n1, nation n2,
      region
 WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -180,15 +210,15 @@ def q_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
 
 
-ORACLE_RETURNED_ITEMS_Q10 = """
+ORACLE_RETURNED_ITEMS_Q10 = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       CAST(ROUND(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
 FROM lineitem, orders, customer, nation
 WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
   AND c_nationkey = n_nationkey AND l_returnflag = 'R'
@@ -213,7 +243,7 @@ def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -223,10 +253,10 @@ def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOP_SUPPLIER_Q15 = """
+ORACLE_TOP_SUPPLIER_Q15 = f"""
 WITH revenue AS (
   SELECT l_suppkey,
-         ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+         CAST(ROUND(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -260,7 +290,10 @@ def q_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.join(F.broadcast(avg_qty), sel.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -276,7 +309,8 @@ caps AS (
   SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_cap
   FROM sel GROUP BY 1
 )
-SELECT ROUND(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly,
        count(*) AS n_lines
 FROM sel, caps
 WHERE l_partkey = a_partkey AND l_quantity < qty_cap
@@ -313,13 +347,13 @@ def q_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(branch).agg(
-        F.round(F.sum(_revenue()), 2).alias("revenue"),
+        F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
-ORACLE_DISJUNCTIVE_REVENUE_Q19 = """
-SELECT ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+ORACLE_DISJUNCTIVE_REVENUE_Q19 = f"""
+SELECT CAST(ROUND(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem, part
 WHERE p_partkey = l_partkey

@@ -61,15 +61,20 @@ def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(5,4)")
+                ), 2
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
 
 
 ORACLE_FORECAST_REVENUE_Q6 = """
-SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(5,4))), 2) AS DOUBLE)
+         AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -118,15 +123,21 @@ def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-09-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(5,4)")
+    )
     promo = F.col("p_type").startswith("PROMO")
+    # exact decimal sums, then ONE double division: deterministic on any
+    # partitioning and any engine (the market_share_q8 ratio pattern)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(promo, rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(promo, rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -135,9 +146,10 @@ def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROMO_REVENUE_Q14 = """
 SELECT ROUND(
-         100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+         100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(5,4)))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE), 6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate < TIMESTAMP '1996-09-01'

@@ -23,76 +23,81 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# The six late-round-11 queries that never had a driver row (VERDICT r12
-# #1 — the standing rotation debt; the other two r11 latecomers,
-# hard_negative_mining_ivf and bpe_train, stay rows-only/bench-only by
-# declaration).
-NEVER_ROWED_R11_WAVE = [
-    "hard_negative_mining",
-    "anisotropy_audit",
-    "ccnet_buckets",
-    "temperature_sample",
-    "cdc_chunk_dedup",
-    "quality_calibration",
-]
-
-# Queries whose plan-affecting code changed in round 13 and therefore
-# re-enter the window (the window-hygiene rule, VERDICT r12 #8):
-# decontaminate_bloom gained the build-once bloom artifact (r12 #3),
-# record_linkage's blocked_link gained the max_block guard (r12 #5).
-CODE_CHANGED_R13 = [
-    "decontaminate_bloom",
-    "record_linkage",
-]
-
-# The eighteen oracle-checked queries whose last driver row was r08 —
-# the stalest cohort in the cumulative ledger.
-R08_ROTATED_IN_R13 = [
-    "bm25_retrieval",
-    "knn_label_vote",
-    "bpe_merges",
-    "bpe_encode",
-    "token_budget_select",
-    "source_overlap",
-    "cms_merge_bound",
-    "dataset_mix",
-    "segment_dedup",
-    "chunk_documents",
-    "domain_cap",
-    "trailing_hour_counts",
-    "full_outer_activity",
-    "unpivot_metrics",
-    "event_pairs_10min",
-    "latest_event_per_user",
-    "lang_id",
-    "doc_fingerprint",
-]
-
-# The first nineteen of the thirty-eight r09-row queries (the remaining
-# nineteen head the round-14 queue).
-R09_ROTATED_IN_R13 = [
-    "pmi_bigrams",
-    "source_length_drift",
-    "exact_substring_dedup",
-    "vocab_encode",
-    "pii_scrub",
-    "bigram_lm_score",
-    "sq_error_stats",
-    "geomean_prices",
-    "bpe_pair_counts",
+# The thirteen queries whose plan-affecting code changed in round 14 and
+# therefore re-enter the window (the window-hygiene rule):
+# containment_near_dup gained the collapse-first duplicate law (VERDICT
+# r13 #1) + the 1e9 clone shift (ADVICE r13); zipf_vocab_audit gained
+# the salted two-phase head (VERDICT r13 #3); the other eleven gained
+# decimal-exact money sums (VERDICT r13 #4, docs/MONEY_AUDIT.md).
+CODE_CHANGED_R14 = [
+    "containment_near_dup",
+    "zipf_vocab_audit",
     "pricing_summary",
     "top_revenue_orders",
-    "region_revenue",
-    "top_customers",
-    "window_top_orders",
-    "events_daily",
-    "window_functions",
-    "string_functions",
-    "math_functions",
-    "sessionize_events",
+    "volume_shipping_q7",
+    "market_share_q8",
+    "returned_items_q10",
+    "top_supplier_q15",
+    "small_qty_revenue_q17",
+    "disjunctive_revenue_q19",
+    "forecast_revenue_q6",
+    "promo_revenue_q14",
+    "region_revenue_share",
 ]
 
-# Round 13's window has NO rows-only entry: every in-window query is
+# The remaining never-rowed round-13 newcomer (containment_near_dup and
+# zipf_vocab_audit, the other two, ride in CODE_CHANGED_R14).
+NEVER_ROWED_R13_WAVE = [
+    "tokenizer_fertility",
+]
+
+# Decimal-fixed AFTER the r13 window was pinned (ADVICE r13): their
+# driver validation was deferred one round and lands here.
+R13_POST_PIN = [
+    "hash_sample",
+    "conditional_functions",
+]
+
+# The seventeen remaining r09-row queries — the stalest ledger cohort
+# (hash_sample / conditional_functions from the same cohort ride above).
+R09_ROTATED_IN_R14 = [
+    "customers_without_orders",
+    "purchase_and_click_users",
+    "rollup_returnflag",
+    "priority_orders_exists",
+    "orders_no_lineitems_anti",
+    "quantity_percentiles",
+    "date_parse_lenient",
+    "token_count",
+    "cube_events",
+    "array_functions",
+    "inactive_customers_except",
+    "json_extract",
+    "pivot_daily",
+    "datetime_functions",
+    "salted_user_counts",
+    "stats_battery",
+    "above_avg_orders",
+]
+
+# The first twelve of the forty-four r10-row queries (the remaining
+# thirty-two head the round-15 queue).
+R10_ROTATED_IN_R14 = [
+    "phash_near_dup",
+    "image_dhash",
+    "video_near_dup",
+    "audio_near_dup",
+    "big_orders_having",
+    "cast_battery",
+    "date_spine_daily",
+    "decimal_totals",
+    "grouping_sets",
+    "priority_count_q4",
+    "regexp_battery",
+    "shipmode_priority_q12",
+]
+
+# Round 14's window has NO rows-only entry: every in-window query is
 # fully oracle-checked.
 ROWS_ONLY: set[str] = set()
 
@@ -100,8 +105,8 @@ ROWS_ONLY: set[str] = set()
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + NEVER_ROWED_R11_WAVE + CODE_CHANGED_R13
-        + R08_ROTATED_IN_R13 + R09_ROTATED_IN_R13
+        REFERENCE_SURFACE + CODE_CHANGED_R14 + NEVER_ROWED_R13_WAVE
+        + R13_POST_PIN + R09_ROTATED_IN_R14 + R10_ROTATED_IN_R14
     )
     assert len(expected) == WINDOW
     assert window == expected
