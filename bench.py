@@ -166,10 +166,14 @@ def run_headline(spark, queries, names, sf_dir=None):
     """Time each named query (best of three runs), with per-query fault
     isolation: one broken query must never zero out the whole bench
     artifact — its error is recorded and the rest keep running.
-    Returns (timings, errors)."""
+    Returns (timings, errors, runmeta); runmeta[name] = {"n_runs",
+    "converged"} so an UNCONVERGED min (two fastest still >4% apart
+    after 6 runs) is distinguishable in the sidecar from a converged
+    one when comparing rounds (ADVICE r13)."""
     sf_dir = sf_dir or SF_DIR
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    runmeta: dict[str, dict] = {}
     for name in names:
         best = float("inf")
         # Three runs minimum, report the best: the first run pays one-time
@@ -188,6 +192,7 @@ def run_headline(spark, queries, names, sf_dir=None):
         # count() materializes the full plan; for top-k/agg queries the
         # result is tiny, for wide ones we avoid driver transfer cost.
         runs: list[float] = []
+        converged = False
         try:
             while len(runs) < 6:
                 if name in EAGER_QUERIES:
@@ -202,8 +207,10 @@ def run_headline(spark, queries, names, sf_dir=None):
                 if len(runs) >= 3:
                     s = sorted(runs)
                     if s[0] > 0 and (s[1] - s[0]) / s[0] <= 0.04:
+                        converged = True
                         break
             timings[name] = round(best, 3)
+            runmeta[name] = {"n_runs": len(runs), "converged": converged}
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             # a transient run-2 failure (memory pressure etc.) must not
@@ -211,13 +218,14 @@ def run_headline(spark, queries, names, sf_dir=None):
             # error; 'partial' still flags the artifact downstream
             if best != float("inf"):
                 timings[name] = round(best, 3)
+                runmeta[name] = {"n_runs": len(runs), "converged": False}
         # operators that persist intermediates would otherwise accumulate
         # cache across the suite and skew later queries via memory pressure
         # (clearCache drops DF-level cache; release_parallel_caches frees
         # the dedup/LSH persist registry, which clearCache does not track)
         spark.catalog.clearCache()
         release_parallel_caches()
-    return timings, errors
+    return timings, errors, runmeta
 
 
 def main() -> None:
@@ -251,7 +259,7 @@ def main() -> None:
     unknown_excludes = sorted(exclude - set(HEADLINE))
     names = [n for n in HEADLINE if n not in exclude]
 
-    timings, errors = run_headline(spark, queries, names)
+    timings, errors, runmeta = run_headline(spark, queries, names)
 
     try:
         streaming_eps, streaming_eps_untuned = _streaming_throughput(spark)
@@ -319,6 +327,14 @@ def main() -> None:
     # line's query budget for numbers that never change round-to-round
     # grading, while the committed sidecar is the durable record.
     sidecar.update(curation_dps)
+    # Per-query convergence record (ADVICE r13): n_runs==6 with
+    # converged=false marks a timing whose noise floor was NOT reached —
+    # round-over-round comparisons should discount those entries rather
+    # than read them as regressions. Sidecar-only (never the printed line).
+    sidecar["run_convergence"] = {
+        n: m for n, m in runmeta.items()
+        if not m["converged"] or m["n_runs"] > 3
+    }
     # The tuned/untuned PAIR keeps methodology-vs-engine attribution
     # honest: the headline streaming number runs with shuffle.partitions
     # sized to the agg's key cardinality (standard stateful-streaming

@@ -737,12 +737,29 @@ def ccnet_batch_processor(
         scored = bigram_lm_score_with_model(
             docs.select("doc_id", "text"), bigram_counts, hist_counts
         )
+        # LEFT joins from the batch side: a doc none of whose bigrams
+        # exist in the fit model (novel vocabulary), or whose language
+        # has no fitted cutoffs, must NOT silently vanish from bucket
+        # output (ADVICE r13 — the inner-join spelling lost such docs
+        # with no signal). They route to an explicit 'unscored' bucket
+        # so the deployment shape surfaces drift (a growing unscored
+        # share means the fit snapshot no longer covers the stream) and
+        # every input doc appears in exactly one bucket.
         out = (
-            scored.join(docs.select("doc_id", "lang"), "doc_id")
-            .join(F.broadcast(cuts.withColumnRenamed(group_col, "lang")), "lang")
+            docs.select("doc_id", "lang")
+            .join(scored, "doc_id", "left")
+            .join(
+                F.broadcast(cuts.withColumnRenamed(group_col, "lang")),
+                "lang",
+                "left",
+            )
             .withColumn(
                 "bucket",
-                F.when(F.col("avg_log2p") >= F.col("c_head"), F.lit("head"))
+                F.when(
+                    F.col("avg_log2p").isNull() | F.col("c_head").isNull(),
+                    F.lit("unscored"),
+                )
+                .when(F.col("avg_log2p") >= F.col("c_head"), F.lit("head"))
                 .when(F.col("avg_log2p") >= F.col("c_mid"), F.lit("middle"))
                 .otherwise(F.lit("tail")),
             )

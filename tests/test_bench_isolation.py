@@ -32,7 +32,7 @@ def test_one_broken_query_does_not_zero_the_artifact(spark, sf_dir):
         "broken_build": _runtime_error_query,
         "good_b": _ok_query,
     }
-    timings, errors = bench.run_headline(
+    timings, errors, _meta = bench.run_headline(
         spark, queries, list(queries), sf_dir=sf_dir
     )
     assert set(timings) == {"good_a", "good_b"}
@@ -54,13 +54,29 @@ def test_transient_run2_failure_keeps_run1_timing(spark, sf_dir):
             raise RuntimeError("transient second-run failure")
         return spark.range(10)
 
-    timings, errors = bench.run_headline(spark, {"f": _flaky}, ["f"], sf_dir=sf_dir)
+    timings, errors, _meta = bench.run_headline(spark, {"f": _flaky}, ["f"], sf_dir=sf_dir)
     assert "f" in timings and timings["f"] >= 0
     assert "f" in errors and "transient" in errors["f"]
 
 
 def test_all_green_produces_no_errors_key(spark, sf_dir):
-    timings, errors = bench.run_headline(
+    timings, errors, _meta = bench.run_headline(
         spark, {"g": _ok_query}, ["g"], sf_dir=sf_dir
     )
     assert timings == {"g": timings["g"]} and errors == {}
+
+
+def test_runmeta_records_convergence(spark):
+    """ADVICE r13: the sidecar must distinguish a converged min from a
+    6-run unconverged one. A deterministic fast query converges at 3
+    runs; the meta records n_runs and converged=True."""
+
+    def _fast(s, sf_dir):
+        return s.range(10)
+
+    timings, errors, meta = bench.run_headline(
+        spark, {"fast": _fast}, ["fast"], sf_dir="unused"
+    )
+    assert errors == {}
+    m = meta["fast"]
+    assert m["converged"] is True and 3 <= m["n_runs"] <= 6

@@ -127,3 +127,32 @@ def test_fit_once_and_replay_idempotent(spark, tmp_path):
     proc2(s0, 0)
     after = _rows(read_ccnet_buckets(spark, state).drop("batch"))
     assert after == before
+
+
+def test_novel_vocab_docs_route_to_unscored_not_dropped(spark, tmp_path):
+    """ADVICE r13: a streamed doc with entirely novel vocabulary (no
+    bigram in the fit model) must not silently vanish from bucket
+    output — it routes to the explicit 'unscored' bucket, and every
+    input doc appears in exactly one bucket. Same for a language the
+    fit corpus never saw (no cutoffs row)."""
+    fit = _docs(spark)
+    state = str(tmp_path / "state")
+    proc = ccnet_batch_processor(fit, state)
+    novel = spark.createDataFrame(
+        [
+            (9_000_001, "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5", "en"),
+            (9_000_002, "qqww1 qqww2 qqww3", "xx_novel_lang"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    batch = fit.limit(5).unionByName(novel)
+    proc(batch, 0)
+    out = {r.doc_id: r for r in read_ccnet_buckets(spark, state).collect()}
+    assert len(out) == 7  # 5 fit docs + 2 novel: nothing dropped
+    assert out[9_000_001].bucket == "unscored"
+    assert out[9_000_001].avg_log2p is None
+    assert out[9_000_002].bucket == "unscored"
+    assert all(
+        out[r.doc_id].bucket in ("head", "middle", "tail")
+        for r in fit.limit(5).collect()
+    )
