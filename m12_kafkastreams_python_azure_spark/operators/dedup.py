@@ -755,6 +755,111 @@ WHERE CAST(shared_grams AS DOUBLE) / least(sa.n_grams, sb.n_grams)
 """
 
 
+# ------------------------------- containment vs a FIXED reference corpus
+
+
+def build_containment_ref(
+    ref_docs: DataFrame, n: int = 3, max_df: int = CONTAIN_MAX_DF
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build-once reference artifacts for ``containment_against`` (the
+    ``build_decontam_bloom`` fit-once discipline): returns
+    ``(rare_grams, sizes, hot)`` where ``rare_grams`` = (ref_id, gram)
+    for every reference gram whose reference document-frequency is
+    <= ``max_df``, ``sizes`` = (ref_id, n_ref_grams) over the same
+    df-filtered universe, and ``hot`` = the (tiny, boilerplate-only)
+    ubiquitous-gram table both sides filter against.
+
+    Duplicate law applies to the REFERENCE side: exact text duplicates
+    collapse to their min-id representative before the gram explode —
+    a replica-heavy reference would otherwise push its grams past
+    ``max_df`` and silently erase the very documents an incoming
+    excerpt should match (the ``containment_pairs`` fix, VERDICT r13).
+    Incoming batch docs need NO collapse: each is scored independently
+    against the fixed reference (per-doc verdict, the decontaminate
+    contract), so duplicates in a batch just produce duplicate verdicts
+    for distinct ids — correct, and never a df-cap hazard because the
+    guard is reference-side."""
+    _, reps = collapse_exact_groups(
+        ref_docs.select("doc_id", "text"), ["text"], "doc_id"
+    )
+    g = reps.select(
+        F.col("doc_id").alias("ref_id"),
+        F.explode(shingles(F.col("text"), n)).alias("gram"),
+    )
+    hot = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("gram")
+    )
+    rare = g.join(hot, "gram", "left_anti")
+    sizes = rare.groupBy("ref_id").agg(F.count(F.lit(1)).alias("n_ref_grams"))
+    return rare, sizes, hot
+
+
+def containment_against(
+    new_docs: DataFrame,
+    rare_grams: DataFrame,
+    sizes: DataFrame,
+    hot: DataFrame,
+    n: int = 3,
+    threshold: float = CONTAIN_THRESHOLD,
+) -> DataFrame:
+    """Asymmetric containment of incoming documents AGAINST a fixed
+    reference corpus: for each (new doc, ref doc) pair sharing rare
+    grams, C = shared / min(|new|, |ref|) over the reference's
+    df-filtered gram universe — "is this arriving page an excerpt of
+    something already in the corpus (or the corpus's page an excerpt of
+    it)". The streaming twin of ``containment_pairs``' subsumption
+    detection, with the decontaminate deployment shape: per-doc verdict
+    against frozen artifacts, no cross-batch state.
+
+    Scale shape: the new side explodes once and drops reference-hot
+    grams via the broadcast-able ``hot`` table (its OWN rare filter is
+    the reference's — the determinism that makes stream == batch a pure
+    function); one gram-keyed equi-join against ``rare_grams`` (each
+    gram matches <= max_df reference docs, so per-gram fan-out is
+    bounded by the cap times the gram's batch occurrences — and a batch
+    is a micro-batch, never the corpus); one map-side-combined pair
+    count; two broadcast size join-backs. Output: (doc_id, ref_id,
+    shared_grams, containment_new, containment_ref, containment)."""
+    g_new = new_docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
+    ).join(hot, "gram", "left_anti")
+    new_sizes = g_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new_grams")
+    )
+    shared = (
+        g_new.join(rare_grams, "gram")
+        .groupBy("doc_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    contain = F.col("shared_grams").cast("double") / F.least(
+        "n_new_grams", "n_ref_grams"
+    ).cast("double")
+    return (
+        shared.join(new_sizes, "doc_id")
+        .join(sizes, "ref_id")
+        .filter(contain >= F.lit(threshold))
+        .select(
+            "doc_id",
+            "ref_id",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams").cast("double")
+                / F.col("n_new_grams").cast("double"),
+                6,
+            ).alias("containment_new"),
+            F.round(
+                F.col("shared_grams").cast("double")
+                / F.col("n_ref_grams").cast("double"),
+                6,
+            ).alias("containment_ref"),
+            F.round(contain, 6).alias("containment"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 

@@ -901,3 +901,118 @@ def start_temperature_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# --------------------------------- streaming containment vs the corpus
+
+
+def containment_batch_processor(
+    ref_docs: DataFrame,
+    state_dir: str,
+    n: int = 3,
+    threshold: float | None = None,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch function for ``start_containment_stream`` — the
+    streaming twin of ``dedup.containment_pairs``' subsumption
+    detection, completing the curation SEXTET (keep-best, decontam,
+    DSIR, temperature, CCNet, containment): arriving documents are
+    checked for n-gram containment AGAINST A FIXED REFERENCE CORPUS
+    ("is this page an excerpt of something we already hold, or is a
+    held page an excerpt of it") using artifacts built exactly once at
+    processor construction (``dedup.build_containment_ref`` — the
+    fit-once discipline every member of the set shares).
+
+    Why this is the right streaming semantics (and why all-pairs
+    containment stays batch-only): pairwise containment's ubiquity
+    guard and size denominators are functions of the WHOLE corpus's
+    gram document frequencies — a per-batch df is meaningless and a
+    cross-batch running df would change earlier docs' denominators
+    retroactively (no longer stream == batch). Against a frozen
+    reference, a doc's matches are a pure function of (its grams, the
+    fixed artifacts), so shard-invariance and replay idempotence hold
+    exactly — the decontaminate deployment shape, with containment's
+    asymmetric metric.
+
+    State lifecycle: ``{state_dir}/model/{grams,sizes,hot}`` parquet
+    (written once; the reference side is exact-duplicate-collapsed per
+    the engine's duplicate law — see ``build_containment_ref``);
+    per-batch output overwrites ``{state_dir}/matches/batch=<id>`` (the
+    at-least-once replay discipline shared by the whole set)."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        CONTAIN_MAX_DF,
+        CONTAIN_THRESHOLD,
+        build_containment_ref,
+        containment_against,
+    )
+
+    thr = CONTAIN_THRESHOLD if threshold is None else threshold
+    cap = CONTAIN_MAX_DF if max_df is None else max_df
+    spark = ref_docs.sparkSession
+    gdir = f"{state_dir}/model/grams"
+    sdir = f"{state_dir}/model/sizes"
+    hdir = f"{state_dir}/model/hot"
+    outdir = f"{state_dir}/matches"
+    if not (
+        dir_has_data(spark, gdir)
+        and dir_has_data(spark, sdir)
+        and dir_has_data(spark, hdir)
+    ):
+        rare, sizes, hot = build_containment_ref(
+            ref_docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            n=n,
+            max_df=cap,
+        )
+        rare.write.mode("overwrite").parquet(gdir)
+        sizes.coalesce(1).write.mode("overwrite").parquet(sdir)
+        hot.coalesce(1).write.mode("overwrite").parquet(hdir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        rare = bspark.read.parquet(gdir)
+        sizes = bspark.read.parquet(sdir)
+        hot = bspark.read.parquet(hdir)
+        out = containment_against(
+            batch.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            rare,
+            sizes,
+            hot,
+            n=n,
+            threshold=thr,
+        )
+        out.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
+
+    return _process
+
+
+def read_containment_matches(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Containment matches found by the stream so far (union of batch
+    partitions; ``batch`` column retained for audit)."""
+    return spark.read.option("basePath", f"{state_dir}/matches").parquet(
+        f"{state_dir}/matches"
+    )
+
+
+def start_containment_stream(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming containment screening: fit-once reference artifacts,
+    then every micro-batch's docs are matched against the frozen
+    reference corpus; ``read_containment_matches`` reproduces the batch
+    ``containment_against`` output over all shards seen."""
+    return (
+        docs.writeStream.foreachBatch(
+            containment_batch_processor(ref_docs, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
