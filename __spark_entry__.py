@@ -286,6 +286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": IV.q_ann_ivf,
         "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
         "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
+        # round-14 newcomer at 51+ (heads the r15 rotation queue with
+        # the r10 cohort): containment screening of an arriving excerpt
+        # stream against the held corpus — the oracle-checked batch
+        # spelling of the streaming containment processor
+        "excerpt_screen": D.q_excerpt_screen,
         # bench-only driver-loop surface — must stay LAST (pinned by
         # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,
@@ -445,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_error_stats": PQ.ORACLE_SQ_ERROR_STATS,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "containment_near_dup": D.ORACLE_CONTAINMENT_NEAR_DUP,
+        "excerpt_screen": D.ORACLE_EXCERPT_SCREEN,
         "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,
         "tokenizer_fertility": T.ORACLE_TOKENIZER_FERTILITY,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

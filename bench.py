@@ -152,6 +152,10 @@ HEADLINE = [
     "containment_near_dup",
     "zipf_vocab_audit",
     "tokenizer_fertility",
+    # round 14: containment screening of an arriving excerpt stream
+    # against build-once reference artifacts (the batch spelling of the
+    # streaming containment processor)
+    "excerpt_screen",
     "bpe_train",
 ]
 

@@ -860,6 +860,82 @@ def containment_against(
     )
 
 
+EXCERPT_EVERY = 10          # every 10th doc streams a prefix excerpt
+EXCERPT_SHIFT = 2_000_000_000  # excerpt ids: above CONTAIN_CLONE_SHIFT too
+EXCERPT_FRAC = 0.6
+
+
+def docs_excerpt_stream(docs: DataFrame) -> DataFrame:
+    """The arriving-documents fixture for ``excerpt_screen``: every
+    ``EXCERPT_EVERY``-th document's first 60% of tokens under a shifted
+    id — a synthetic crawl shard in which known excerpts of the held
+    corpus arrive as "new" pages (mirrored verbatim in the oracle)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    keep = F.ceil(F.size(toks) * F.lit(EXCERPT_FRAC)).cast("int")
+    return docs.filter(F.col("doc_id") % EXCERPT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(EXCERPT_SHIFT)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
+    )
+
+
+def q_excerpt_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment screening of an arriving excerpt stream against the
+    held corpus (``containment_against`` over build-once reference
+    artifacts — the batch spelling of the streaming containment
+    processor, fully oracle-checked end to end)."""
+    from ..sources.readers import parallel_scan
+
+    docs = parallel_scan(load_table(spark, sf_dir, "documents"))
+    rare, sizes, hot = build_containment_ref(docs.select("doc_id", "text"))
+    return containment_against(docs_excerpt_stream(docs), rare, sizes, hot)
+
+
+ORACLE_EXCERPT_SCREEN = f"""
+WITH reps AS (
+  SELECT min(doc_id) AS ref_id, text FROM documents GROUP BY text
+), rg AS (
+  SELECT ref_id, unnest({_DUCK_SHINGLES.format(t='text')}) AS gram FROM reps
+), hot AS (
+  SELECT gram FROM rg GROUP BY gram HAVING count(*) > {CONTAIN_MAX_DF}
+), rare AS (
+  SELECT * FROM rg WHERE gram NOT IN (SELECT gram FROM hot)
+), ref_sizes AS (
+  SELECT ref_id, count(*) AS n_ref_grams FROM rare GROUP BY ref_id
+), new_docs AS (
+  SELECT doc_id + {EXCERPT_SHIFT} AS doc_id,
+         array_to_string(
+           list_slice(string_split_regex(trim(text), '\\s+'), 1,
+             CAST(ceil(len(string_split_regex(trim(text), '\\s+'))
+                       * {EXCERPT_FRAC!r}) AS INT)),
+           ' ') AS text
+  FROM documents WHERE doc_id % {EXCERPT_EVERY} = 0
+), ng AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES.format(t='text')}) AS gram
+  FROM new_docs
+), ng_rare AS (
+  SELECT * FROM ng WHERE gram NOT IN (SELECT gram FROM hot)
+), new_sizes AS (
+  SELECT doc_id, count(*) AS n_new_grams FROM ng_rare GROUP BY doc_id
+), shared AS (
+  SELECT n.doc_id, r.ref_id, CAST(count(*) AS BIGINT) AS shared_grams
+  FROM ng_rare n JOIN rare r USING (gram)
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, s.ref_id, s.shared_grams,
+       ROUND(CAST(shared_grams AS DOUBLE) / ns.n_new_grams, 6)
+         AS containment_new,
+       ROUND(CAST(shared_grams AS DOUBLE) / rs.n_ref_grams, 6)
+         AS containment_ref,
+       ROUND(CAST(shared_grams AS DOUBLE)
+             / least(ns.n_new_grams, rs.n_ref_grams), 6) AS containment
+FROM shared s
+JOIN new_sizes ns ON ns.doc_id = s.doc_id
+JOIN ref_sizes rs ON rs.ref_id = s.ref_id
+WHERE CAST(shared_grams AS DOUBLE) / least(ns.n_new_grams, rs.n_ref_grams)
+      >= {CONTAIN_THRESHOLD!r}
+"""
+
+
 # ------------------------------------------------------------------ simhash
 
 
