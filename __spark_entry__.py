@@ -291,6 +291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream against the held corpus — the oracle-checked batch
         # spelling of the streaming containment processor
         "excerpt_screen": D.q_excerpt_screen,
+        # round-14 newcomers at 51+: SoftDeDup-style gram-commonness
+        # down-weighting (reweight instead of remove) and the UniMax
+        # budgeted language allocation (waterfill with per-language
+        # epoch caps — the principled temperature_sample alternative)
+        "soft_dedup_weights": D.q_soft_dedup_weights,
+        "unimax_allocation": CU.q_unimax_allocation,
         # bench-only driver-loop surface — must stay LAST (pinned by
         # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,
@@ -451,6 +457,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "containment_near_dup": D.ORACLE_CONTAINMENT_NEAR_DUP,
         "excerpt_screen": D.ORACLE_EXCERPT_SCREEN,
+        "soft_dedup_weights": D.ORACLE_SOFT_DEDUP_WEIGHTS,
+        "unimax_allocation": CU.ORACLE_UNIMAX_ALLOCATION,
         "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,
         "tokenizer_fertility": T.ORACLE_TOKENIZER_FERTILITY,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

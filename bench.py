@@ -156,6 +156,8 @@ HEADLINE = [
     # against build-once reference artifacts (the batch spelling of the
     # streaming containment processor)
     "excerpt_screen",
+    "soft_dedup_weights",
+    "unimax_allocation",
     "bpe_train",
 ]
 

@@ -1074,6 +1074,150 @@ GROUP BY d.lang
 """
 
 
+# ------------------------------------ UniMax budgeted language sampling
+
+UNIMAX_EPOCHS = 2.0        # per-language repeat cap (UniMax's N)
+UNIMAX_BUDGET_FRAC = 1.5   # token budget as a fraction of corpus tokens
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    max_epochs: float = UNIMAX_EPOCHS,
+    budget_frac: float = UNIMAX_BUDGET_FRAC,
+    group_col: str = "lang",
+) -> DataFrame:
+    """UniMax language allocation (Chung et al. 2023, "UniMax: fairer
+    and more effective language sampling for large-scale multilingual
+    pretraining"): distribute a token budget B as UNIFORMLY as possible
+    across languages, but never repeat a language's corpus more than
+    ``max_epochs`` times — the principled alternative to temperature
+    sampling, which still over-allocates to head languages and
+    over-repeats the tail. Head languages share the leftover budget at
+    a common water level; tail languages are capped at their
+    ``max_epochs * n_l`` ceiling.
+
+    Closed-form waterfill, no iteration: sort languages by cap
+    ascending; the capped set is a PREFIX of that order (f(theta) =
+    sum(min(cap_l, theta)) is monotone), so language i is capped iff
+    filling every language to at least cap_i would already exceed B:
+    cum_{i-1} + (n - i + 1) * cap_i <= B. With k capped languages and
+    their cap mass cum_k, the water level is theta = (B - cum_k) /
+    (n - k); every allocation is min(cap_l, theta). If the budget
+    exceeds the total cap mass, every language is capped (theta
+    unused). All sums are exact BIGINT token counts; theta is a single
+    double division — deterministic on both engines.
+
+    Output per language: (lang, n_tokens, cap_tokens, alloc_tokens,
+    epochs) with alloc/epochs rounded to 6.
+
+    Scale shape: one tokenize + map-side-combined count to a |langs|-row
+    table; everything after (windows, the 1-row scalar crossJoin) runs
+    on that bounded table. The corpus is scanned once."""
+    counts = docs.groupBy(group_col).agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    cap = (F.col("n_tokens").cast("double") * F.lit(float(max_epochs))).alias(
+        "cap_tokens"
+    )
+    w = Window.orderBy("cap_tokens", group_col)
+    wall = Window.partitionBy()
+    t = (
+        counts.select(group_col, "n_tokens", cap)
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_cum", F.sum("cap_tokens").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "_budget",
+            F.sum("n_tokens").over(wall).cast("double")
+            * F.lit(float(budget_frac)),
+        )
+        .withColumn(
+            "_capped",
+            (
+                (F.col("_cum") - F.col("cap_tokens"))
+                + (F.col("_n") - F.col("_i") + 1) * F.col("cap_tokens")
+            )
+            <= F.col("_budget"),
+        )
+    )
+    level = t.agg(
+        F.sum(F.col("_capped").cast("long")).alias("_k"),
+        F.coalesce(
+            F.max(F.when(F.col("_capped"), F.col("_cum"))), F.lit(0.0)
+        ).alias("_cum_k"),
+        F.max("_n").alias("_nn"),
+        F.max("_budget").alias("_b"),
+    ).select(
+        F.when(
+            F.col("_k") < F.col("_nn"),
+            (F.col("_b") - F.col("_cum_k")) / (F.col("_nn") - F.col("_k")),
+        ).alias("_theta")
+    )
+    alloc = F.when(
+        F.col("_theta").isNull() | (F.col("cap_tokens") <= F.col("_theta")),
+        F.col("cap_tokens"),
+    ).otherwise(F.col("_theta"))
+    return (
+        t.crossJoin(F.broadcast(level))
+        .select(
+            group_col,
+            "n_tokens",
+            F.round("cap_tokens", 6).alias("cap_tokens"),
+            F.round(alloc, 6).alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens").cast("double"), 6).alias(
+                "epochs"
+            ),
+        )
+    )
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unimax_allocation(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_UNIMAX_ALLOCATION = f"""
+WITH counts AS (
+  SELECT lang,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, n_tokens,
+         CAST(n_tokens AS DOUBLE) * {UNIMAX_EPOCHS!r} AS cap_tokens,
+         row_number() OVER (ORDER BY CAST(n_tokens AS DOUBLE)
+                            * {UNIMAX_EPOCHS!r}, lang) AS i,
+         SUM(CAST(n_tokens AS DOUBLE) * {UNIMAX_EPOCHS!r})
+           OVER (ORDER BY CAST(n_tokens AS DOUBLE) * {UNIMAX_EPOCHS!r},
+                 lang) AS cum,
+         COUNT(*) OVER () AS n,
+         SUM(CAST(n_tokens AS DOUBLE)) OVER () * {UNIMAX_BUDGET_FRAC!r}
+           AS budget
+  FROM counts
+), flagged AS (
+  SELECT *,
+         (cum - cap_tokens) + (n - i + 1) * cap_tokens <= budget AS capped
+  FROM t
+), level AS (
+  SELECT CASE WHEN SUM(CASE WHEN capped THEN 1 ELSE 0 END) < MAX(n)
+              THEN (MAX(budget)
+                    - COALESCE(MAX(CASE WHEN capped THEN cum END), 0.0))
+                   / (MAX(n) - SUM(CASE WHEN capped THEN 1 ELSE 0 END))
+              END AS theta
+  FROM flagged
+)
+SELECT lang, n_tokens,
+       ROUND(cap_tokens, 6) AS cap_tokens,
+       ROUND(CASE WHEN theta IS NULL OR cap_tokens <= theta
+                  THEN cap_tokens ELSE theta END, 6) AS alloc_tokens,
+       ROUND(CASE WHEN theta IS NULL OR cap_tokens <= theta
+                  THEN cap_tokens ELSE theta END
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+FROM flagged, level
+"""
+
+
 # ------------------------------ content-defined chunking (CDC dedup)
 
 CDC_WINDOW = 3   # rolling window (tokens) the boundary test hashes

@@ -936,6 +936,94 @@ WHERE CAST(shared_grams AS DOUBLE) / least(ns.n_new_grams, rs.n_ref_grams)
 """
 
 
+# -------------------------------------------- soft (weighted) dedup
+
+SOFT_DEDUP_GAMMA = 9.0  # weight floor 1/(1+gamma): fully-common doc trains at 0.1
+
+
+def soft_dedup_weights(
+    docs: DataFrame, n: int = 3, gamma: float = SOFT_DEDUP_GAMMA
+) -> DataFrame:
+    """SoftDeDup-style importance DOWN-WEIGHTING instead of hard removal
+    (He et al. 2024, "SoftDedup: an efficient data reweighting method";
+    the idea also underlies D4's reweighting ablation): each document
+    gets a training sampling weight that decays with how COMMON its
+    content is across the corpus, so near-boilerplate trains less
+    without the cliff of a binary dedup threshold — hard dedup throws
+    away the marginal information in partially-duplicated pages.
+
+    commonness c_d = mean over the doc's distinct n-grams of
+    (df(g) - 1) / (N - 1)  in [0, 1]   (0 = every gram unique to d,
+    1 = every gram appears in every document), then
+    weight w_d = 1 / (1 + gamma * c_d)  in [1/(1+gamma), 1].
+
+    Output: (doc_id, n_grams, commonness, weight) — one row per doc, no
+    doc ever dropped (the gate-free contract is the point).
+
+    Scale shape: one gram explode, one map-side-combined df count, one
+    gram-keyed equi-join back (df table bounded by the corpus's DISTINCT
+    gram space, the ngram_novelty shape), one doc-keyed mean. Nothing
+    quadratic, nothing collected. Exact duplicates need no collapse
+    here — there is no candidate generation and no df CAP to poison;
+    duplication flows INTO the weight (copies of a page all converge to
+    the same lowered weight), which is the intended semantics."""
+    g = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        g.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg(F.col("df").cast("double") - F.lit(1.0)).alias("_mean_xdf"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    common = F.when(
+        F.col("n_docs") > 1, F.col("_mean_xdf") / (F.col("n_docs") - F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        F.round(common, 6).alias("commonness"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.lit(float(gamma)) * common), 6)
+        .alias("weight"),
+    )
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import parallel_scan
+
+    return soft_dedup_weights(
+        parallel_scan(load_table(spark, sf_dir, "documents"))
+    )
+
+
+ORACLE_SOFT_DEDUP_WEIGHTS = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES.format(t='text')}) AS gram
+  FROM documents
+), dfreq AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         avg(CAST(df AS DOUBLE) - 1.0) AS mean_xdf
+  FROM g JOIN dfreq USING (gram) GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       ROUND(CASE WHEN n_docs > 1 THEN mean_xdf / (n_docs - 1.0)
+                  ELSE 0.0 END, 6) AS commonness,
+       ROUND(1.0 / (1.0 + {SOFT_DEDUP_GAMMA!r}
+                    * CASE WHEN n_docs > 1 THEN mean_xdf / (n_docs - 1.0)
+                           ELSE 0.0 END), 6) AS weight
+FROM scored, nd
+"""
+
+
 # ------------------------------------------------------------------ simhash
 
 
