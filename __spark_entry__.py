@@ -30,8 +30,11 @@ r09-row queries (the stalest ledger cohort) and the first TWELVE of
 the forty-four r10-row queries. 5+13+1+2+17+12 = 50.
 Displaced to 51+ this round: everything with a hash-green r12/r13 row
 and code untouched this round.
-ROTATION QUEUE for round 15 (stalest first): the thirty-two remaining
-r10-row queries (tumbling_hourly, union_all_activity,
+ROTATION QUEUE for round 15 (stalest first): the THREE never-rowed
+round-14 newcomers (excerpt_screen, soft_dedup_weights,
+unimax_allocation — all swept green at sf0.001/sf0.01/sf0.1/sf1 before
+commit — plus any operator whose code changes in r15), then the
+thirty-two remaining r10-row queries (tumbling_hourly, union_all_activity,
 user_event_profile, window_frames, word_count, zscore_events,
 asof_latest_order, asof_next_order, cte_sql, dataset_split,
 edit_distance_pairs, histogram_bins, hopping_hourly, map_functions,

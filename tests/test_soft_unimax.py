@@ -82,3 +82,32 @@ def test_unimax_uniform_langs_split_evenly(spark):
     }
     # nobody capped (caps 12 vs theta 4): uniform water level = 4 each
     assert out["p"].alloc_tokens == 4.0 and out["q"].alloc_tokens == 4.0
+
+
+def test_new_operator_plans_have_no_cartesian_blowup(spark):
+    """Plan pins for the round-14 operators: soft_dedup_weights and
+    excerpt_screen must never plan a CartesianProduct (their joins are
+    gram-keyed equi-joins); unimax_allocation's only nested-loop join is
+    the broadcast of the 1-row water-level scalar, and nothing in any of
+    the three evaluates Python row-at-a-time."""
+    from m12_kafkastreams_python_azure_spark.operators import dedup as DD
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    s = explain_str(DD.soft_dedup_weights(docs.select("doc_id", "text")))
+    assert "CartesianProduct" not in s
+    # the n_docs scalar is the one permitted 1-row broadcast
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+    rare, sizes, hot = DD.build_containment_ref(docs.select("doc_id", "text"))
+    s = explain_str(
+        DD.containment_against(DD.docs_excerpt_stream(docs), rare, sizes, hot)
+    )
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+    s = explain_str(CU.unimax_allocation(docs))
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
