@@ -395,7 +395,7 @@ def main() -> None:
                             "best-of-N replays don't share state and "
                             "would only multiply cost; reported as "
                             "keep_best_docs_per_sec",
-        "curation_streams": "decontaminate/dsir/temperature/ccnet batch "
+        "curation_streams": "decontaminate/dsir/temperature/ccnet/containment batch "
                             "processors replayed over 4 micro-batch "
                             "shards of their stream side (fresh state "
                             "dirs; half-corpus 2-batch warm-up replay "
@@ -665,6 +665,7 @@ def _curation_stream_throughput(spark) -> dict:
     from m12_kafkastreams_python_azure_spark.sources.readers import load_table
     from m12_kafkastreams_python_azure_spark.streaming.advanced import (
         ccnet_batch_processor,
+        containment_batch_processor,
         decontaminate_batch_processor,
         dsir_batch_processor,
         temperature_batch_processor,
@@ -717,6 +718,20 @@ def _curation_stream_throughput(spark) -> dict:
             "ccnet_stream_docs_per_sec",
             lambda d: ccnet_batch_processor(td, d),
             td,
+        )
+
+        # sextet member (round 14): arriving docs screened for n-gram
+        # containment against the frozen held corpus; the excerpt slice
+        # plays the arriving stream so matches actually fire
+        ref = docs.select("doc_id", "text")
+        from m12_kafkastreams_python_azure_spark.operators.dedup import (
+            docs_excerpt_stream,
+        )
+
+        _replay(
+            "containment_stream_docs_per_sec",
+            lambda d: containment_batch_processor(ref, d),
+            docs_excerpt_stream(ref),
         )
         return out
     finally:
