@@ -158,6 +158,7 @@ HEADLINE = [
     "excerpt_screen",
     "soft_dedup_weights",
     "unimax_allocation",
+    "hybrid_rrf_retrieval",
     "bpe_train",
 ]
 

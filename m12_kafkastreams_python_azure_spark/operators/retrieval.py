@@ -20,9 +20,13 @@ global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from m12_kafkastreams_python_azure_spark.functions.vectors import (
+    dot_product_unrolled,
+    l2_norm,
+)
 from m12_kafkastreams_python_azure_spark.sources.readers import load_table
 
 BM25_K1 = 1.2
@@ -111,7 +115,8 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_retrieval(load_table(spark, sf_dir, "documents"))
 
 
-def _oracle_bm25() -> str:
+def _oracle_bm25(top: int | None = None) -> str:
+    top = BM25_TOP if top is None else top
     terms = ", ".join(f"('{t}')" for t in BM25_QUERY)
     return f"""
 WITH terms(word) AS (VALUES {terms}),
@@ -150,8 +155,147 @@ scored AS (
 SELECT doc_id, bm25, n_terms_hit,
        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
 FROM scored
-QUALIFY rank <= {BM25_TOP}
+QUALIFY rank <= {top}
 """
 
 
 ORACLE_BM25_RETRIEVAL = _oracle_bm25()
+
+
+# ------------------------------- hybrid lexical + dense fusion (RRF)
+
+RRF_K = 60      # the canonical reciprocal-rank-fusion constant
+RRF_POOL = 50   # per-ranker candidate pool feeding the fusion
+RRF_TOP = 20
+
+
+def hybrid_rrf_retrieval(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str] | None = None,
+    k: int = RRF_K,
+    pool: int = RRF_POOL,
+    top: int = RRF_TOP,
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009
+    — the standard lexical+dense fuser in production search): BM25 ranks
+    a candidate pool lexically; its TOP-1 hit seeds a dense
+    query-by-example ranking (cosine against the seed's embedding — the
+    classic seed-expansion mining flow for curation subsets); the two
+    rank lists fuse as sum(1 / (k + rank_i)), with a doc absent from one
+    list contributing only its present term. Output: the fused top-k
+    with both ranks carried for audit.
+
+    Scale shape: BM25's hit-filtered aggregate (see ``bm25_retrieval``)
+    + ONE O(n) cosine pass against a broadcast 1-row seed (never a pair
+    join; the ANN front door for bigger pools is ``api.ann_topk``); both
+    rankers end in orderBy().limit() TakeOrderedAndProject pools of
+    ``pool`` rows, so the rank windows and the full-outer fusion run on
+    <= 2*pool rows. Ties in every ordering break on doc_id — the ranks,
+    the seed choice, and the final cut are engine-deterministic."""
+    lex = bm25_retrieval(docs, query_terms, top=pool).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    from m12_kafkastreams_python_azure_spark.operators.similarity import (
+        _probe_dim,
+    )
+
+    dim = _probe_dim(emb, "embedding")
+    seed = (
+        lex.filter(F.col("lex_rank") == 1)
+        .join(emb, lex.doc_id == emb.vec_id)
+        .select(
+            F.col("embedding").alias("svec"),
+            l2_norm(F.col("embedding")).alias("snorm"),
+        )
+    )
+    dense_scored = emb.crossJoin(F.broadcast(seed)).select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            dot_product_unrolled(F.col("embedding"), F.col("svec"), dim)
+            / (l2_norm(F.col("embedding")) * F.col("snorm"))
+        ).alias("cos"),
+    )
+    rank_w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        dense_scored.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(pool)
+        .withColumn("dense_rank", F.row_number().over(rank_w).cast("int"))
+        .select("doc_id", "dense_rank")
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k)) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(k)) + F.col("dense_rank")),
+                F.lit(0.0),
+            )
+        ).alias("_rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("_rrf"), F.asc("doc_id"))
+        .limit(top)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("_rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_rrf_retrieval(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+_COS_SQL = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), s.svec)"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+    " CAST(e.embedding AS DOUBLE[])))"
+    " * s.snorm)"
+)
+
+ORACLE_HYBRID_RRF_RETRIEVAL = f"""
+WITH bm AS ({_oracle_bm25(RRF_POOL)}),
+lex AS (
+  SELECT doc_id, CAST(rank AS INTEGER) AS lex_rank FROM bm
+),
+seed AS (
+  SELECT CAST(e.embedding AS DOUBLE[]) AS svec,
+         sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[]))) AS snorm
+  FROM embeddings e JOIN lex ON e.vec_id = lex.doc_id
+  WHERE lex.lex_rank = 1
+),
+dense_scored AS (
+  SELECT e.vec_id AS doc_id, {_COS_SQL} AS cos
+  FROM embeddings e, seed s
+),
+dense AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+           AS dense_rank
+  FROM dense_scored
+  QUALIFY dense_rank <= {RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank), 0.0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.dense_rank), 0.0)
+           AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, ROUND(rrf, 6) AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOP}
+"""
