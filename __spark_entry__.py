@@ -30,9 +30,9 @@ r09-row queries (the stalest ledger cohort) and the first TWELVE of
 the forty-four r10-row queries. 5+13+1+2+17+12 = 50.
 Displaced to 51+ this round: everything with a hash-green r12/r13 row
 and code untouched this round.
-ROTATION QUEUE for round 15 (stalest first): the FOUR never-rowed
+ROTATION QUEUE for round 15 (stalest first): the FIVE never-rowed
 round-14 newcomers (excerpt_screen, soft_dedup_weights,
-unimax_allocation, hybrid_rrf_retrieval — all swept green at sf0.001/sf0.01/sf0.1/sf1 before
+unimax_allocation, hybrid_rrf_retrieval, vocab_kl_drift — all swept green at sf0.001/sf0.01/sf0.1/sf1 before
 commit — plus any operator whose code changes in r15), then the
 thirty-two remaining r10-row queries (tumbling_hourly, union_all_activity,
 user_event_profile, window_frames, word_count, zscore_events,
@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid lexical+dense retrieval: BM25 pool + seed-expansion
         # cosine pool fused by reciprocal rank (Cormack et al. 2009)
         "hybrid_rrf_retrieval": R.q_hybrid_rrf_retrieval,
+        # per-source vocabulary KL drift vs the corpus (closed-form
+        # add-alpha smoothing over the joint vocab; the companion of
+        # source_length_drift and zipf_vocab_audit)
+        "vocab_kl_drift": AU.q_vocab_kl_drift,
         # bench-only driver-loop surface — must stay LAST (pinned by
         # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,
@@ -466,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_dedup_weights": D.ORACLE_SOFT_DEDUP_WEIGHTS,
         "unimax_allocation": CU.ORACLE_UNIMAX_ALLOCATION,
         "hybrid_rrf_retrieval": R.ORACLE_HYBRID_RRF_RETRIEVAL,
+        "vocab_kl_drift": AU.ORACLE_VOCAB_KL_DRIFT,
         "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,
         "tokenizer_fertility": T.ORACLE_TOKENIZER_FERTILITY,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

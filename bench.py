@@ -159,6 +159,7 @@ HEADLINE = [
     "soft_dedup_weights",
     "unimax_allocation",
     "hybrid_rrf_retrieval",
+    "vocab_kl_drift",
     "bpe_train",
 ]
 

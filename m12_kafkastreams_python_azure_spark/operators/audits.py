@@ -502,3 +502,132 @@ WITH words AS (
 SELECT grp AS source, n_types, n_tokens, zipf_slope, zipf_r2
 FROM totals JOIN fit USING (grp)
 """
+
+
+# -------------------------------------- vocabulary KL drift per source
+
+VOCAB_KL_ALPHA = 0.5  # add-alpha smoothing over the joint vocabulary
+
+
+def vocab_kl_drift(
+    docs: DataFrame, group_col: str = "source", alpha: float = VOCAB_KL_ALPHA
+) -> DataFrame:
+    """Per-slice KL divergence of the slice's word distribution from the
+    whole corpus's — KL(P_s || Q) with add-``alpha`` smoothing over the
+    JOINT vocabulary. The companion of ``source_length_drift`` (lengths)
+    and ``zipf_vocab_audit`` (shape): a slice whose VOCABULARY drifts —
+    a crawl source flipping language, template spam flooding one feed,
+    machine-generated filler — scores high here while per-doc gates see
+    nothing wrong.
+
+    Closed form, never a per-word loop over absent words: with
+    denom_s = n_s + alpha*V, p0 = alpha/denom_s (every absent word's
+    smoothed mass), and lnQ(w) = ln(c_w + alpha) - ln(N + alpha*V),
+
+      KL = [ A_s + (n_s + alpha*V_s) * (ln(N + alpha*V) - ln(denom_s))
+             - 0 ] / denom_s                       (present words)
+         + p0 * ((V - V_s) * ln(p0) - (LQ - LQ_s)) (absent words)
+
+    where A_s = sum over present words of (c_sw + alpha) *
+    (ln(c_sw + alpha) - ln(c_w + alpha)), LQ = sum over the vocab of
+    lnQ(w), LQ_s its per-slice present part — every piece is one
+    aggregate over the (slice, word) count table. Mirrored term for term
+    in DuckDB.
+
+    Scale shape: one tokenize+explode, one (slice, word) count with
+    map-side partials, one word-keyed join of the per-slice counts to
+    the corpus counts (both vocab-bounded — the BPE/LM model-table
+    bound), a slice-keyed aggregate, and one broadcast 1-row scalar.
+    Output per slice: (source, n_tokens, n_types, kl_vs_corpus)."""
+    a = float(alpha)
+    words = docs.filter(F.col("text").isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+    )
+    sw = words.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    wt = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    scal = wt.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("c_w").cast("double").alias("n_total"),
+        F.sum(F.log(F.col("c_w") + F.lit(a))).alias("sum_ln_cw"),
+    )
+    per = (
+        sw.join(wt, "word")
+        .groupBy("grp")
+        .agg(
+            F.sum("c_sw").alias("n_s"),
+            F.count(F.lit(1)).cast("double").alias("v_s"),
+            F.sum(
+                (F.col("c_sw") + F.lit(a))
+                * (
+                    F.log(F.col("c_sw") + F.lit(a))
+                    - F.log(F.col("c_w") + F.lit(a))
+                )
+            ).alias("a_term"),
+            F.sum(F.log(F.col("c_w") + F.lit(a))).alias("s_ln_cw"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+    denom = F.col("n_s").cast("double") + F.lit(a) * F.col("v")
+    ln_nd = F.log(F.col("n_total") + F.lit(a) * F.col("v"))
+    present = (
+        F.col("a_term")
+        + (F.col("n_s").cast("double") + F.lit(a) * F.col("v_s"))
+        * (ln_nd - F.log(denom))
+    ) / denom
+    p0 = F.lit(a) / denom
+    lq = F.col("sum_ln_cw") - F.col("v") * ln_nd
+    lq_s = F.col("s_ln_cw") - F.col("v_s") * ln_nd
+    absent = p0 * ((F.col("v") - F.col("v_s")) * F.log(p0) - (lq - lq_s))
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n_s").alias("n_tokens"),
+        F.col("v_s").cast("long").alias("n_types"),
+        F.round(present + absent, 6).alias("kl_vs_corpus"),
+    )
+
+
+def q_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_kl_drift(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_VOCAB_KL_DRIFT = f"""
+WITH words AS (
+  SELECT source AS grp,
+         unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+), sw AS (
+  SELECT grp, word, CAST(count(*) AS BIGINT) AS c_sw
+  FROM words GROUP BY grp, word
+), wt AS (
+  SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY word
+), scal AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v,
+         CAST(sum(c_w) AS DOUBLE) AS n_total,
+         sum(ln(c_w + {VOCAB_KL_ALPHA!r})) AS sum_ln_cw
+  FROM wt
+), per AS (
+  SELECT grp,
+         CAST(sum(c_sw) AS BIGINT) AS n_s,
+         CAST(count(*) AS DOUBLE) AS v_s,
+         sum((c_sw + {VOCAB_KL_ALPHA!r})
+             * (ln(c_sw + {VOCAB_KL_ALPHA!r}) - ln(c_w + {VOCAB_KL_ALPHA!r})))
+           AS a_term,
+         sum(ln(c_w + {VOCAB_KL_ALPHA!r})) AS s_ln_cw
+  FROM sw JOIN wt USING (word) GROUP BY grp
+)
+SELECT grp AS source, n_s AS n_tokens, CAST(v_s AS BIGINT) AS n_types,
+       ROUND(
+         (a_term + (CAST(n_s AS DOUBLE) + {VOCAB_KL_ALPHA!r} * v_s)
+                   * (ln(n_total + {VOCAB_KL_ALPHA!r} * v)
+                      - ln(CAST(n_s AS DOUBLE) + {VOCAB_KL_ALPHA!r} * v)))
+         / (CAST(n_s AS DOUBLE) + {VOCAB_KL_ALPHA!r} * v)
+         + ({VOCAB_KL_ALPHA!r} / (CAST(n_s AS DOUBLE) + {VOCAB_KL_ALPHA!r} * v))
+           * ((v - v_s)
+              * ln({VOCAB_KL_ALPHA!r}
+                   / (CAST(n_s AS DOUBLE) + {VOCAB_KL_ALPHA!r} * v))
+              - ((sum_ln_cw - v * ln(n_total + {VOCAB_KL_ALPHA!r} * v))
+                 - (s_ln_cw - v_s * ln(n_total + {VOCAB_KL_ALPHA!r} * v)))),
+         6) AS kl_vs_corpus
+FROM per, scal
+"""

@@ -174,3 +174,43 @@ def test_zipf_two_phase_equals_single_window_on_mega_vocab(spark):
         .first()
     )
     assert r.zipf_slope == round(head.c / head.vlr, 6)
+
+
+def test_vocab_kl_drift_closed_form_matches_bruteforce(spark):
+    """The closed-form (present-aggregate + absent-mass correction) must
+    equal the naive per-word KL computed in Python over the same
+    smoothing, and the drifted slice must out-score the representative
+    one."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "rep", 0),
+        (2, "the dog sat on the rug", "en", "rep", 0),
+        (3, "zzq qqz zqz qzz zzq zzq", "en", "drift", 0),
+    ]
+    out = {
+        r.source: r for r in AU.vocab_kl_drift(_docs(spark, rows)).collect()
+    }
+
+    texts = {"rep": rows[0][1] + " " + rows[1][1], "drift": rows[2][1]}
+    corpus = Counter()
+    per = {}
+    for src, t in texts.items():
+        c = Counter(t.split())
+        per[src] = c
+        corpus.update(c)
+    a = AU.VOCAB_KL_ALPHA
+    v = len(corpus)
+    n_total = sum(corpus.values())
+    for src, c in per.items():
+        n_s = sum(c.values())
+        kl = 0.0
+        for w in corpus:
+            p = (c.get(w, 0) + a) / (n_s + a * v)
+            q = (corpus[w] + a) / (n_total + a * v)
+            kl += p * math.log(p / q)
+        assert out[src].kl_vs_corpus == round(kl, 6), src
+        assert out[src].n_tokens == n_s
+        assert out[src].n_types == len(c)
+    assert out["drift"].kl_vs_corpus > out["rep"].kl_vs_corpus
