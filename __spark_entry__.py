@@ -30,9 +30,10 @@ r09-row queries (the stalest ledger cohort) and the first TWELVE of
 the forty-four r10-row queries. 5+13+1+2+17+12 = 50.
 Displaced to 51+ this round: everything with a hash-green r12/r13 row
 and code untouched this round.
-ROTATION QUEUE for round 15 (stalest first): the FIVE never-rowed
+ROTATION QUEUE for round 15 (stalest first): the SIX never-rowed
 round-14 newcomers (excerpt_screen, soft_dedup_weights,
-unimax_allocation, hybrid_rrf_retrieval, vocab_kl_drift — all swept green at sf0.001/sf0.01/sf0.1/sf1 before
+unimax_allocation, hybrid_rrf_retrieval, vocab_kl_drift,
+retrieval_eval — all swept green at sf0.001/sf0.01/sf0.1/sf1 before
 commit — plus any operator whose code changes in r15), then the
 thirty-two remaining r10-row queries (tumbling_hourly, union_all_activity,
 user_event_profile, window_frames, word_count, zscore_events,
@@ -307,6 +308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # add-alpha smoothing over the joint vocab; the companion of
         # source_length_drift and zipf_vocab_audit)
         "vocab_kl_drift": AU.q_vocab_kl_drift,
+        # rank-quality audit of the BM25 miner vs a term-presence gold
+        # rule: MRR / nDCG@k / precision / recall in one summary row
+        "retrieval_eval": R.q_retrieval_eval,
         # bench-only driver-loop surface — must stay LAST (pinned by
         # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,
@@ -471,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_allocation": CU.ORACLE_UNIMAX_ALLOCATION,
         "hybrid_rrf_retrieval": R.ORACLE_HYBRID_RRF_RETRIEVAL,
         "vocab_kl_drift": AU.ORACLE_VOCAB_KL_DRIFT,
+        "retrieval_eval": R.ORACLE_RETRIEVAL_EVAL,
         "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,
         "tokenizer_fertility": T.ORACLE_TOKENIZER_FERTILITY,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

@@ -160,6 +160,7 @@ HEADLINE = [
     "unimax_allocation",
     "hybrid_rrf_retrieval",
     "vocab_kl_drift",
+    "retrieval_eval",
     "bpe_train",
 ]
 

@@ -299,3 +299,137 @@ FROM fused
 ORDER BY rrf DESC, doc_id
 LIMIT {RRF_TOP}
 """
+
+
+# ----------------------------------------- retrieval quality evaluation
+
+EVAL_MIN_TERMS = 2  # relevance rule: doc carries >= 2 distinct query terms
+
+
+def retrieval_eval(
+    ranking: DataFrame,
+    relevant: DataFrame,
+    k: int = BM25_TOP,
+) -> DataFrame:
+    """Rank-quality metrics of a retrieval run against a relevance set:
+    MRR, nDCG@k (binary gains), precision@k, recall@k — the audit a
+    curation stack runs before trusting a miner's output as a training
+    subset. ``ranking`` = (doc_id, rank) with rank 1-based and <= k;
+    ``relevant`` = (doc_id) gold rows. One summary row out.
+
+    All-aggregate shape: one broadcast semi-join marks relevant hits in
+    the (tiny, <= k-row) ranking; MRR/DCG are conditional aggregates
+    over it; IDCG explodes a 1..min(R,k) sequence from the single
+    scalar row — nothing scales with the corpus but the relevance rule
+    the caller evaluates."""
+    hits = ranking.join(
+        F.broadcast(relevant.select("doc_id").distinct()), "doc_id", "semi"
+    )
+    n_rel = relevant.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    agg = (
+        hits.agg(
+            F.count(F.lit(1)).alias("n_hits_at_k"),
+            F.min("rank").alias("_first"),
+            F.sum(F.lit(1.0) / F.log2(F.col("rank") + F.lit(1.0))).alias(
+                "_dcg"
+            ),
+        )
+        .crossJoin(F.broadcast(n_rel))
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return agg.select(
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.col("n_hits_at_k").cast("long").alias("n_hits_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_k"),
+        F.round(
+            F.col("n_hits_at_k").cast("double") / F.lit(float(k)), 6
+        ).alias("precision_at_k"),
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("n_hits_at_k").cast("double") / F.col("n_relevant"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25's top-20 evaluated against a deterministic relevance rule —
+    documents carrying >= EVAL_MIN_TERMS distinct query terms (a
+    term-presence gold standard both engines derive identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranking = bm25_retrieval(docs).select("doc_id", "rank")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    relevant = (
+        toks.filter(F.col("word").isin(BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("word").alias("nt"))
+        .filter(F.col("nt") >= EVAL_MIN_TERMS)
+        .select("doc_id")
+    )
+    return retrieval_eval(ranking, relevant)
+
+
+def _oracle_retrieval_eval() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY)
+    return f"""
+WITH bm AS ({_oracle_bm25()}),
+ranking AS (SELECT doc_id, rank FROM bm),
+terms(word) AS (VALUES {terms}),
+relevant AS (
+  SELECT doc_id
+  FROM (
+    SELECT doc_id, count(DISTINCT word) AS nt
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ) WHERE word IN (SELECT word FROM terms)
+    GROUP BY doc_id
+  ) WHERE nt >= {EVAL_MIN_TERMS}
+),
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM relevant),
+hits AS (
+  SELECT r.rank FROM ranking r JOIN relevant USING (doc_id)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits_at_k,
+         min(rank) AS first_rank,
+         COALESCE(sum(CAST(1.0 AS DOUBLE) / log2(rank + 1.0)), 0.0) AS dcg
+  FROM hits
+),
+idcg AS (
+  SELECT COALESCE(sum(CAST(1.0 AS DOUBLE) / log2(i + 1.0)), 0.0) AS idcg
+  FROM (SELECT unnest(range(1, {BM25_TOP} + 1)) AS i), nrel
+  WHERE i <= least(n_relevant, {BM25_TOP})
+)
+SELECT n_relevant, n_hits_at_k,
+       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / first_rank, 0.0), 6) AS mrr,
+       ROUND(CASE WHEN n_relevant > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+         AS ndcg_at_k,
+       ROUND(CAST(n_hits_at_k AS DOUBLE) / {BM25_TOP}, 6) AS precision_at_k,
+       ROUND(CASE WHEN n_relevant > 0
+                  THEN CAST(n_hits_at_k AS DOUBLE) / n_relevant
+                  ELSE 0.0 END, 6) AS recall_at_k
+FROM agg, nrel, idcg
+"""
+
+
+ORACLE_RETRIEVAL_EVAL = _oracle_retrieval_eval()

@@ -40,3 +40,32 @@ def test_seed_doc_tops_the_fusion(spark):
     top = out[0]
     assert top.lex_rank == 1 and top.dense_rank == 1
     assert top.rrf_score == round(2.0 / (R.RRF_K + 1), 6)
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """Planted geometry: ranking [1..4], relevant = {ranks 2 and 4} of 3
+    gold docs (one unretrieved). MRR = 1/2; DCG = 1/log2(3)+1/log2(5);
+    IDCG = 1/log2(2)+1/log2(3)+1/log2(4) (3 relevant, k=20);
+    precision@20 = 2/20; recall = 2/3."""
+    import math
+
+    ranking = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3), (40, 4)], "doc_id long, rank int"
+    )
+    relevant = spark.createDataFrame([(20,), (40,), (99,)], "doc_id long")
+    r = R.retrieval_eval(ranking, relevant, k=20).first()
+    assert r.n_relevant == 3 and r.n_hits_at_k == 2
+    assert r.mrr == 0.5
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert r.ndcg_at_k == round(dcg / idcg, 6)
+    assert r.precision_at_k == 0.1 and r.recall_at_k == round(2 / 3, 6)
+
+
+def test_retrieval_eval_no_hits_is_all_zero(spark):
+    ranking = spark.createDataFrame([(10, 1)], "doc_id long, rank int")
+    relevant = spark.createDataFrame([(99,)], "doc_id long")
+    r = R.retrieval_eval(ranking, relevant, k=5).first()
+    assert (r.mrr, r.ndcg_at_k, r.precision_at_k, r.recall_at_k) == (
+        0.0, 0.0, 0.0, 0.0,
+    )
