@@ -168,7 +168,10 @@ HEADLINE = [
 # collects per-iteration winners, so the returned DataFrame is just the
 # result table): time construction + count, not count alone — timing only
 # count() would measure a createDataFrame of a driver-side list (~0 s).
-EAGER_QUERIES = {"bpe_train"}
+# containment_near_dup / excerpt_screen also run eager work at
+# construction (the collapsed-reps persist + materialization barrier) —
+# timing count() alone would exclude the collapse shuffle.
+EAGER_QUERIES = {"bpe_train", "containment_near_dup", "excerpt_screen"}
 
 
 def run_headline(spark, queries, names, sf_dir=None):

@@ -246,6 +246,29 @@ _bucket_pairs = bucket_pairs
 # ------------------------------------------------- exact-collapse pre-pass
 
 
+def collapse_reps_only(docs: DataFrame) -> DataFrame:
+    """Min-id representative per distinct text, as a plain aggregate —
+    the cheap spelling of the duplicate law for consumers that need only
+    the REPS, never the member->rep mapping (containment's candidate
+    stage discards the mapping anyway). groupBy gets map-side partial
+    aggregation, so duplicates collapse BEFORE the shuffle and the
+    exchange carries one row per distinct content per input partition —
+    strictly less data than ``collapse_exact_groups``'s window, which
+    must ship and sort EVERY member row to keep the mapping (measured at
+    sf0.1: the window spelling cost containment_near_dup +2.7 s; this
+    one is the r13 wall). The digest-prefixed grouping key keeps the
+    sort/route comparisons cheap on wide texts (the
+    collapse_exact_groups discipline); correctness stays exact because
+    the raw text remains part of the key."""
+    digest = F.xxhash64(F.col("text"))
+    return (
+        docs.groupBy(digest.alias("_d"), "text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+
+
+
 def collapse_exact_groups(
     df: DataFrame, key_cols: list[str], id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -636,7 +659,17 @@ def containment_pairs(
     Output pairs are therefore over DISTINCT contents; pairs among exact
     duplicates are exact-dedup's domain (``dedup_exact`` /
     ``expand_collapsed_pairs`` own them)."""
-    _, reps = collapse_exact_groups(docs.select("doc_id", "text"), ["text"], "doc_id")
+    from ..sources.readers import register_parallel_cache
+
+    # Persist the collapsed reps: the gram table has TWO consumers (the
+    # hot-gram aggregate and the rare anti-join) and Spark shares no
+    # subtrees across join branches, so without the pin the collapse
+    # shuffle would run twice (measured: +2 s at sf0.1). The count() is
+    # the materialization barrier (the parallel_scan discipline).
+    reps = register_parallel_cache(
+        collapse_reps_only(docs.select("doc_id", "text")).persist()
+    )
+    reps.count()
     g = reps.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
     )
@@ -779,9 +812,7 @@ def build_containment_ref(
     contract), so duplicates in a batch just produce duplicate verdicts
     for distinct ids — correct, and never a df-cap hazard because the
     guard is reference-side."""
-    _, reps = collapse_exact_groups(
-        ref_docs.select("doc_id", "text"), ["text"], "doc_id"
-    )
+    reps = collapse_reps_only(ref_docs.select("doc_id", "text"))
     g = reps.select(
         F.col("doc_id").alias("ref_id"),
         F.explode(shingles(F.col("text"), n)).alias("gram"),

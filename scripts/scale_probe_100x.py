@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from m12_kafkastreams_python_azure_spark.operators import audits as AU  # noqa: E402
 from m12_kafkastreams_python_azure_spark.operators import corpus as C  # noqa: E402
 from m12_kafkastreams_python_azure_spark.operators import curation as CU  # noqa: E402
+from m12_kafkastreams_python_azure_spark.operators import dedup as D  # noqa: E402
 from m12_kafkastreams_python_azure_spark.operators import dsir as DS  # noqa: E402
 from m12_kafkastreams_python_azure_spark.session import get_spark  # noqa: E402
 from m12_kafkastreams_python_azure_spark.sources.readers import (  # noqa: E402
@@ -76,12 +77,29 @@ OPS = (
     ("ccnet_buckets", C.ccnet_buckets),
     ("ccnet_buckets_approx", lambda d: C.ccnet_buckets(d, thresholds="approx")),
     ("cdc_chunk_dedup", CU.cdc_chunk_dedup),
+    # round-14 newcomers (replication grows their df/count tables but
+    # nothing quadratic: soft weights are a gram-df join, the KL and
+    # UniMax tables are vocab-/|langs|-bounded)
+    ("soft_dedup_weights", D.soft_dedup_weights),
+    ("vocab_kl_drift", AU.vocab_kl_drift),
+    ("unimax_allocation", CU.unimax_allocation),
 )
+
+
+def _excerpt_screen_prebuilt(docs):
+    """Fit-once reference artifacts (untimed build, the bloom
+    discipline); the timed call screens the excerpt stream only."""
+    rare, sizes, hot = D.build_containment_ref(docs.select("doc_id", "text"))
+    rare = rare.persist()
+    rare.count()
+    stream = D.docs_excerpt_stream(docs.select("doc_id", "text"))
+    return lambda: D.containment_against(stream, rare, sizes, hot).count()
 
 # ops with a build-once artifact: the thunk factory is called once per
 # rung (build untimed), the returned thunk is what gets timed
 PREBUILT_OPS = (
     ("decontaminate_bloom_prebuilt", _bloom_prebuilt),
+    ("excerpt_screen_prebuilt", _excerpt_screen_prebuilt),
 )
 
 
