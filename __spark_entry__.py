@@ -35,16 +35,18 @@ round-14 newcomers (excerpt_screen, soft_dedup_weights,
 unimax_allocation, hybrid_rrf_retrieval, vocab_kl_drift,
 retrieval_eval — all swept green at sf0.001/sf0.01/sf0.1/sf1 before
 commit — plus any operator whose code changes in r15), then the
-thirty-two remaining r10-row queries (tumbling_hourly, union_all_activity,
+TWENTY-NINE remaining r10-row queries (tumbling_hourly, union_all_activity,
 user_event_profile, window_frames, word_count, zscore_events,
 asof_latest_order, asof_next_order, cte_sql, dataset_split,
 edit_distance_pairs, histogram_bins, hopping_hourly, map_functions,
 purchase_funnel, quality_report, stratified_sample, tfidf_top_terms,
 value_band_join, zorder_key, array_set_ops, arrow_byte_stats,
 benford_digits, bitwise_aggregates, cheapest_supplier, corr_battery,
-median_aggregates, orderkey_islands, string_functions2, plus the three
-multimodal pair queries phash_near_dup-displaced cohort members as
-they age), then the r12 cohort (43 queries), then the r13/r14 cohorts.
+median_aggregates, orderkey_islands, string_functions2 — the other
+fifteen of the 44 rotated into THIS round's window: twelve in
+R10_ROTATED_IN_R14 plus forecast_revenue_q6 / promo_revenue_q14 /
+region_revenue_share via CODE_CHANGED_R14), then the r12 cohort
+(43 queries), then the r13/r14 cohorts.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
