@@ -658,7 +658,14 @@ def containment_pairs(
     entirely (the hard_negative_mining_ivf failure class, VERDICT r13).
     Output pairs are therefore over DISTINCT contents; pairs among exact
     duplicates are exact-dedup's domain (``dedup_exact`` /
-    ``expand_collapsed_pairs`` own them)."""
+    ``expand_collapsed_pairs`` own them).
+
+    EAGER at construction (ADVICE r14): the collapsed-reps persist runs
+    a Spark job (persist + count materialization barrier) when this
+    function is CALLED, not when the returned DataFrame is acted on —
+    callers that only build/explain the plan still pay the collapse
+    shuffle, and bench.py therefore times this operator in
+    EAGER_QUERIES (construction + count)."""
     from ..sources.readers import register_parallel_cache
 
     # Persist the collapsed reps: the gram table has TWO consumers (the

@@ -90,8 +90,11 @@ def _excerpt_screen_prebuilt(docs):
     """Fit-once reference artifacts (untimed build, the bloom
     discipline); the timed call screens the excerpt stream only."""
     rare, sizes, hot = D.build_containment_ref(docs.select("doc_id", "text"))
-    rare = rare.persist()
-    rare.count()
+    # persist + materialize ALL THREE artifacts (ADVICE r14): sizes/hot
+    # left lazy would re-run the reference hot-gram aggregate inside
+    # every timed call, contradicting the untimed-build claim
+    rare, sizes, hot = rare.persist(), sizes.persist(), hot.persist()
+    rare.count(), sizes.count(), hot.count()
     stream = D.docs_excerpt_stream(docs.select("doc_id", "text"))
     return lambda: D.containment_against(stream, rare, sizes, hot).count()
 

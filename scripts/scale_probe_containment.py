@@ -44,16 +44,40 @@ RUNGS = (1, 10, 100)
 SHIFT = 10_000_000
 
 
-def replicated(docs, times: int):
+def checked_shift(docs, max_rung: int) -> int:
+    """Replica-id shift with the aliasing guard (ADVICE r14): replica
+    ids ``doc_id + i*shift`` must stay strictly below
+    ``CONTAIN_CLONE_SHIFT`` (1e9) or the top rung's replicas alias the
+    planted-clone id space and silently reintroduce the exact bug the
+    1e9 clone shift fixed (at sf1, ids ~1e8 + 99*1e7 reach ~1.09e9).
+    Derive from the data: shift >= max(doc_id)+1 keeps replica spaces
+    disjoint; then assert the whole ladder fits under the clone shift."""
+    max_id = int(docs.agg(F.max("doc_id")).first()[0])
+    # multiple of 20: replica ids must keep doc_id % 20, or the planted
+    # clone population (every 20th doc) would differ per replica and the
+    # recall expectation expected_planted * rung would be wrong
+    shift = max(SHIFT, max_id + 1)
+    shift += (-shift) % 20
+    top = max_id + (max_rung - 1) * shift
+    if top >= D.CONTAIN_CLONE_SHIFT:
+        raise SystemExit(
+            f"ladder would alias planted-clone ids: max replica id {top} "
+            f">= CONTAIN_CLONE_SHIFT {D.CONTAIN_CLONE_SHIFT}; lower the "
+            f"max_rung or raise CONTAIN_CLONE_SHIFT"
+        )
+    return shift
+
+
+def replicated(docs, times: int, shift: int = SHIFT):
     out = docs
     for i in range(1, times):
         out = out.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
         )
     return out
 
 
-def distinct(docs, times: int):
+def distinct(docs, times: int, shift: int = SHIFT):
     """Disjoint-gram growth: suffix every token with the replica index
     so replica i's grams share nothing with replica j's — the corpus is
     genuinely ``times`` bigger for the gram shuffle, sizes, and bucket
@@ -63,7 +87,7 @@ def distinct(docs, times: int):
     for i in range(1, times):
         out = out.unionByName(
             docs.select(
-                (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
+                (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
                 F.regexp_replace(F.col("text"), r"(\S+)", rf"$1x{i}").alias(
                     "text"
                 ),
@@ -97,16 +121,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n1 = docs1.count()
+    shift = checked_shift(docs1, max_rung)
     expected_planted = docs1.filter(F.col("doc_id") % 20 == 0).count()
     out: dict[str, object] = {
         "sf_dir": sf_dir,
         "docs_1x": n1,
         "planted_expected_1x": expected_planted,
+        "replica_shift": shift,
     }
     for rung in RUNGS:
         if rung > max_rung:
             break
-        rep = parallel_scan(replicated(docs1, rung))
+        rep = parallel_scan(replicated(docs1, rung, shift))
         w, pairs, planted = run_rung(rep)
         out[f"replicated_{rung}x_s"] = w
         out[f"replicated_{rung}x_pairs"] = pairs
@@ -114,7 +140,7 @@ def main() -> None:
         out[f"replicated_{rung}x_planted"] = planted
         out[f"replicated_{rung}x_recall_ok"] = planted == expected_planted
 
-        dis = parallel_scan(distinct(docs1, rung))
+        dis = parallel_scan(distinct(docs1, rung, shift))
         w, pairs, planted = run_rung(dis)
         out[f"distinct_{rung}x_s"] = w
         out[f"distinct_{rung}x_pairs"] = pairs
