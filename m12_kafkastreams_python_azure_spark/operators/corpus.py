@@ -1088,13 +1088,29 @@ def ccnet_buckets(docs: DataFrame, thresholds: str = "exact") -> DataFrame:
     Scale shape: the LM model tables are vocabulary-bounded broadcasts
     (see ``bigram_lm_score``) on both paths; the approx path's only
     corpus-keyed shuffles are the scorer's own doc_id aggregation and
-    the final (lang, bucket) agg."""
+    the final (lang, bucket) agg.
+
+    Unscorable docs (ADVICE r14): a document the scorer yields no score
+    for (zero bigrams — fewer than two tokens) routes to an explicit
+    ``unscored`` bucket instead of silently vanishing from the rollup
+    (the streaming processor's ADVICE-r13 fix, now mirrored here so the
+    documented stream == batch parity holds for out-of-distribution
+    batches too). Unscored rows are EXCLUDED from the percentile
+    ranking / cutoff fit — they carry no score to rank — so the
+    head/middle/tail split over scorable docs is unchanged; their
+    mean/worst score aggregate to NULL by construction."""
     from pyspark.sql.window import Window
 
     if thresholds not in ("exact", "approx"):
         raise ValueError(f"thresholds must be exact|approx, got {thresholds!r}")
     scored = bigram_lm_score(docs)
     langs = docs.select("doc_id", "lang")
+    unscored = (
+        langs.join(scored, "doc_id", "left_anti")
+        .withColumn("avg_log2p", F.lit(None).cast("double"))
+        .withColumn("bucket", F.lit("unscored"))
+        .select("lang", "bucket", "avg_log2p")
+    )
     if thresholds == "approx":
         from m12_kafkastreams_python_azure_spark.sources.readers import (
             register_parallel_cache,
@@ -1138,10 +1154,15 @@ def ccnet_buckets(docs: DataFrame, thresholds: str = "exact") -> DataFrame:
                 .otherwise(F.lit("tail")),
             )
         )
-    return bucketed.groupBy("lang", "bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("avg_log2p"), 6).alias("mean_log2p"),
-        F.round(F.min("avg_log2p"), 6).alias("worst_log2p"),
+    return (
+        bucketed.select("lang", "bucket", "avg_log2p")
+        .unionByName(unscored)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_log2p"), 6).alias("mean_log2p"),
+            F.round(F.min("avg_log2p"), 6).alias("worst_log2p"),
+        )
     )
 
 
@@ -1174,15 +1195,26 @@ WITH bi AS (
          percent_rank() OVER (PARTITION BY d.lang
                               ORDER BY s.avg_log2p DESC, s.doc_id) AS pr
   FROM scored s JOIN documents d USING (doc_id)
+), bucketed AS (
+  SELECT lang,
+         CASE WHEN pr <= {CCNET_HEAD_FRAC!r} THEN 'head'
+              WHEN pr <= {CCNET_MIDDLE_FRAC!r} THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         avg_log2p
+  FROM ranked
+  UNION ALL
+  -- zero-bigram docs: excluded from the ranking (no score to rank),
+  -- routed to an explicit 'unscored' bucket (ADVICE r14 / the streaming
+  -- processor's left-join discipline) instead of silently dropping
+  SELECT d.lang, 'unscored' AS bucket, CAST(NULL AS DOUBLE) AS avg_log2p
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM scored)
 )
-SELECT lang,
-       CASE WHEN pr <= {CCNET_HEAD_FRAC!r} THEN 'head'
-            WHEN pr <= {CCNET_MIDDLE_FRAC!r} THEN 'middle'
-            ELSE 'tail' END AS bucket,
+SELECT lang, bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        ROUND(avg(avg_log2p), 6) AS mean_log2p,
        ROUND(min(avg_log2p), 6) AS worst_log2p
-FROM ranked
+FROM bucketed
 GROUP BY 1, 2
 """
 

@@ -132,3 +132,36 @@ def test_default_is_exact_and_bad_value_raises(spark):
     assert a == b
     with pytest.raises(ValueError):
         C.ccnet_buckets(docs, thresholds="median")
+
+
+def test_zero_bigram_docs_route_to_unscored_bucket(spark):
+    """ADVICE r14: a doc the scorer yields no score for (fewer than two
+    tokens -> zero bigrams) must appear in an explicit 'unscored' bucket
+    on BOTH threshold paths — not silently vanish from the rollup — and
+    must not perturb the scorable docs' tercile split."""
+    rows = [
+        (1, "x x x x x x x x", "aa"),
+        (2, "a b a b c d c d", "aa"),
+        (3, "a b c d e f g h", "aa"),
+        (4, "solo", "aa"),       # 1 token: zero bigrams
+        (5, "", "aa"),           # empty: zero bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    for mode in ("exact", "approx"):
+        out = {r.bucket: r for r in C.ccnet_buckets(docs, thresholds=mode).collect()}
+        assert out["unscored"].n_docs == 2, (mode, out)
+        assert out["unscored"].mean_log2p is None
+        assert out["unscored"].worst_log2p is None
+        # every scorable doc still lands in a scored bucket (the approx
+        # path's threshold-vs-rank tie handling may shape the split
+        # differently on a 3-doc language — the documented divergence)
+        scored_n = sum(r.n_docs for b, r in out.items() if b != "unscored")
+        assert scored_n == 3, (mode, out)
+    # the exact path's tercile split is unchanged by the unscored rows
+    exact = {r.bucket: r for r in C.ccnet_buckets(docs).collect()}
+    assert exact["head"].n_docs == 1 and exact["tail"].n_docs == 1, exact
+    # every input doc lands in exactly one bucket
+    total = sum(
+        r.n_docs for r in C.ccnet_buckets(docs).collect()
+    )
+    assert total == len(rows)
