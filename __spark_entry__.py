@@ -313,6 +313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank-quality audit of the BM25 miner vs a term-presence gold
         # rule: MRR / nDCG@k / precision / recall in one summary row
         "retrieval_eval": R.q_retrieval_eval,
+        # round-15 newcomer (VERDICT r14 #6): the soft-dedup weight
+        # column wired into an actual selection consumer — fill a token
+        # budget ranked by the SoftDeDup sampling weight (composes
+        # soft_dedup_weights + token_budget_select's bucketed fill)
+        "weighted_budget_select": CU.q_weighted_budget_select,
         # bench-only driver-loop surface — must stay LAST (pinned by
         # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,
@@ -478,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_retrieval": R.ORACLE_HYBRID_RRF_RETRIEVAL,
         "vocab_kl_drift": AU.ORACLE_VOCAB_KL_DRIFT,
         "retrieval_eval": R.ORACLE_RETRIEVAL_EVAL,
+        "weighted_budget_select": CU.ORACLE_WEIGHTED_BUDGET_SELECT,
         "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,
         "tokenizer_fertility": T.ORACLE_TOKENIZER_FERTILITY,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

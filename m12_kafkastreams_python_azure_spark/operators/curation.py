@@ -662,29 +662,45 @@ def token_budget_select(
     from m12_kafkastreams_python_azure_spark.functions.text import (
         quality_score_cols,
     )
+
+    cols = quality_score_cols(F.col("text"))
+    # The quality battery is the expensive part (regex token counts over
+    # every doc — measured ~15x the cost of the rest of this plan at
+    # sf1); _budget_fill persists its scored input for exactly this
+    # multi-consumer reason.
+    scored = docs.select(
+        "doc_id",
+        cols["n_tokens"].cast("long").alias("n_tokens"),
+        cols["quality_score"].alias("q"),
+    )
+    return _budget_fill(scored, budget, buckets).select(
+        "doc_id", "n_tokens", F.round("q", 6).alias("quality_score")
+    )
+
+
+def _budget_fill(scored: DataFrame, budget: int, buckets: int) -> DataFrame:
+    """The shared two-phase bucketed budget fill (see
+    ``token_budget_select`` for the full derivation): rank ``scored``
+    rows — (doc_id, n_tokens, q) with q in [0, 1] — by (q desc, doc_id)
+    and keep rows while the running n_tokens total fits ``budget``,
+    WITHOUT a corpus-wide cumulative-sum window. Returns the kept rows
+    with their (doc_id, n_tokens, q) columns; callers alias q to their
+    score's name. Identical to the naive global-cumsum spelling because
+    floor(q * buckets) is monotone in q."""
     from m12_kafkastreams_python_azure_spark.sources.readers import (
         register_parallel_cache,
     )
 
-    cols = quality_score_cols(F.col("text"))
-    # Persisted (registry): the quality battery is the expensive part
-    # (regex token counts over every doc — measured ~15x the cost of the
-    # rest of this plan at sf1) and BOTH the bucket-total aggregate and
-    # the per-doc keep pass consume it; without the persist each subtree
-    # re-runs the scoring. 4 narrow columns — the standard materialized
-    # projection for multi-pass consumption, same trade as
-    # dedup._parallel_text.
+    # Persisted (registry): BOTH the bucket-total aggregate and the
+    # per-doc keep pass consume the scored projection; without the pin
+    # each subtree re-runs the (possibly expensive) scoring. 4 narrow
+    # columns — the standard materialized projection for multi-pass
+    # consumption, same trade as dedup._parallel_text.
     scored = register_parallel_cache(
-        docs.select(
-            "doc_id",
-            cols["n_tokens"].cast("long").alias("n_tokens"),
-            cols["quality_score"].alias("q"),
-        )
-        .withColumn(
+        scored.withColumn(
             "bucket",
             F.least(F.lit(buckets - 1), F.floor(F.col("q") * buckets)).cast("int"),
-        )
-        .persist()
+        ).persist()
     )
     bw = (
         Window.orderBy(F.desc("bucket"))
@@ -720,7 +736,7 @@ def token_budget_select(
                 & (F.col("prev") + F.col("cum_in") <= budget)
             )
         )
-        .select("doc_id", "n_tokens", F.round("q", 6).alias("quality_score"))
+        .select("doc_id", "n_tokens", "q")
     )
 
 
@@ -753,6 +769,89 @@ FROM c WHERE cum <= {TOKEN_BUDGET}
 
 
 ORACLE_TOKEN_BUDGET_SELECT = _oracle_token_budget_select()
+
+
+# --------------------------------------- soft-dedup-weighted budget selection
+
+WB_BUDGET = TOKEN_BUDGET
+WB_BUCKETS = TB_BUCKETS
+
+
+def weighted_budget_select(
+    docs: DataFrame, budget: int = WB_BUDGET, buckets: int = WB_BUCKETS
+) -> DataFrame:
+    """Weighted token-budget selection (VERDICT r14 #6 — the selection
+    CONSUMER of ``dedup.soft_dedup_weights``): fill a token budget with
+    the least-common documents, ranked by the SoftDeDup sampling weight
+    (desc, doc_id tiebreak) — "spend the training budget on the content
+    the corpus has least of". This closes the reweighting loop: the
+    weight column stops being a terminal audit and drives an actual
+    training-mix selection, composing the two existing operators
+    (``soft_dedup_weights`` for the score, ``token_budget_select``'s
+    two-phase bucketed fill for the selection — shared via
+    ``_budget_fill``, so there is still no corpus-wide cumsum window).
+
+    The ranking uses the weight column soft_dedup_weights PUBLISHES
+    (rounded to 6 places) so selection is reproducible from the audit
+    artifact itself — and deterministic across engines, which is what
+    lets the oracle run the naive global-cumsum spelling over the same
+    rounded weights. n_tokens is the whitespace token count (the same
+    tokenization the gram weights are computed over), NOT the quality
+    battery's regex count — the two selectors deliberately share only
+    the fill machinery, not the score or the token basis.
+
+    Scale shape: soft_dedup_weights' gram-df join (nothing quadratic) +
+    one narrow token-count projection + the bucketed fill (per-task
+    window state bounded by |buckets| / the boundary bucket)."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    weights = soft_dedup_weights(docs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    scored = weights.select("doc_id", F.col("weight").alias("q")).join(
+        toks, "doc_id"
+    )
+    return _budget_fill(scored, budget, buckets).select(
+        "doc_id", "n_tokens", F.col("q").alias("weight")
+    )
+
+
+def q_weighted_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_budget_select(
+        parallel_scan(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _oracle_weighted_budget_select() -> str:
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        ORACLE_SOFT_DEDUP_WEIGHTS,
+    )
+
+    return f"""
+WITH weights AS ({ORACLE_SOFT_DEDUP_WEIGHTS}),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT w.doc_id, t.n_tokens, w.weight,
+         SUM(t.n_tokens) OVER (ORDER BY w.weight DESC, w.doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM weights w JOIN toks t USING (doc_id)
+)
+SELECT doc_id, n_tokens, weight FROM c WHERE cum <= {WB_BUDGET}
+"""
+
+
+ORACLE_WEIGHTED_BUDGET_SELECT = _oracle_weighted_budget_select()
 
 # ------------------------------------------------------- exact-substring dedup
 

@@ -387,3 +387,47 @@ def test_source_length_drift_flags_the_outlier_source(spark):
     # cdf_B is 0 through bucket 24 while the corpus sits at 3/5 -> ks = 0.6
     assert out["A"]["n_docs"] == 3 and out["A"]["ks_stat"] == 0.4
     assert out["B"]["n_docs"] == 2 and out["B"]["ks_stat"] == 0.6
+
+
+def test_weighted_budget_select_matches_global_cumsum_on_weights(spark):
+    # The round-15 composition (VERDICT r14 #6): selection must equal the
+    # naive global (weight desc, doc_id) cumsum cut at the budget, with
+    # weights exactly as soft_dedup_weights publishes them. Duplicated
+    # texts drive weights apart so the ranking is non-trivial; buckets=4
+    # forces multi-doc buckets and a mid-bucket cut.
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        weighted_budget_select,
+    )
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    texts = [
+        "aa bb cc dd ee ff gg hh",       # unique content -> high weight
+        "aa bb cc dd ee ff gg hh",       # exact duplicate -> lowered
+        "aa bb cc dd ee ff gg hh",       # third copy -> lowered
+        "pp qq rr ss tt uu vv ww",       # unique
+        "xx yy zz aa bb cc dd ee",       # partially shared grams
+        "mm nn oo pp qq rr ss tt",       # partially shared grams
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    weights = {
+        r["doc_id"]: r["weight"] for r in soft_dedup_weights(docs).collect()
+    }
+    assert weights[0] < weights[3]  # duplication lowered the copies' weight
+    ranked = sorted(weights, key=lambda d: (-weights[d], d))
+    budget = 20
+    expected, cum = set(), 0
+    for doc_id in ranked:
+        nt = len(texts[doc_id].split())
+        if cum + nt > budget:
+            break
+        cum += nt
+        expected.add(doc_id)
+    got = {
+        r["doc_id"]
+        for r in weighted_budget_select(docs, budget=budget, buckets=4).collect()
+    }
+    assert got == expected and 0 < len(got) < len(texts)
