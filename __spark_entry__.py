@@ -318,6 +318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget ranked by the SoftDeDup sampling weight (composes
         # soft_dedup_weights + token_budget_select's bucketed fill)
         "weighted_budget_select": CU.q_weighted_budget_select,
+        # round-15 newcomer (VERDICT r14 #5): membership-free soft-dedup
+        # scoring against frozen gram-df artifacts — the oracle-checked
+        # batch spelling of the streaming soft-dedup processor (the
+        # excerpt_screen / containment relationship)
+        "soft_dedup_screen": D.q_soft_dedup_screen,
         # bench-only driver-loop surface — must stay LAST (pinned by
         # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,
@@ -484,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_kl_drift": AU.ORACLE_VOCAB_KL_DRIFT,
         "retrieval_eval": R.ORACLE_RETRIEVAL_EVAL,
         "weighted_budget_select": CU.ORACLE_WEIGHTED_BUDGET_SELECT,
+        "soft_dedup_screen": D.ORACLE_SOFT_DEDUP_SCREEN,
         "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,
         "tokenizer_fertility": T.ORACLE_TOKENIZER_FERTILITY,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

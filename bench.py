@@ -401,7 +401,7 @@ def main() -> None:
                             "best-of-N replays don't share state and "
                             "would only multiply cost; reported as "
                             "keep_best_docs_per_sec",
-        "curation_streams": "decontaminate/dsir/temperature/ccnet/containment batch "
+        "curation_streams": "decontaminate/dsir/temperature/ccnet/containment/soft_dedup "
                             "processors replayed over 4 micro-batch "
                             "shards of their stream side (fresh state "
                             "dirs; half-corpus 2-batch warm-up replay "
@@ -651,7 +651,7 @@ def _keep_best_throughput(spark) -> float:
 
 
 def _curation_stream_throughput(spark) -> dict:
-    """Docs/sec through the other three streaming curation processors
+    """Docs/sec through the non-keep-best streaming curation processors
     (VERDICT r12 #6 — keep-best already has a line): each one's stream
     side replayed as 4 micro-batches against fresh state dirs after a
     half-corpus 2-batch warm-up replay. Construction (the build-once
@@ -674,6 +674,7 @@ def _curation_stream_throughput(spark) -> dict:
         containment_batch_processor,
         decontaminate_batch_processor,
         dsir_batch_processor,
+        soft_dedup_batch_processor,
         temperature_batch_processor,
     )
 
@@ -738,6 +739,14 @@ def _curation_stream_throughput(spark) -> dict:
             "containment_stream_docs_per_sec",
             lambda d: containment_batch_processor(ref, d),
             docs_excerpt_stream(ref),
+        )
+
+        # septet member (round 15): arriving docs weight-scored against
+        # the frozen reference gram-df table (SoftDeDup vs the corpus)
+        _replay(
+            "soft_dedup_stream_docs_per_sec",
+            lambda d: soft_dedup_batch_processor(ref, d),
+            ref,
         )
         return out
     finally:

@@ -1004,7 +1004,19 @@ def soft_dedup_weights(
     quadratic, nothing collected. Exact duplicates need no collapse
     here — there is no candidate generation and no df CAP to poison;
     duplication flows INTO the weight (copies of a page all converge to
-    the same lowered weight), which is the intended semantics."""
+    the same lowered weight), which is the intended semantics.
+
+    Rounding law (round 15, the money-sum Class-A analog): commonness
+    is a RATIONAL — (sum_df - n) / (n * (N-1)) — whose exact value can
+    land precisely ON the 6-decimal half boundary whenever the
+    denominator divides the decimal grid (first seen in
+    ``soft_dedup_against`` at sf0.1: N=5000 = 2^3*5^4, c = 157/80000 =
+    0.0019625 exactly; Spark's shortest-repr HALF_UP gave ...63, DuckDB's
+    binary-value round gave ...62). The published column is therefore
+    rounded in INTEGER arithmetic — half-up = (2e6*num + den) DIV
+    (2*den) — which both engines compute bit-identically; the weight
+    keeps the double pipeline (its rational denominator is never of
+    2^a*5^b form, so it cannot sit on the boundary)."""
     g = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
     )
@@ -1015,6 +1027,7 @@ def soft_dedup_weights(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
+            F.sum("df").alias("_sum_df"),
             F.avg(F.col("df").cast("double") - F.lit(1.0)).alias("_mean_xdf"),
         )
         .crossJoin(F.broadcast(n_docs))
@@ -1022,10 +1035,18 @@ def soft_dedup_weights(
     common = F.when(
         F.col("n_docs") > 1, F.col("_mean_xdf") / (F.col("n_docs") - F.lit(1.0))
     ).otherwise(F.lit(0.0))
+    common_exact6 = F.when(
+        F.col("n_docs") > 1,
+        F.expr(
+            "(2000000 * (_sum_df - n_grams) + n_grams * (n_docs - 1))"
+            " DIV (2 * n_grams * (n_docs - 1))"
+        ).cast("double")
+        / F.lit(1000000.0),
+    ).otherwise(F.lit(0.0))
     return scored.select(
         "doc_id",
         "n_grams",
-        F.round(common, 6).alias("commonness"),
+        common_exact6.alias("commonness"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.lit(float(gamma)) * common), 6)
         .alias("weight"),
     )
@@ -1049,14 +1070,160 @@ WITH g AS (
   SELECT count(*) AS n_docs FROM documents
 ), scored AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(df) AS BIGINT) AS sum_df,
          avg(CAST(df AS DOUBLE) - 1.0) AS mean_xdf
   FROM g JOIN dfreq USING (gram) GROUP BY doc_id
 )
+-- commonness rounds in INTEGER arithmetic (half-up), mirroring the
+-- engine: its rational value can sit exactly ON the 6-decimal half
+-- boundary and double-rounding then diverges between engines
 SELECT doc_id, n_grams,
-       ROUND(CASE WHEN n_docs > 1 THEN mean_xdf / (n_docs - 1.0)
-                  ELSE 0.0 END, 6) AS commonness,
+       CASE WHEN n_docs > 1 THEN
+         CAST((2000000 * (sum_df - n_grams) + n_grams * (n_docs - 1))
+              // (2 * n_grams * (n_docs - 1)) AS DOUBLE) / 1000000
+       ELSE 0.0 END AS commonness,
        ROUND(1.0 / (1.0 + {SOFT_DEDUP_GAMMA!r}
                     * CASE WHEN n_docs > 1 THEN mean_xdf / (n_docs - 1.0)
+                           ELSE 0.0 END), 6) AS weight
+FROM scored, nd
+"""
+
+
+# ------------------------- soft dedup weights vs a FIXED reference corpus
+
+
+def build_soft_dedup_ref(
+    ref_docs: DataFrame, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Fit-once artifacts for ``soft_dedup_against`` (the
+    ``build_containment_ref`` discipline): returns ``(dfreq, meta)``
+    where ``dfreq`` = (gram, df) over the reference corpus — df counts
+    every reference ROW, deliberately NOT duplicate-collapsed: for a
+    commonness score duplication IS the signal (a page held 1000 times
+    must make its grams 1000x more common), there is no df CAP or
+    bucketed candidate generator for replicas to poison, so the
+    engine's duplicate law does not apply here (contrast
+    ``build_containment_ref``, whose max_df guard it protects) — and
+    ``meta`` = a 1-row (n_ref_docs) table carried as a DataFrame so the
+    artifact round-trips through parquet and the scoring plan stays
+    lazy."""
+    g = ref_docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    meta = ref_docs.agg(F.count(F.lit(1)).alias("n_ref_docs"))
+    return dfreq, meta
+
+
+def soft_dedup_against(
+    new_docs: DataFrame,
+    dfreq: DataFrame,
+    meta: DataFrame,
+    n: int = 3,
+    gamma: float = SOFT_DEDUP_GAMMA,
+) -> DataFrame:
+    """SoftDeDup reweighting of incoming documents AGAINST a fixed
+    reference corpus — the streaming twin of ``soft_dedup_weights``
+    (the ``containment_against`` precedent): an arriving doc's
+    commonness is the mean over its grams of df_ref(g) / N_ref in
+    [0, 1], weight = 1 / (1 + gamma * commonness). Grams the reference
+    has never seen contribute df 0 (novel content scores toward weight
+    1.0 — the desired drift signal), via a LEFT join against the frozen
+    df table.
+
+    Semantics note (why this is a DIFFERENT function from the batch
+    whole-corpus operator, ROADMAP "streaming soft-dedup"): the
+    in-corpus estimator excludes the doc itself — (df-1)/(N-1) — while
+    an arriving doc is NOT a member of the frozen reference, so the
+    unexcluded df/N is the correct membership-free estimator. A running
+    cross-batch df would retroactively change earlier docs' weights
+    (stream != batch); against frozen artifacts a doc's weight is a
+    pure function of (its grams, the artifacts), so shard-invariance
+    and replay idempotence hold exactly.
+
+    Scale shape: one gram explode on the batch side, one gram-keyed
+    LEFT equi-join against the distinct-gram-bounded frozen df table,
+    one map-side-combined doc mean, one broadcast of the 1-row meta.
+    Nothing quadratic, nothing collected. Output: (doc_id, n_grams,
+    commonness, weight) — every input doc appears, gate-free.
+
+    The commonness column rounds in INTEGER arithmetic (see
+    ``soft_dedup_weights``' rounding law — this operator is where the
+    hazard first FIRED: with N_ref = 5000 = 2^3*5^4 the rational
+    sum_df/(n_grams*N_ref) lands exactly on 6-decimal halves and
+    Spark/DuckDB double-rounding disagree)."""
+    g = new_docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
+    )
+    scored = (
+        g.join(dfreq, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("df"), F.lit(0))).alias("_sum_df"),
+            F.avg(F.coalesce(F.col("df"), F.lit(0)).cast("double")).alias(
+                "_mean_df"
+            ),
+        )
+        .crossJoin(F.broadcast(meta))
+    )
+    common = F.when(
+        F.col("n_ref_docs") > 0,
+        F.col("_mean_df") / F.col("n_ref_docs").cast("double"),
+    ).otherwise(F.lit(0.0))
+    common_exact6 = F.when(
+        F.col("n_ref_docs") > 0,
+        F.expr(
+            "(2000000 * _sum_df + n_grams * n_ref_docs)"
+            " DIV (2 * n_grams * n_ref_docs)"
+        ).cast("double")
+        / F.lit(1000000.0),
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        common_exact6.alias("commonness"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.lit(float(gamma)) * common), 6)
+        .alias("weight"),
+    )
+
+
+def q_soft_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-free soft-dedup scoring of the corpus against its own
+    frozen gram-df artifacts (``soft_dedup_against`` — the oracle-checked
+    batch spelling of the streaming soft-dedup processor, exactly the
+    ``excerpt_screen`` / containment relationship)."""
+    from ..sources.readers import parallel_scan
+
+    docs = parallel_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    dfreq, meta = build_soft_dedup_ref(docs)
+    return soft_dedup_against(docs, dfreq, meta)
+
+
+ORACLE_SOFT_DEDUP_SCREEN = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES.format(t='text')}) AS gram
+  FROM documents
+), dfreq AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram
+), nd AS (
+  SELECT count(*) AS n_ref_docs FROM documents
+), scored AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(COALESCE(d.df, 0)) AS BIGINT) AS sum_df,
+         avg(CAST(COALESCE(d.df, 0) AS DOUBLE)) AS mean_df
+  FROM g LEFT JOIN dfreq d USING (gram) GROUP BY g.doc_id
+)
+-- integer half-up rounding for commonness (the soft_dedup_weights law)
+SELECT doc_id, n_grams,
+       CASE WHEN n_ref_docs > 0 THEN
+         CAST((2000000 * sum_df + n_grams * n_ref_docs)
+              // (2 * n_grams * n_ref_docs) AS DOUBLE) / 1000000
+       ELSE 0.0 END AS commonness,
+       ROUND(1.0 / (1.0 + {SOFT_DEDUP_GAMMA!r}
+                    * CASE WHEN n_ref_docs > 0 THEN mean_df / n_ref_docs
                            ELSE 0.0 END), 6) AS weight
 FROM scored, nd
 """

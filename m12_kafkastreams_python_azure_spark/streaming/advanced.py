@@ -1016,3 +1016,105 @@ def start_containment_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------- streaming soft-dedup weights vs the corpus
+
+
+def soft_dedup_batch_processor(
+    ref_docs: DataFrame,
+    state_dir: str,
+    n: int = 3,
+    gamma: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch function for ``start_soft_dedup_stream`` — the
+    streaming member of the reweighting family (VERDICT r14 #5),
+    growing the curation set to a SEPTET: arriving documents get a
+    SoftDeDup sampling weight scored against a FROZEN reference gram-df
+    table built exactly once at processor construction
+    (``dedup.build_soft_dedup_ref`` — the fit-once discipline every
+    member of the set shares).
+
+    Why this is the right streaming semantics (and why whole-corpus
+    ``soft_dedup_weights`` stays batch-only — ROADMAP "streaming
+    soft-dedup", the containment precedent): the batch operator's
+    commonness denominator is the WHOLE corpus's gram document
+    frequency — a per-batch df is meaningless, and a running
+    cross-batch df would retroactively change earlier docs' weights
+    (no longer stream == batch). Against frozen artifacts a doc's
+    weight is a pure function of (its grams, the artifacts), so
+    shard-invariance and replay idempotence hold exactly — and the
+    frozen estimator is deliberately membership-free (df/N, not the
+    in-corpus (df-1)/(N-1); see ``dedup.soft_dedup_against``).
+
+    State lifecycle: ``{state_dir}/model/{dfreq,meta}`` parquet (written
+    once; the reference df deliberately counts replicas — duplication
+    IS the commonness signal, see ``build_soft_dedup_ref``); per-batch
+    output overwrites ``{state_dir}/weights/batch=<id>`` (the
+    at-least-once replay discipline shared by the whole set)."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        SOFT_DEDUP_GAMMA,
+        build_soft_dedup_ref,
+        soft_dedup_against,
+    )
+
+    gam = SOFT_DEDUP_GAMMA if gamma is None else gamma
+    spark = ref_docs.sparkSession
+    ddir = f"{state_dir}/model/dfreq"
+    mdir = f"{state_dir}/model/meta"
+    outdir = f"{state_dir}/weights"
+    if not (dir_has_data(spark, ddir) and dir_has_data(spark, mdir)):
+        dfreq, meta = build_soft_dedup_ref(
+            ref_docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            n=n,
+        )
+        dfreq.write.mode("overwrite").parquet(ddir)
+        meta.coalesce(1).write.mode("overwrite").parquet(mdir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        dfreq = bspark.read.parquet(ddir)
+        meta = bspark.read.parquet(mdir)
+        out = soft_dedup_against(
+            batch.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            dfreq,
+            meta,
+            n=n,
+            gamma=gam,
+        )
+        out.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
+
+    return _process
+
+
+def read_soft_dedup_weights(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-doc weights scored by the stream so far (union of batch
+    partitions; ``batch`` column retained for audit)."""
+    return spark.read.option("basePath", f"{state_dir}/weights").parquet(
+        f"{state_dir}/weights"
+    )
+
+
+def start_soft_dedup_stream(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming soft-dedup reweighting: fit-once frozen gram-df
+    artifacts, then every micro-batch's docs are weight-scored against
+    them; ``read_soft_dedup_weights`` reproduces the batch
+    ``soft_dedup_against`` output over all shards seen."""
+    return (
+        docs.writeStream.foreachBatch(
+            soft_dedup_batch_processor(ref_docs, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
