@@ -323,6 +323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch spelling of the streaming soft-dedup processor (the
         # excerpt_screen / containment relationship)
         "soft_dedup_screen": D.q_soft_dedup_screen,
+        # round-15 newcomer (VERDICT r14 #4): batched multi-seed hybrid
+        # RRF — one corpus scan against a broadcast seed TABLE instead
+        # of one O(n*dim) pass per seed; per-seed dense pools via the
+        # salted two-phase head
+        "hybrid_rrf_multi": R.q_hybrid_rrf_multi,
         # bench-only driver-loop surface — must stay LAST (pinned by
         # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,
@@ -490,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": R.ORACLE_RETRIEVAL_EVAL,
         "weighted_budget_select": CU.ORACLE_WEIGHTED_BUDGET_SELECT,
         "soft_dedup_screen": D.ORACLE_SOFT_DEDUP_SCREEN,
+        "hybrid_rrf_multi": R.ORACLE_HYBRID_RRF_MULTI,
         "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,
         "tokenizer_fertility": T.ORACLE_TOKENIZER_FERTILITY,
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,

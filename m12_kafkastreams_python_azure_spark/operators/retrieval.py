@@ -301,6 +301,168 @@ LIMIT {RRF_TOP}
 """
 
 
+# ------------------------- batched multi-seed hybrid fusion (RRF x seeds)
+
+RRF_SEEDS = 4       # seed-table size for the batched spelling
+RRF_SALT_P = 16     # phase-1 salt cells for the per-seed dense top-pool
+
+
+def hybrid_rrf_multi(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str] | None = None,
+    n_seeds: int = RRF_SEEDS,
+    k: int = RRF_K,
+    pool: int = RRF_POOL,
+    top: int = RRF_TOP,
+) -> DataFrame:
+    """Batched multi-seed hybrid RRF (VERDICT r14 #4): a production
+    mining run issues MANY query-by-example seeds, and the single-seed
+    ``hybrid_rrf_retrieval`` would pay one O(n·dim) corpus scan per
+    seed. This spelling scores the corpus against a broadcast SEED
+    TABLE in ONE pass (the ``semantic_decontaminate`` shape): seeds =
+    the BM25 pool's top ``n_seeds`` hits (each carrying its embedding),
+    dense scores = one corpus scan x |seeds| broadcast rows, per-seed
+    rank lists fused with the shared lexical ranking per seed. Output:
+    (seed_id, doc_id, lex_rank, dense_rank, rrf_score) — the top
+    ``top`` fused docs PER SEED, both ranks carried for audit.
+
+    Scale shape: one O(n·dim·|seeds|) scan (columnar, broadcast seed
+    table, no shuffle until the rank pools); the per-seed dense
+    top-``pool`` uses the salted two-phase head (the
+    ``zipf_vocab_audit`` discipline — phase 1 ranks inside (seed, salt)
+    cells so no task ever buffers a seed's whole corpus ranking, phase
+    2 re-ranks the <= salt*pool survivors per seed); everything after
+    the pools runs on <= |seeds|*2*pool rows. Ties in every ordering
+    break on doc_id. A seed doc with no embedding row drops out of the
+    seed table (inner join) — lexical-only docs are still fusable as
+    RESULTS, just not usable as dense probes."""
+    lex = bm25_retrieval(docs, query_terms, top=pool).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    from m12_kafkastreams_python_azure_spark.operators.similarity import (
+        _probe_dim,
+    )
+
+    dim = _probe_dim(emb, "embedding")
+    seeds = (
+        lex.filter(F.col("lex_rank") <= n_seeds)
+        .join(emb, lex.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("seed_id"),
+            F.col("embedding").alias("svec"),
+            l2_norm(F.col("embedding")).alias("snorm"),
+        )
+    )
+    dense_scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "seed_id",
+        F.col("vec_id").alias("doc_id"),
+        (
+            dot_product_unrolled(F.col("embedding"), F.col("svec"), dim)
+            / (l2_norm(F.col("embedding")) * F.col("snorm"))
+        ).alias("cos"),
+    )
+    w1 = Window.partitionBy("seed_id", "_salt").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    survivors = (
+        dense_scored.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(RRF_SALT_P))
+        )
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= pool)
+    )
+    w2 = Window.partitionBy("seed_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        survivors.withColumn("dense_rank", F.row_number().over(w2))
+        .filter(F.col("dense_rank") <= pool)
+        .select("seed_id", "doc_id", F.col("dense_rank").cast("int").alias("dense_rank"))
+    )
+    lex_per_seed = seeds.select("seed_id").crossJoin(lex)
+    fused = dense.join(
+        lex_per_seed, ["seed_id", "doc_id"], "full_outer"
+    ).select(
+        "seed_id",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k)) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(k)) + F.col("dense_rank")),
+                F.lit(0.0),
+            )
+        ).alias("_rrf"),
+    )
+    wf = Window.partitionBy("seed_id").orderBy(F.desc("_rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("_frk", F.row_number().over(wf))
+        .filter(F.col("_frk") <= top)
+        .select(
+            "seed_id",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("_rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+def q_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_rrf_multi(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+ORACLE_HYBRID_RRF_MULTI = f"""
+WITH bm AS ({_oracle_bm25(RRF_POOL)}),
+lex AS (
+  SELECT doc_id, CAST(rank AS INTEGER) AS lex_rank FROM bm
+),
+seeds AS (
+  SELECT l.doc_id AS seed_id,
+         CAST(e.embedding AS DOUBLE[]) AS svec,
+         sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[]))) AS snorm
+  FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id
+  WHERE l.lex_rank <= {RRF_SEEDS}
+),
+dense_scored AS (
+  SELECT s.seed_id, e.vec_id AS doc_id, {_COS_SQL} AS cos
+  FROM embeddings e, seeds s
+),
+dense AS (
+  SELECT seed_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY seed_id
+                                 ORDER BY cos DESC, doc_id) AS INTEGER)
+           AS dense_rank
+  FROM dense_scored
+  QUALIFY dense_rank <= {RRF_POOL}
+),
+lex_per_seed AS (
+  SELECT s.seed_id, l.doc_id, l.lex_rank FROM (SELECT seed_id FROM seeds) s, lex l
+),
+fused AS (
+  SELECT COALESCE(d.seed_id, l.seed_id) AS seed_id,
+         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank), 0.0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.dense_rank), 0.0)
+           AS rrf
+  FROM dense d
+  FULL OUTER JOIN lex_per_seed l
+    ON d.seed_id = l.seed_id AND d.doc_id = l.doc_id
+)
+SELECT seed_id, doc_id, lex_rank, dense_rank, ROUND(rrf, 6) AS rrf_score
+FROM fused
+QUALIFY row_number() OVER (PARTITION BY seed_id ORDER BY rrf DESC, doc_id)
+        <= {RRF_TOP}
+"""
+
+
 # ----------------------------------------- retrieval quality evaluation
 
 EVAL_MIN_TERMS = 2  # relevance rule: doc carries >= 2 distinct query terms

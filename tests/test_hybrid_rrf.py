@@ -69,3 +69,60 @@ def test_retrieval_eval_no_hits_is_all_zero(spark):
     assert (r.mrr, r.ndcg_at_k, r.precision_at_k, r.recall_at_k) == (
         0.0, 0.0, 0.0, 0.0,
     )
+
+
+def test_multi_seed_restricts_to_single_seed_result(spark):
+    """The batched spelling's seed_id == BM25-top-1 slice must equal
+    the single-seed operator's output exactly (same pools, same fusion,
+    same cut) — the batching is a plan change, not a semantics change."""
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    single = {
+        (r.doc_id, r.lex_rank, r.dense_rank, r.rrf_score)
+        for r in R.hybrid_rrf_retrieval(docs, emb).collect()
+    }
+    top1 = (
+        R.bm25_retrieval(docs, top=R.RRF_POOL)
+        .filter("rank = 1")
+        .first()
+        .doc_id
+    )
+    multi = {
+        (r.doc_id, r.lex_rank, r.dense_rank, r.rrf_score)
+        for r in R.hybrid_rrf_multi(docs, emb).collect()
+        if r.seed_id == top1
+    }
+    assert multi == single and len(single) > 0
+
+
+def test_multi_seed_emits_per_seed_topk_and_every_seed_self_tops(spark):
+    """Each seed gets its own fused top-k; a seed doc is dense rank 1
+    against itself AND sits in the lexical pool, so it must top its own
+    seed's fused list."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    out = R.hybrid_rrf_multi(docs, emb).collect()
+    by_seed: dict[int, list] = {}
+    for r in out:
+        by_seed.setdefault(r.seed_id, []).append(r)
+    assert len(by_seed) == R.RRF_SEEDS
+    for seed_id, rows in by_seed.items():
+        assert 0 < len(rows) <= R.RRF_TOP
+        best = min(rows, key=lambda r: (-r.rrf_score, r.doc_id))
+        assert best.doc_id == seed_id and best.dense_rank == 1
+
+
+def test_multi_seed_dense_pool_uses_salted_two_phase(spark):
+    """Scale-shape pin: the per-seed dense ranking must go through the
+    salted two-phase head (a window keyed on the salt cell before the
+    per-seed re-rank), so no task ever buffers a seed's whole corpus
+    ranking."""
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    df = R.hybrid_rrf_multi(docs, emb)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "_salt" in plan
