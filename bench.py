@@ -240,6 +240,28 @@ def run_headline(spark, queries, names, sf_dir=None):
     return timings, errors, runmeta
 
 
+def converged_best(run_fn, min_runs: int = 2, max_runs: int = 4):
+    """The converged-min discipline (VERDICT r14 #2) for the THROUGHPUT
+    rows, matching run_headline's per-query rule: keep running until the
+    two fastest elapsed times agree within 4% (evidence the noise floor
+    was reached), bounded by ``max_runs``. ``run_fn`` executes one full
+    measurement and returns elapsed seconds. Returns (best_elapsed,
+    {"n_runs", "converged"}) so the sidecar can flag an unconverged
+    throughput number the same way it flags an unconverged query time —
+    the r14 driver line's streaming_events_per_sec swung 215k -> 167k at
+    identical code because it rode a fixed-sample best."""
+    runs: list[float] = []
+    converged = False
+    while len(runs) < max_runs:
+        runs.append(run_fn())
+        if len(runs) >= min_runs:
+            s = sorted(runs)
+            if s[0] > 0 and (s[1] - s[0]) / s[0] <= 0.04:
+                converged = True
+                break
+    return min(runs), {"n_runs": len(runs), "converged": converged}
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -273,20 +295,24 @@ def main() -> None:
 
     timings, errors, runmeta = run_headline(spark, queries, names)
 
+    throughput_meta: dict[str, dict] = {}
     try:
-        streaming_eps, streaming_eps_untuned = _streaming_throughput(spark)
+        streaming_eps, streaming_eps_untuned, m = _streaming_throughput(spark)
+        throughput_meta.update(m)
     except Exception as e:  # noqa: BLE001
         streaming_eps = streaming_eps_untuned = None
         errors["__streaming__"] = f"{type(e).__name__}: {e}"[:500]
 
     try:
-        keep_best_dps = _keep_best_throughput(spark)
+        keep_best_dps, m = _keep_best_throughput(spark)
+        throughput_meta.update(m)
     except Exception as e:  # noqa: BLE001
         keep_best_dps = None
         errors["__keep_best_stream__"] = f"{type(e).__name__}: {e}"[:500]
 
     try:
-        curation_dps = _curation_stream_throughput(spark)
+        curation_dps, m = _curation_stream_throughput(spark)
+        throughput_meta.update(m)
     except Exception as e:  # noqa: BLE001
         curation_dps = {}
         errors["__curation_streams__"] = f"{type(e).__name__}: {e}"[:500]
@@ -347,6 +373,11 @@ def main() -> None:
         n: m for n, m in runmeta.items()
         if not m["converged"] or m["n_runs"] > 3
     }
+    # Throughput rows ALWAYS carry their convergence flags (VERDICT r14
+    # #2: the driver line's streaming number was the last unconverged
+    # figure in the artifact) — unconditional, unlike the per-query map,
+    # because round-over-round streaming comparisons hinge on them.
+    sidecar["throughput_convergence"] = throughput_meta
     # The tuned/untuned PAIR keeps methodology-vs-engine attribution
     # honest: the headline streaming number runs with shuffle.partitions
     # sized to the agg's key cardinality (standard stateful-streaming
@@ -367,13 +398,16 @@ def main() -> None:
                  "measured; caches cleared between queries (clearCache "
                  "+ persist-registry release) so no query rides an "
                  "earlier query's cache",
-        "streaming": "1 untimed warm-up replay, then best-of-7 timed "
-                     "replays, fresh checkpoint each; source split into 32 "
+        "streaming": "1 untimed warm-up replay, then CONVERGED-MIN timed "
+                     "replays (two fastest within 4%, min 5 / max 10), "
+                     "fresh checkpoint each; source split into 32 "
                      "files; shuffle.partitions=8 during replays (state "
                      "partition count sized to the ~5-key agg, restored "
                      "after); memory-sink table dropped between replays; "
-                     "streaming_events_per_sec_untuned is a best-of-2 "
-                     "control at the session-default shuffle partitions",
+                     "streaming_events_per_sec_untuned is a converged "
+                     "(min 2 / max 4) control at the session-default "
+                     "shuffle partitions; all throughput rows carry "
+                     "n_runs/converged in throughput_convergence",
         "warmup": "one flagship query + one mapInPandas no-op before "
                   "timing (JIT + Python-worker spin-up)",
         "materialization": "df.count() per run",
@@ -396,11 +430,10 @@ def main() -> None:
         "keep_best_stream": "documents replayed as 4 micro-batches "
                             "through keep_best_batch_processor (fresh "
                             "state dirs): one half-corpus 2-batch warm-up "
-                            "replay, then ONE timed full replay — the "
-                            "incremental state machine is stateful, so "
-                            "best-of-N replays don't share state and "
-                            "would only multiply cost; reported as "
-                            "keep_best_docs_per_sec",
+                            "replay, then CONVERGED-MIN full replays "
+                            "(min 2 / max 4, each with its own fresh "
+                            "state dir — independent measurements); "
+                            "reported as keep_best_docs_per_sec",
         "curation_streams": "decontaminate/dsir/temperature/ccnet/containment/soft_dedup "
                             "processors replayed over 4 micro-batch "
                             "shards of their stream side (fresh state "
@@ -408,8 +441,9 @@ def main() -> None:
                             "first): processor CONSTRUCTION — the "
                             "build-once bloom/model/rate/cutoff "
                             "artifacts — is charged as an offline build "
-                            "(the PQ/IVF discipline) and the timed "
-                            "replay measures the per-shard "
+                            "(the PQ/IVF discipline) and the "
+                            "converged-min timed replays (min 2 / max 3, "
+                            "fresh state dirs) measure the per-shard "
                             "screen/score/filter/bucket; sidecar-only "
                             "metrics *_stream_docs_per_sec",
     }
@@ -513,19 +547,20 @@ def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:
     return out
 
 
-def _streaming_throughput(spark) -> tuple[float, float | None]:
+def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
     """Events/s through the flagship-shaped streaming aggregation: the
     events table replayed through a file-source update-mode keyed count
     (state store + shuffle, the reference's analyze-stage profile). The
     reference's producer ran at 1 rec/s (producer-app-data.yaml:36).
 
-    One untimed warm-up replay, then best of seven timed replays (fresh
-    checkpoint each): the warm-up pays the one-time costs (state-store
-    init, streaming codegen, JIT of the streaming aggregation loop) that a
-    sustained pipeline amortizes away, so the timed replays measure steady
-    state — the r05 driver artifact read 16% below r02 purely because the
-    first timed replay landed on a cold code cache after the 50-query
-    batch suite."""
+    One untimed warm-up replay, then CONVERGED-MIN timed replays (fresh
+    checkpoint each; see ``converged_best``): the warm-up pays the
+    one-time costs (state-store init, streaming codegen, JIT of the
+    streaming aggregation loop) that a sustained pipeline amortizes
+    away, so the timed replays measure steady state — the r05 driver
+    artifact read 16% below r02 purely because the first timed replay
+    landed on a cold code cache after the 50-query batch suite. Returns
+    (tuned_eps, untuned_eps, convergence_meta)."""
     import shutil
     import tempfile
 
@@ -587,39 +622,56 @@ def _streaming_throughput(spark) -> tuple[float, float | None]:
             spark.sql(f"DROP TABLE IF EXISTS bench_stream_{tag}")
             return elapsed
 
-        # best-of-7 (was 5): per-replay fixed costs (queryPlanning,
-        # walCommit, addBatch scheduling) measured fluctuating ~2.5x
-        # run-to-run on this sandbox (0.67s..1.6s for the identical
-        # replay); two more ~1s replays are the cheapest way to keep the
-        # best estimate stable across rounds.
-        best = float("inf")
-        for i in range(8):
-            elapsed = _replay(str(i), f"{work}/ck{i}")
-            if i > 0:  # replay 0 is the warm-up
-                best = min(best, elapsed)
+        # converged-min (VERDICT r14 #2; was fixed best-of-7): per-replay
+        # fixed costs (queryPlanning, walCommit, addBatch scheduling)
+        # fluctuate ~2.5x run-to-run on this sandbox (0.67s..1.6s for the
+        # identical replay), and a fixed sample leaves the driver-line
+        # number load-dependent — r14's read 167k while the same HEAD's
+        # converged sidecar read 190k. Replays continue until the two
+        # fastest agree within 4% (min 5, max 10), warm-up replay first.
+        _replay("w", f"{work}/ckw")  # untimed warm-up
+        counter = iter(range(100))
+        best, meta = converged_best(
+            lambda: _replay(str(next(counter)), f"{work}/ck{next(counter)}"),
+            min_runs=5,
+            max_runs=10,
+        )
         # UNTUNED CONTROL: same pipeline at the session-default shuffle
         # partition count (warm JVM — the tuned replays already paid
-        # cold-start), best-of-2. Published next to the tuned number so
-        # the state-partition sizing's contribution is always on record.
+        # cold-start), converged min 2 / max 4. Published next to the
+        # tuned number so the state-partition sizing's contribution is
+        # always on record.
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        best_untuned = float("inf")
-        for i in range(2):
-            best_untuned = min(best_untuned, _replay(f"u{i}", f"{work}/cku{i}"))
-        return round(n / best, 1), round(n / best_untuned, 1)
+        ucounter = iter(range(100))
+        best_untuned, meta_u = converged_best(
+            lambda: _replay(f"u{next(ucounter)}", f"{work}/cku{next(ucounter)}"),
+            min_runs=2,
+            max_runs=4,
+        )
+        return (
+            round(n / best, 1),
+            round(n / best_untuned, 1),
+            {
+                "streaming_events_per_sec": meta,
+                "streaming_events_per_sec_untuned": meta_u,
+            },
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _keep_best_throughput(spark) -> float:
+def _keep_best_throughput(spark) -> tuple[float, dict]:
     """Docs/sec through the streaming keep-best curation spine
     (streaming/advanced.keep_best_batch_processor): the documents table
     replayed as 4 micro-batches against fresh state dirs, measuring the
     full incremental lifecycle per batch — new-pair discovery (new x new
     + new x state), cumulative edge append, CC + quality-argmax snapshot
     rewrite. One half-corpus 2-batch warm-up replay pays codegen/JIT;
-    then ONE timed full replay (the state machine is stateful — replays
-    can't share state, so best-of-N only multiplies cost)."""
+    then converged-min over FULL replays (VERDICT r14 #2 — each replay
+    gets its own fresh state dir, so replays are independent; the
+    stateful machine just can't share state ACROSS replays, which is a
+    cost argument, not a correctness one — bounded at 4)."""
     import shutil
     import tempfile
 
@@ -639,13 +691,18 @@ def _keep_best_throughput(spark) -> float:
         half = docs.filter(F.col("doc_id") % 2 == 0)
         for i in range(2):
             proc(half.filter(F.col("doc_id") % 4 == 2 * i), i)
-        # timed: full corpus, 4 batches
-        proc = keep_best_batch_processor(f"{work}/state")
-        t0 = time.perf_counter()
-        for i in range(4):
-            proc(docs.filter(F.col("doc_id") % 4 == i), i)
-        elapsed = time.perf_counter() - t0
-        return round(n / elapsed, 1)
+
+        counter = iter(range(100))
+
+        def _full_replay() -> float:
+            proc = keep_best_batch_processor(f"{work}/state{next(counter)}")
+            t0 = time.perf_counter()
+            for i in range(4):
+                proc(docs.filter(F.col("doc_id") % 4 == i), i)
+            return time.perf_counter() - t0
+
+        elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=4)
+        return round(n / elapsed, 1), {"keep_best_docs_per_sec": meta}
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -679,7 +736,8 @@ def _curation_stream_throughput(spark) -> dict:
     )
 
     docs = load_table(spark, SF_DIR, "documents")
-    out: dict[str, float] = {}
+    out: dict[str, object] = {}
+    meta_all: dict[str, dict] = {}
     work = tempfile.mkdtemp(prefix="bench_curation_stream_")
     try:
         def _replay(metric: str, make_proc, stream_df) -> None:
@@ -688,11 +746,24 @@ def _curation_stream_throughput(spark) -> dict:
             half = stream_df.filter(F.col("doc_id") % 2 == 0)
             for i in range(2):
                 warm(half.filter(F.col("doc_id") % 4 == 2 * i), i)
-            proc = make_proc(f"{work}/{metric}")
-            t0 = time.perf_counter()
-            for i in range(4):
-                proc(stream_df.filter(F.col("doc_id") % 4 == i), i)
-            out[metric] = round(n / (time.perf_counter() - t0), 1)
+
+            counter = iter(range(100))
+
+            def _full_replay() -> float:
+                # fresh state dir per replay: the fit-once artifacts are
+                # rebuilt at processor construction (before the clock),
+                # so replays are independent measurements
+                proc = make_proc(f"{work}/{metric}{next(counter)}")
+                t0 = time.perf_counter()
+                for i in range(4):
+                    proc(stream_df.filter(F.col("doc_id") % 4 == i), i)
+                return time.perf_counter() - t0
+
+            # converged-min (VERDICT r14 #2), bounded at 3: these are the
+            # cheap members (seconds per replay at sf0.1)
+            elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=3)
+            out[metric] = round(n / elapsed, 1)
+            meta_all[metric] = meta
 
         ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
         train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
@@ -748,7 +819,7 @@ def _curation_stream_throughput(spark) -> dict:
             lambda d: soft_dedup_batch_processor(ref, d),
             ref,
         )
-        return out
+        return out, meta_all
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
