@@ -12,41 +12,37 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-14 rotation (VERDICT r13 #2): the 5 reference-surface queries
-stay first (every round). Then the THIRTEEN queries whose
-plan-affecting code changed THIS round (the hygiene rule):
-containment_near_dup (collapse-first duplicate law, VERDICT r13 #1 +
-the 1e9 clone shift, ADVICE r13), zipf_vocab_audit (salted two-phase
-head, VERDICT r13 #3), and the eleven decimal-exact money-sum
-conversions (VERDICT r13 #4, docs/MONEY_AUDIT.md): pricing_summary,
-top_revenue_orders, volume_shipping_q7, market_share_q8,
-returned_items_q10, top_supplier_q15, small_qty_revenue_q17,
-disjunctive_revenue_q19, forecast_revenue_q6, promo_revenue_q14,
-region_revenue_share. Then tokenizer_fertility (the remaining
-never-rowed r13 newcomer), then hash_sample + conditional_functions
-(decimal-fixed after the r13 window was pinned — ADVICE r13 flagged
-the deferred validation; it lands here). Then the SEVENTEEN remaining
-r09-row queries (the stalest ledger cohort) and the first TWELVE of
-the forty-four r10-row queries. 5+13+1+2+17+12 = 50.
-Displaced to 51+ this round: everything with a hash-green r12/r13 row
+Round-15 rotation (VERDICT r14 #1/#3): the 5 reference-surface queries
+stay first (every round). Then the SIX never-rowed round-14 newcomers
+(excerpt_screen, soft_dedup_weights, unimax_allocation,
+hybrid_rrf_retrieval, vocab_kl_drift, retrieval_eval). Then the THREE
+round-15 newcomers (weighted_budget_select, soft_dedup_screen,
+hybrid_rrf_multi — VERDICT r14 #6/#5/#4, all swept green at
+sf0.001/sf0.01/sf0.1/sf1 before commit). Then the TWO queries whose
+plan-affecting code changed this round (hygiene rule): ccnet_buckets
+(unscored-bucket routing, ADVICE r14) and token_budget_select (fill
+factored into _budget_fill; soft_dedup_weights' commonness-rounding
+change rides its newcomer slot). Then ALL TWENTY-NINE remaining
+r10-row queries — the stalest ledger cohort, fully retired this
+rotation (VERDICT r14 #3). The last FIVE slots take the stalest
+r12-row queries (word_positions, audio_fingerprints,
+semantic_decontaminate, quality_percentile_filter, dedup_keep_best).
+5+6+3+2+29+5 = 50.
+Displaced to 51+ this round: everything with a hash-green r13/r14 row
 and code untouched this round.
-ROTATION QUEUE for round 15 (stalest first): the SIX never-rowed
-round-14 newcomers (excerpt_screen, soft_dedup_weights,
-unimax_allocation, hybrid_rrf_retrieval, vocab_kl_drift,
-retrieval_eval — all swept green at sf0.001/sf0.01/sf0.1/sf1 before
-commit — plus any operator whose code changes in r15), then the
-TWENTY-NINE remaining r10-row queries (tumbling_hourly, union_all_activity,
-user_event_profile, window_frames, word_count, zscore_events,
-asof_latest_order, asof_next_order, cte_sql, dataset_split,
-edit_distance_pairs, histogram_bins, hopping_hourly, map_functions,
-purchase_funnel, quality_report, stratified_sample, tfidf_top_terms,
-value_band_join, zorder_key, array_set_ops, arrow_byte_stats,
-benford_digits, bitwise_aggregates, cheapest_supplier, corr_battery,
-median_aggregates, orderkey_islands, string_functions2 — the other
-fifteen of the 44 rotated into THIS round's window: twelve in
-R10_ROTATED_IN_R14 plus forecast_revenue_q6 / promo_revenue_q14 /
-region_revenue_share via CODE_CHANGED_R14), then the r12 cohort
-(43 queries), then the r13/r14 cohorts.
+ROTATION QUEUE for round 16 (stalest first): the THIRTY-TWO remaining
+r12-row queries (lone_fault_supplier_q21, dormant_rich_customers_q22,
+quality_classifier, jl_project, token_entropy, hash_sample_per_group,
+trigram_backoff_score, ngram_novelty, scd2_pit_lookup,
+knn_ivf_agreement, dsir_resample, hll_merge_bound,
+quantile_sketch_bound, heavy_hitters, dedup_exact, ngram_jaccard_pairs,
+dedup_clusters, pagerank_parts, ann_topk, embedding_near_dup,
+normalize_embeddings, text_quality, clean_corpus, decontaminate,
+gopher_quality, pack_sequences, media_features, rollup_merge,
+scd2_history, semantic_dedup, dedup_stats, dup_span_coverage — the
+other five of the 37 rotate into THIS round's window as the r12 head),
+plus any never-rowed r16 newcomer and any operator whose code changes
+in r16, then the r13 cohort (43 queries), then the r14/r15 cohorts.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -111,11 +107,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,
         "stay_enrich": A.q_stay_enrich,
         "hotels_count": A.q_hotels_count,
+        # the six round-14 newcomers — the only oracle-eligible queries
+        # never driver-rowed (VERDICT r14 #1); they head this window
+        "excerpt_screen": D.q_excerpt_screen,
+        "soft_dedup_weights": D.q_soft_dedup_weights,
+        "unimax_allocation": CU.q_unimax_allocation,
+        "hybrid_rrf_retrieval": R.q_hybrid_rrf_retrieval,
+        "vocab_kl_drift": AU.q_vocab_kl_drift,
+        "retrieval_eval": R.q_retrieval_eval,
+        # round-15 newcomers (never rowed): the soft-dedup selection
+        # consumer (VERDICT r14 #6), the frozen-reference soft-dedup
+        # screen (VERDICT r14 #5), the batched multi-seed RRF (VERDICT
+        # r14 #4)
+        "weighted_budget_select": CU.q_weighted_budget_select,
+        "soft_dedup_screen": D.q_soft_dedup_screen,
+        "hybrid_rrf_multi": R.q_hybrid_rrf_multi,
         # plan-affecting code changes THIS round re-enter the window
-        # (hygiene rule): containment gains the collapse-first duplicate law
-        # (VERDICT r13 #1) + the 1e9 clone shift (ADVICE r13); zipf gains the
-        # salted two-phase head (VERDICT r13 #3); the other eleven gained
-        # decimal-exact money sums (VERDICT r13 #4, docs/MONEY_AUDIT.md)
+        # (hygiene rule): ccnet_buckets routes zero-bigram docs to an
+        # explicit 'unscored' bucket (ADVICE r14); token_budget_select's
+        # fill was factored into the shared _budget_fill helper
+        "ccnet_buckets": C.q_ccnet_buckets,
+        "token_budget_select": CU.q_token_budget_select,
+        # the TWENTY-NINE remaining r10-row queries — the stalest ledger
+        # cohort, fully retired this rotation (VERDICT r14 #3)
+        "tumbling_hourly": A5.q_tumbling_hourly,
+        "union_all_activity": A5.q_union_all_activity,
+        "user_event_profile": A7.q_user_event_profile,
+        "window_frames": A9.q_window_frames,
+        "word_count": A7.q_word_count,
+        "zscore_events": A6.q_zscore_events,
+        "asof_latest_order": J.q_asof_latest_order,
+        "asof_next_order": J.q_asof_next_order,
+        "cte_sql": A10.q_cte_sql,
+        "dataset_split": A10.q_dataset_split,
+        "edit_distance_pairs": A11.q_edit_distance_pairs,
+        "histogram_bins": A13.q_histogram_bins,
+        "hopping_hourly": A10.q_hopping_hourly,
+        "map_functions": A11.q_map_functions,
+        "purchase_funnel": A11.q_purchase_funnel,
+        "quality_report": Q.q_quality_report,
+        "stratified_sample": A11.q_stratified_sample,
+        "tfidf_top_terms": A10.q_tfidf_top_terms,
+        "value_band_join": J.q_value_band_join,
+        "zorder_key": L.q_zorder_key,
+        "array_set_ops": A9.q_array_set_ops,
+        "arrow_byte_stats": A9.q_arrow_byte_stats,
+        "benford_digits": A13.q_benford_digits,
+        "bitwise_aggregates": A9.q_bitwise_aggregates,
+        "cheapest_supplier": A9.q_cheapest_supplier,
+        "corr_battery": A13.q_corr_battery,
+        "median_aggregates": A9.q_median_aggregates,
+        "orderkey_islands": A12.q_orderkey_islands,
+        "string_functions2": A9.q_string_functions2,
+        # the five stalest r12-row queries fill the remaining slots
+        "word_positions": A9.q_word_positions,
+        "audio_fingerprints": M.q_audio_fingerprints,
+        "semantic_decontaminate": C.q_semantic_decontaminate,
+        "quality_percentile_filter": CU.q_quality_percentile_filter,
+        "dedup_keep_best": G.q_dedup_keep_best,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has a hash-green r13/r14 row with code
+        # untouched this round (the r12 remainder and r13 cohorts queue
+        # next — see the module docstring); the LSH/IVF/PQ approximation
+        # spellings stay rows-only by design, bounded by their
+        # oracle-checked exact twins
         "containment_near_dup": D.q_containment_near_dup,
         "zipf_vocab_audit": AU.q_zipf_vocab_audit,
         "pricing_summary": A.q_pricing_summary,
@@ -129,15 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_q6": A6.q_forecast_revenue_q6,
         "promo_revenue_q14": A6.q_promo_revenue_q14,
         "region_revenue_share": A12.q_region_revenue_share,
-        # the remaining never-rowed round-13 newcomer
         "tokenizer_fertility": T.q_tokenizer_fertility,
-        # decimal-fixed AFTER the r13 window was pinned (ADVICE r13):
-        # their deferred driver validation lands this round
         "hash_sample": A4.q_hash_sample,
         "conditional_functions": A4.q_conditional_functions,
-        # the seventeen remaining r09-row queries (stalest ledger cohort
-        # after the groups above; hash_sample/conditional_functions from the
-        # same cohort ride in the post-pin group)
         "customers_without_orders": A.q_customers_without_orders,
         "purchase_and_click_users": A.q_purchase_and_click_users,
         "rollup_returnflag": A.q_rollup_returnflag,
@@ -155,8 +204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_counts": A4.q_salted_user_counts,
         "stats_battery": A5.q_stats_battery,
         "above_avg_orders": A5.q_above_avg_orders,
-        # the first twelve of the forty-four r10-row queries (the remaining
-        # thirty-two head the round-15 queue)
         "phash_near_dup": M.q_phash_near_dup,
         "image_dhash": M.q_image_dhash,
         "video_near_dup": M.q_video_near_dup,
@@ -169,14 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_count_q4": A6.q_priority_count_q4,
         "regexp_battery": A5.q_regexp_battery,
         "shipmode_priority_q12": A6.q_shipmode_priority_q12,
-        # ---- entries 51+: outside the driver window this round ----
-        # every displaced entry has a hash-green r12 or r13 row with code
-        # untouched this round; knn_label_vote_ivf / hard_negative_mining_ivf
-        # stay the rows-only PRODUCTION bench spellings, bounded by
-        # knn_ivf_agreement and the exact hard_negative_mining twin
         "hard_negative_mining": MN.q_hard_negative_mining,
         "anisotropy_audit": MN.q_anisotropy_audit,
-        "ccnet_buckets": C.q_ccnet_buckets,
         "temperature_sample": CU.q_temperature_sample,
         "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
         "quality_calibration": C.q_quality_calibration,
@@ -186,7 +227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": S.q_knn_label_vote,
         "bpe_merges": T.q_bpe_merges,
         "bpe_encode": T.q_bpe_encode,
-        "token_budget_select": CU.q_token_budget_select,
         "source_overlap": AU.q_source_overlap,
         "cms_merge_bound": SK.q_cms_merge_bound,
         "dataset_mix": A10.q_dataset_mix,
@@ -217,11 +257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": A2.q_string_functions,
         "math_functions": A2.q_math_functions,
         "sessionize_events": A2.q_sessionize_events,
-        "word_positions": A9.q_word_positions,
-        "audio_fingerprints": M.q_audio_fingerprints,
-        "semantic_decontaminate": C.q_semantic_decontaminate,
-        "quality_percentile_filter": CU.q_quality_percentile_filter,
-        "dedup_keep_best": G.q_dedup_keep_best,
         "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
         "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
         "quality_classifier": C.q_quality_classifier,
@@ -255,35 +290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats": D.q_dedup_stats,
         "dup_span_coverage": CU.q_dup_span_coverage,
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
-        "tumbling_hourly": A5.q_tumbling_hourly,
-        "union_all_activity": A5.q_union_all_activity,
-        "user_event_profile": A7.q_user_event_profile,
-        "window_frames": A9.q_window_frames,
-        "word_count": A7.q_word_count,
-        "zscore_events": A6.q_zscore_events,
-        "asof_latest_order": J.q_asof_latest_order,
-        "asof_next_order": J.q_asof_next_order,
-        "cte_sql": A10.q_cte_sql,
-        "dataset_split": A10.q_dataset_split,
-        "edit_distance_pairs": A11.q_edit_distance_pairs,
-        "histogram_bins": A13.q_histogram_bins,
-        "hopping_hourly": A10.q_hopping_hourly,
-        "map_functions": A11.q_map_functions,
-        "purchase_funnel": A11.q_purchase_funnel,
-        "quality_report": Q.q_quality_report,
-        "stratified_sample": A11.q_stratified_sample,
-        "tfidf_top_terms": A10.q_tfidf_top_terms,
-        "value_band_join": J.q_value_band_join,
-        "zorder_key": L.q_zorder_key,
-        "array_set_ops": A9.q_array_set_ops,
-        "arrow_byte_stats": A9.q_arrow_byte_stats,
-        "benford_digits": A13.q_benford_digits,
-        "bitwise_aggregates": A9.q_bitwise_aggregates,
-        "cheapest_supplier": A9.q_cheapest_supplier,
-        "corr_battery": A13.q_corr_battery,
-        "median_aggregates": A9.q_median_aggregates,
-        "orderkey_islands": A12.q_orderkey_islands,
-        "string_functions2": A9.q_string_functions2,
         "simhash_near_dup": D.q_simhash_near_dup,
         "ann_pq": PQ.q_ann_pq,
         "ann_ivfpq": PQ.q_ann_ivfpq,
@@ -292,42 +298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": IV.q_ann_ivf,
         "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
         "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
-        # round-14 newcomer at 51+ (heads the r15 rotation queue with
-        # the r10 cohort): containment screening of an arriving excerpt
-        # stream against the held corpus — the oracle-checked batch
-        # spelling of the streaming containment processor
-        "excerpt_screen": D.q_excerpt_screen,
-        # round-14 newcomers at 51+: SoftDeDup-style gram-commonness
-        # down-weighting (reweight instead of remove) and the UniMax
-        # budgeted language allocation (waterfill with per-language
-        # epoch caps — the principled temperature_sample alternative)
-        "soft_dedup_weights": D.q_soft_dedup_weights,
-        "unimax_allocation": CU.q_unimax_allocation,
-        # hybrid lexical+dense retrieval: BM25 pool + seed-expansion
-        # cosine pool fused by reciprocal rank (Cormack et al. 2009)
-        "hybrid_rrf_retrieval": R.q_hybrid_rrf_retrieval,
-        # per-source vocabulary KL drift vs the corpus (closed-form
-        # add-alpha smoothing over the joint vocab; the companion of
-        # source_length_drift and zipf_vocab_audit)
-        "vocab_kl_drift": AU.q_vocab_kl_drift,
-        # rank-quality audit of the BM25 miner vs a term-presence gold
-        # rule: MRR / nDCG@k / precision / recall in one summary row
-        "retrieval_eval": R.q_retrieval_eval,
-        # round-15 newcomer (VERDICT r14 #6): the soft-dedup weight
-        # column wired into an actual selection consumer — fill a token
-        # budget ranked by the SoftDeDup sampling weight (composes
-        # soft_dedup_weights + token_budget_select's bucketed fill)
-        "weighted_budget_select": CU.q_weighted_budget_select,
-        # round-15 newcomer (VERDICT r14 #5): membership-free soft-dedup
-        # scoring against frozen gram-df artifacts — the oracle-checked
-        # batch spelling of the streaming soft-dedup processor (the
-        # excerpt_screen / containment relationship)
-        "soft_dedup_screen": D.q_soft_dedup_screen,
-        # round-15 newcomer (VERDICT r14 #4): batched multi-seed hybrid
-        # RRF — one corpus scan against a broadcast seed TABLE instead
-        # of one O(n*dim) pass per seed; per-seed dense pools via the
-        # salted two-phase head
-        "hybrid_rrf_multi": R.q_hybrid_rrf_multi,
         # bench-only driver-loop surface — must stay LAST (pinned by
         # test_entry_window.test_bpe_train_is_outside_the_window)
         "bpe_train": T.q_bpe_train,

@@ -23,81 +23,82 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# The thirteen queries whose plan-affecting code changed in round 14 and
-# therefore re-enter the window (the window-hygiene rule):
-# containment_near_dup gained the collapse-first duplicate law (VERDICT
-# r13 #1) + the 1e9 clone shift (ADVICE r13); zipf_vocab_audit gained
-# the salted two-phase head (VERDICT r13 #3); the other eleven gained
-# decimal-exact money sums (VERDICT r13 #4, docs/MONEY_AUDIT.md).
-CODE_CHANGED_R14 = [
-    "containment_near_dup",
-    "zipf_vocab_audit",
-    "pricing_summary",
-    "top_revenue_orders",
-    "volume_shipping_q7",
-    "market_share_q8",
-    "returned_items_q10",
-    "top_supplier_q15",
-    "small_qty_revenue_q17",
-    "disjunctive_revenue_q19",
-    "forecast_revenue_q6",
-    "promo_revenue_q14",
-    "region_revenue_share",
+# The six round-14 newcomers: the only oracle-eligible queries never
+# driver-rowed entering round 15 (VERDICT r14 #1) — they head the window
+# right after the reference surface.
+NEVER_ROWED_R14_WAVE = [
+    "excerpt_screen",
+    "soft_dedup_weights",
+    "unimax_allocation",
+    "hybrid_rrf_retrieval",
+    "vocab_kl_drift",
+    "retrieval_eval",
 ]
 
-# The remaining never-rowed round-13 newcomer (containment_near_dup and
-# zipf_vocab_audit, the other two, ride in CODE_CHANGED_R14).
-NEVER_ROWED_R13_WAVE = [
-    "tokenizer_fertility",
+# Round-15 newcomers (never rowed): the soft-dedup selection consumer
+# (VERDICT r14 #6), the frozen-reference soft-dedup screen (VERDICT r14
+# #5), the batched multi-seed RRF (VERDICT r14 #4).
+NEVER_ROWED_R15_WAVE = [
+    "weighted_budget_select",
+    "soft_dedup_screen",
+    "hybrid_rrf_multi",
 ]
 
-# Decimal-fixed AFTER the r13 window was pinned (ADVICE r13): their
-# driver validation was deferred one round and lands here.
-R13_POST_PIN = [
-    "hash_sample",
-    "conditional_functions",
+# Plan-affecting code changes in round 15 re-enter the window (the
+# window-hygiene rule): ccnet_buckets routes zero-bigram docs to an
+# explicit 'unscored' bucket (ADVICE r14); token_budget_select's fill
+# was factored into the shared _budget_fill helper (soft_dedup_weights'
+# commonness-rounding change rides its NEVER_ROWED_R14_WAVE slot).
+CODE_CHANGED_R15 = [
+    "ccnet_buckets",
+    "token_budget_select",
 ]
 
-# The seventeen remaining r09-row queries — the stalest ledger cohort
-# (hash_sample / conditional_functions from the same cohort ride above).
-R09_ROTATED_IN_R14 = [
-    "customers_without_orders",
-    "purchase_and_click_users",
-    "rollup_returnflag",
-    "priority_orders_exists",
-    "orders_no_lineitems_anti",
-    "quantity_percentiles",
-    "date_parse_lenient",
-    "token_count",
-    "cube_events",
-    "array_functions",
-    "inactive_customers_except",
-    "json_extract",
-    "pivot_daily",
-    "datetime_functions",
-    "salted_user_counts",
-    "stats_battery",
-    "above_avg_orders",
+# ALL twenty-nine remaining r10-row queries — the stalest ledger cohort,
+# fully retired this rotation (VERDICT r14 #3).
+R10_ROTATED_IN_R15 = [
+    "tumbling_hourly",
+    "union_all_activity",
+    "user_event_profile",
+    "window_frames",
+    "word_count",
+    "zscore_events",
+    "asof_latest_order",
+    "asof_next_order",
+    "cte_sql",
+    "dataset_split",
+    "edit_distance_pairs",
+    "histogram_bins",
+    "hopping_hourly",
+    "map_functions",
+    "purchase_funnel",
+    "quality_report",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "value_band_join",
+    "zorder_key",
+    "array_set_ops",
+    "arrow_byte_stats",
+    "benford_digits",
+    "bitwise_aggregates",
+    "cheapest_supplier",
+    "corr_battery",
+    "median_aggregates",
+    "orderkey_islands",
+    "string_functions2",
 ]
 
-# The first twelve of the forty-four r10-row queries (the remaining
-# thirty-two head the round-15 queue).
-R10_ROTATED_IN_R14 = [
-    "phash_near_dup",
-    "image_dhash",
-    "video_near_dup",
-    "audio_near_dup",
-    "big_orders_having",
-    "cast_battery",
-    "date_spine_daily",
-    "decimal_totals",
-    "grouping_sets",
-    "priority_count_q4",
-    "regexp_battery",
-    "shipmode_priority_q12",
+# The five stalest r12-row queries fill the remaining slots (the other
+# thirty-two r12 rows head the round-16 queue).
+R12_HEAD_IN_R15 = [
+    "word_positions",
+    "audio_fingerprints",
+    "semantic_decontaminate",
+    "quality_percentile_filter",
+    "dedup_keep_best",
 ]
 
-# Round 14's window has NO rows-only entry: every in-window query is
+# Round 15's window has NO rows-only entry: every in-window query is
 # fully oracle-checked.
 ROWS_ONLY: set[str] = set()
 
@@ -105,8 +106,8 @@ ROWS_ONLY: set[str] = set()
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + CODE_CHANGED_R14 + NEVER_ROWED_R13_WAVE
-        + R13_POST_PIN + R09_ROTATED_IN_R14 + R10_ROTATED_IN_R14
+        REFERENCE_SURFACE + NEVER_ROWED_R14_WAVE + NEVER_ROWED_R15_WAVE
+        + CODE_CHANGED_R15 + R10_ROTATED_IN_R15 + R12_HEAD_IN_R15
     )
     assert len(expected) == WINDOW
     assert window == expected
