@@ -161,6 +161,12 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "vocab_kl_drift",
     "retrieval_eval",
+    # round 15: the soft-dedup selection consumer, the frozen-reference
+    # soft-dedup screen (batch spelling of the streaming processor), and
+    # the batched multi-seed hybrid RRF
+    "weighted_budget_select",
+    "soft_dedup_screen",
+    "hybrid_rrf_multi",
     "bpe_train",
 ]
 

@@ -98,11 +98,24 @@ def _excerpt_screen_prebuilt(docs):
     stream = D.docs_excerpt_stream(docs.select("doc_id", "text"))
     return lambda: D.containment_against(stream, rare, sizes, hot).count()
 
+def _soft_dedup_screen_prebuilt(docs):
+    """Fit-once frozen gram-df artifacts (untimed build, the bloom
+    discipline); the timed call weight-scores the corpus against them —
+    the streaming soft-dedup processor's steady-state per-shard cost."""
+    dfreq, meta = D.build_soft_dedup_ref(docs.select("doc_id", "text"))
+    dfreq, meta = dfreq.persist(), meta.persist()
+    dfreq.count(), meta.count()
+    return lambda: D.soft_dedup_against(
+        docs.select("doc_id", "text"), dfreq, meta
+    ).count()
+
+
 # ops with a build-once artifact: the thunk factory is called once per
 # rung (build untimed), the returned thunk is what gets timed
 PREBUILT_OPS = (
     ("decontaminate_bloom_prebuilt", _bloom_prebuilt),
     ("excerpt_screen_prebuilt", _excerpt_screen_prebuilt),
+    ("soft_dedup_screen_prebuilt", _soft_dedup_screen_prebuilt),
 )
 
 
