@@ -87,3 +87,22 @@ def test_real_headline_names_fit_budget_with_streaming_fields():
     itemized = set(parsed["queries"]) if isinstance(parsed["queries"], dict) else set()
     folded = parsed.get("queries_fast", {}).get("n", 0)
     assert len(itemized) + folded == len(bench.HEADLINE)
+
+
+def test_converged_best_stops_on_agreement_and_flags_noise():
+    """The throughput convergence rule (VERDICT r14 #2): stop as soon as
+    the two fastest runs agree within 4% (noise floor reached), run to
+    max_runs and flag converged=False otherwise, and always report the
+    MIN."""
+    # immediate agreement: second run within 4% of the first
+    seq = iter([1.00, 1.02, 9.9])
+    best, meta = bench.converged_best(lambda: next(seq), min_runs=2, max_runs=4)
+    assert best == 1.00 and meta == {"n_runs": 2, "converged": True}
+    # never agrees: runs to max, flagged unconverged, min still reported
+    seq = iter([2.0, 1.5, 1.0, 0.5])
+    best, meta = bench.converged_best(lambda: next(seq), min_runs=2, max_runs=4)
+    assert best == 0.5 and meta == {"n_runs": 4, "converged": False}
+    # respects min_runs before testing agreement
+    seq = iter([1.0, 1.0, 1.0, 1.0, 1.0])
+    best, meta = bench.converged_best(lambda: next(seq), min_runs=5, max_runs=10)
+    assert meta == {"n_runs": 5, "converged": True}
