@@ -1098,7 +1098,18 @@ def ccnet_buckets(docs: DataFrame, thresholds: str = "exact") -> DataFrame:
     batches too). Unscored rows are EXCLUDED from the percentile
     ranking / cutoff fit — they carry no score to rank — so the
     head/middle/tail split over scorable docs is unchanged; their
-    mean/worst score aggregate to NULL by construction."""
+    mean/worst score aggregate to NULL by construction.
+
+    The unscored set is derived from the NARROW input predicate
+    ``size(split(trim(text), '\\s+')) < 2`` — exactly the zero-bigram
+    condition under ``word_ngrams``'s tokenization (empty text splits to
+    one empty token, NULL text sizes to -1; both < 2 and both yield the
+    empty gram array) — NOT via an anti-join against the scorer output.
+    VERDICT r15 #1: the anti-join spelling re-executed the whole
+    explode + vocab-join + aggregate scoring subtree a second time
+    (Spark has no cross-subtree CSE and ``scored`` was unpersisted on
+    the exact path), doubling the converged bench row; the predicate
+    costs one extra scan of two narrow columns instead."""
     from pyspark.sql.window import Window
 
     if thresholds not in ("exact", "approx"):
@@ -1106,10 +1117,12 @@ def ccnet_buckets(docs: DataFrame, thresholds: str = "exact") -> DataFrame:
     scored = bigram_lm_score(docs)
     langs = docs.select("doc_id", "lang")
     unscored = (
-        langs.join(scored, "doc_id", "left_anti")
-        .withColumn("avg_log2p", F.lit(None).cast("double"))
-        .withColumn("bucket", F.lit("unscored"))
-        .select("lang", "bucket", "avg_log2p")
+        docs.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) < 2)
+        .select(
+            "lang",
+            F.lit("unscored").alias("bucket"),
+            F.lit(None).cast("double").alias("avg_log2p"),
+        )
     )
     if thresholds == "approx":
         from m12_kafkastreams_python_azure_spark.sources.readers import (
