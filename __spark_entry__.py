@@ -12,37 +12,33 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-15 rotation (VERDICT r14 #1/#3): the 5 reference-surface queries
-stay first (every round). Then the SIX never-rowed round-14 newcomers
-(excerpt_screen, soft_dedup_weights, unimax_allocation,
-hybrid_rrf_retrieval, vocab_kl_drift, retrieval_eval). Then the THREE
-round-15 newcomers (weighted_budget_select, soft_dedup_screen,
-hybrid_rrf_multi — VERDICT r14 #6/#5/#4, all swept green at
-sf0.001/sf0.01/sf0.1/sf1 before commit). Then the TWO queries whose
-plan-affecting code changed this round (hygiene rule): ccnet_buckets
-(unscored-bucket routing, ADVICE r14) and token_budget_select (fill
-factored into _budget_fill; soft_dedup_weights' commonness-rounding
-change rides its newcomer slot). Then ALL TWENTY-NINE remaining
-r10-row queries — the stalest ledger cohort, fully retired this
-rotation (VERDICT r14 #3). The last FIVE slots take the stalest
-r12-row queries (word_positions, audio_fingerprints,
-semantic_decontaminate, quality_percentile_filter, dedup_keep_best).
-5+6+3+2+29+5 = 50.
-Displaced to 51+ this round: everything with a hash-green r13/r14 row
-and code untouched this round.
-ROTATION QUEUE for round 16 (stalest first): the THIRTY-TWO remaining
-r12-row queries (lone_fault_supplier_q21, dormant_rich_customers_q22,
-quality_classifier, jl_project, token_entropy, hash_sample_per_group,
-trigram_backoff_score, ngram_novelty, scd2_pit_lookup,
-knn_ivf_agreement, dsir_resample, hll_merge_bound,
-quantile_sketch_bound, heavy_hitters, dedup_exact, ngram_jaccard_pairs,
-dedup_clusters, pagerank_parts, ann_topk, embedding_near_dup,
-normalize_embeddings, text_quality, clean_corpus, decontaminate,
-gopher_quality, pack_sequences, media_features, rollup_merge,
-scd2_history, semantic_dedup, dedup_stats, dup_span_coverage — the
-other five of the 37 rotate into THIS round's window as the r12 head),
-plus any never-rowed r16 newcomer and any operator whose code changes
-in r16, then the r13 cohort (43 queries), then the r14/r15 cohorts.
+Round-16 rotation (VERDICT r15 #2): the 5 reference-surface queries
+stay first (every round). Then the ONE query whose plan-affecting code
+changed this round (hygiene rule): ccnet_buckets — its unscored bucket
+now derives from the <2-token narrow predicate instead of a left-anti
+join against the unpersisted scorer output (VERDICT r15 #1). Then ALL
+THIRTY-TWO remaining r12-row queries — the stalest ledger cohort,
+named query-by-query in the r15 rotation queue, fully retired this
+rotation. The last TWELVE slots take the head of the r13 cohort in
+ledger order (hard_negative_mining, anisotropy_audit,
+temperature_sample, cdc_chunk_dedup, quality_calibration,
+decontaminate_bloom, record_linkage, bm25_retrieval, knn_label_vote,
+bpe_merges, bpe_encode, source_overlap); any r16 newcomer landed later
+this round displaces that filler tail. 5+1+32+12 = 50.
+Displaced to 51+ this round: everything with a hash-green r14/r15 row
+and code untouched this round (including the whole r15 window apart
+from the reference surface and ccnet_buckets).
+ROTATION QUEUE for round 17 (stalest first): the TWENTY-NINE remaining
+r13-row queries (cms_merge_bound, dataset_mix, segment_dedup,
+chunk_documents, domain_cap, trailing_hour_counts, full_outer_activity,
+unpivot_metrics, event_pairs_10min, latest_event_per_user, lang_id,
+doc_fingerprint, pmi_bigrams, source_length_drift,
+exact_substring_dedup, vocab_encode, pii_scrub, bigram_lm_score,
+sq_error_stats, geomean_prices, bpe_pair_counts, region_revenue,
+top_customers, window_top_orders, events_daily, window_functions,
+string_functions, math_functions, sessionize_events), plus any
+never-rowed r17 newcomer and any operator whose code changes in r17,
+then the r14 cohort, then the r15/r16 cohorts.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -107,29 +103,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,
         "stay_enrich": A.q_stay_enrich,
         "hotels_count": A.q_hotels_count,
-        # the six round-14 newcomers — the only oracle-eligible queries
-        # never driver-rowed (VERDICT r14 #1); they head this window
+        # plan-affecting code change THIS round re-enters the window
+        # (hygiene rule): ccnet_buckets' unscored bucket now derives
+        # from the <2-token narrow predicate instead of a left-anti
+        # join against the unpersisted scorer output (VERDICT r15 #1)
+        "ccnet_buckets": C.q_ccnet_buckets,
+        # ALL THIRTY-TWO remaining r12-row queries — the stalest
+        # ledger cohort, fully retired this rotation (VERDICT r15 #2;
+        # named query-by-query in the r15 rotation queue)
+        "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
+        "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
+        "quality_classifier": C.q_quality_classifier,
+        "jl_project": PR.q_jl_project,
+        "token_entropy": T.q_token_entropy,
+        "hash_sample_per_group": CU.q_hash_sample_per_group,
+        "trigram_backoff_score": C.q_trigram_backoff_score,
+        "ngram_novelty": AU.q_ngram_novelty,
+        "scd2_pit_lookup": SCD.q_scd2_pit_lookup,
+        "knn_ivf_agreement": API.q_knn_ivf_agreement,
+        "dsir_resample": DSR.q_dsir_resample,
+        "hll_merge_bound": SK.q_hll_merge_bound,
+        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
+        "heavy_hitters": SK.q_heavy_hitters,
+        "dedup_exact": D.q_dedup_exact,
+        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
+        "dedup_clusters": G.q_dedup_clusters,
+        "pagerank_parts": G.q_pagerank_parts,
+        "ann_topk": S.q_ann_topk,
+        "embedding_near_dup": S.q_embedding_near_dup,
+        "normalize_embeddings": V.q_normalize_embeddings,
+        "text_quality": T.q_text_quality,
+        "clean_corpus": T.q_clean_corpus,
+        "decontaminate": C.q_decontaminate,
+        "gopher_quality": C.q_gopher_quality,
+        "pack_sequences": C.q_pack_sequences,
+        "media_features": M.q_media_features,
+        "rollup_merge": SK.q_rollup_merge,
+        "scd2_history": SCD.q_scd2_history,
+        "semantic_dedup": CU.q_semantic_dedup,
+        "dedup_stats": D.q_dedup_stats,
+        "dup_span_coverage": CU.q_dup_span_coverage,
+        # the twelve stalest r13-row queries fill the remaining slots
+        # (r16 newcomers, if landed later this round, displace this
+        # filler tail — see the module docstring arithmetic)
+        "hard_negative_mining": MN.q_hard_negative_mining,
+        "anisotropy_audit": MN.q_anisotropy_audit,
+        "temperature_sample": CU.q_temperature_sample,
+        "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
+        "quality_calibration": C.q_quality_calibration,
+        "decontaminate_bloom": C.q_decontaminate_bloom,
+        "record_linkage": LK.q_record_linkage,
+        "bm25_retrieval": R.q_bm25_retrieval,
+        "knn_label_vote": S.q_knn_label_vote,
+        "bpe_merges": T.q_bpe_merges,
+        "bpe_encode": T.q_bpe_encode,
+        "source_overlap": AU.q_source_overlap,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has a hash-green r14/r15 row with code
+        # untouched this round (the r13 remainder queues next — see
+        # the module docstring); the LSH/IVF/PQ approximation
+        # spellings stay rows-only by design, bounded by their
+        # oracle-checked exact twins
         "excerpt_screen": D.q_excerpt_screen,
         "soft_dedup_weights": D.q_soft_dedup_weights,
         "unimax_allocation": CU.q_unimax_allocation,
         "hybrid_rrf_retrieval": R.q_hybrid_rrf_retrieval,
         "vocab_kl_drift": AU.q_vocab_kl_drift,
         "retrieval_eval": R.q_retrieval_eval,
-        # round-15 newcomers (never rowed): the soft-dedup selection
-        # consumer (VERDICT r14 #6), the frozen-reference soft-dedup
-        # screen (VERDICT r14 #5), the batched multi-seed RRF (VERDICT
-        # r14 #4)
         "weighted_budget_select": CU.q_weighted_budget_select,
         "soft_dedup_screen": D.q_soft_dedup_screen,
         "hybrid_rrf_multi": R.q_hybrid_rrf_multi,
-        # plan-affecting code changes THIS round re-enter the window
-        # (hygiene rule): ccnet_buckets routes zero-bigram docs to an
-        # explicit 'unscored' bucket (ADVICE r14); token_budget_select's
-        # fill was factored into the shared _budget_fill helper
-        "ccnet_buckets": C.q_ccnet_buckets,
         "token_budget_select": CU.q_token_budget_select,
-        # the TWENTY-NINE remaining r10-row queries — the stalest ledger
-        # cohort, fully retired this rotation (VERDICT r14 #3)
         "tumbling_hourly": A5.q_tumbling_hourly,
         "union_all_activity": A5.q_union_all_activity,
         "user_event_profile": A7.q_user_event_profile,
@@ -159,18 +203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_aggregates": A9.q_median_aggregates,
         "orderkey_islands": A12.q_orderkey_islands,
         "string_functions2": A9.q_string_functions2,
-        # the five stalest r12-row queries fill the remaining slots
         "word_positions": A9.q_word_positions,
         "audio_fingerprints": M.q_audio_fingerprints,
         "semantic_decontaminate": C.q_semantic_decontaminate,
         "quality_percentile_filter": CU.q_quality_percentile_filter,
         "dedup_keep_best": G.q_dedup_keep_best,
-        # ---- entries 51+: outside the driver window this round ----
-        # every displaced entry has a hash-green r13/r14 row with code
-        # untouched this round (the r12 remainder and r13 cohorts queue
-        # next — see the module docstring); the LSH/IVF/PQ approximation
-        # spellings stay rows-only by design, bounded by their
-        # oracle-checked exact twins
         "containment_near_dup": D.q_containment_near_dup,
         "zipf_vocab_audit": AU.q_zipf_vocab_audit,
         "pricing_summary": A.q_pricing_summary,
@@ -216,18 +253,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_count_q4": A6.q_priority_count_q4,
         "regexp_battery": A5.q_regexp_battery,
         "shipmode_priority_q12": A6.q_shipmode_priority_q12,
-        "hard_negative_mining": MN.q_hard_negative_mining,
-        "anisotropy_audit": MN.q_anisotropy_audit,
-        "temperature_sample": CU.q_temperature_sample,
-        "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
-        "quality_calibration": C.q_quality_calibration,
-        "decontaminate_bloom": C.q_decontaminate_bloom,
-        "record_linkage": LK.q_record_linkage,
-        "bm25_retrieval": R.q_bm25_retrieval,
-        "knn_label_vote": S.q_knn_label_vote,
-        "bpe_merges": T.q_bpe_merges,
-        "bpe_encode": T.q_bpe_encode,
-        "source_overlap": AU.q_source_overlap,
         "cms_merge_bound": SK.q_cms_merge_bound,
         "dataset_mix": A10.q_dataset_mix,
         "segment_dedup": CU.q_segment_dedup,
@@ -257,38 +282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": A2.q_string_functions,
         "math_functions": A2.q_math_functions,
         "sessionize_events": A2.q_sessionize_events,
-        "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
-        "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
-        "quality_classifier": C.q_quality_classifier,
-        "jl_project": PR.q_jl_project,
-        "token_entropy": T.q_token_entropy,
-        "hash_sample_per_group": CU.q_hash_sample_per_group,
-        "trigram_backoff_score": C.q_trigram_backoff_score,
-        "ngram_novelty": AU.q_ngram_novelty,
-        "scd2_pit_lookup": SCD.q_scd2_pit_lookup,
-        "knn_ivf_agreement": API.q_knn_ivf_agreement,
-        "dsir_resample": DSR.q_dsir_resample,
-        "hll_merge_bound": SK.q_hll_merge_bound,
-        "quantile_sketch_bound": SK.q_quantile_sketch_bound,
-        "heavy_hitters": SK.q_heavy_hitters,
-        "dedup_exact": D.q_dedup_exact,
-        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
-        "dedup_clusters": G.q_dedup_clusters,
-        "pagerank_parts": G.q_pagerank_parts,
-        "ann_topk": S.q_ann_topk,
-        "embedding_near_dup": S.q_embedding_near_dup,
-        "normalize_embeddings": V.q_normalize_embeddings,
-        "text_quality": T.q_text_quality,
-        "clean_corpus": T.q_clean_corpus,
-        "decontaminate": C.q_decontaminate,
-        "gopher_quality": C.q_gopher_quality,
-        "pack_sequences": C.q_pack_sequences,
-        "media_features": M.q_media_features,
-        "rollup_merge": SK.q_rollup_merge,
-        "scd2_history": SCD.q_scd2_history,
-        "semantic_dedup": CU.q_semantic_dedup,
-        "dedup_stats": D.q_dedup_stats,
-        "dup_span_coverage": CU.q_dup_span_coverage,
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
         "simhash_near_dup": D.q_simhash_near_dup,
         "ann_pq": PQ.q_ann_pq,

@@ -23,82 +23,70 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# The six round-14 newcomers: the only oracle-eligible queries never
-# driver-rowed entering round 15 (VERDICT r14 #1) — they head the window
-# right after the reference surface.
-NEVER_ROWED_R14_WAVE = [
-    "excerpt_screen",
-    "soft_dedup_weights",
-    "unimax_allocation",
-    "hybrid_rrf_retrieval",
-    "vocab_kl_drift",
-    "retrieval_eval",
-]
-
-# Round-15 newcomers (never rowed): the soft-dedup selection consumer
-# (VERDICT r14 #6), the frozen-reference soft-dedup screen (VERDICT r14
-# #5), the batched multi-seed RRF (VERDICT r14 #4).
-NEVER_ROWED_R15_WAVE = [
-    "weighted_budget_select",
-    "soft_dedup_screen",
-    "hybrid_rrf_multi",
-]
-
-# Plan-affecting code changes in round 15 re-enter the window (the
-# window-hygiene rule): ccnet_buckets routes zero-bigram docs to an
-# explicit 'unscored' bucket (ADVICE r14); token_budget_select's fill
-# was factored into the shared _budget_fill helper (soft_dedup_weights'
-# commonness-rounding change rides its NEVER_ROWED_R14_WAVE slot).
-CODE_CHANGED_R15 = [
+# Plan-affecting code change in round 16 re-enters the window (the
+# window-hygiene rule): ccnet_buckets' unscored bucket now derives from
+# the <2-token narrow predicate instead of a left-anti join against the
+# unpersisted scorer output (VERDICT r15 #1).
+CODE_CHANGED_R16 = [
     "ccnet_buckets",
-    "token_budget_select",
 ]
 
-# ALL twenty-nine remaining r10-row queries — the stalest ledger cohort,
-# fully retired this rotation (VERDICT r14 #3).
-R10_ROTATED_IN_R15 = [
-    "tumbling_hourly",
-    "union_all_activity",
-    "user_event_profile",
-    "window_frames",
-    "word_count",
-    "zscore_events",
-    "asof_latest_order",
-    "asof_next_order",
-    "cte_sql",
-    "dataset_split",
-    "edit_distance_pairs",
-    "histogram_bins",
-    "hopping_hourly",
-    "map_functions",
-    "purchase_funnel",
-    "quality_report",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "value_band_join",
-    "zorder_key",
-    "array_set_ops",
-    "arrow_byte_stats",
-    "benford_digits",
-    "bitwise_aggregates",
-    "cheapest_supplier",
-    "corr_battery",
-    "median_aggregates",
-    "orderkey_islands",
-    "string_functions2",
+# ALL thirty-two remaining r12-row queries — the stalest ledger cohort,
+# fully retired this rotation (VERDICT r15 #2; named query-by-query in
+# the r15 rotation queue).
+R12_ROTATED_IN_R16 = [
+    "lone_fault_supplier_q21",
+    "dormant_rich_customers_q22",
+    "quality_classifier",
+    "jl_project",
+    "token_entropy",
+    "hash_sample_per_group",
+    "trigram_backoff_score",
+    "ngram_novelty",
+    "scd2_pit_lookup",
+    "knn_ivf_agreement",
+    "dsir_resample",
+    "hll_merge_bound",
+    "quantile_sketch_bound",
+    "heavy_hitters",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "pagerank_parts",
+    "ann_topk",
+    "embedding_near_dup",
+    "normalize_embeddings",
+    "text_quality",
+    "clean_corpus",
+    "decontaminate",
+    "gopher_quality",
+    "pack_sequences",
+    "media_features",
+    "rollup_merge",
+    "scd2_history",
+    "semantic_dedup",
+    "dedup_stats",
+    "dup_span_coverage",
 ]
 
-# The five stalest r12-row queries fill the remaining slots (the other
-# thirty-two r12 rows head the round-16 queue).
-R12_HEAD_IN_R15 = [
-    "word_positions",
-    "audio_fingerprints",
-    "semantic_decontaminate",
-    "quality_percentile_filter",
-    "dedup_keep_best",
+# The head of the r13 cohort (ledger order) fills the remaining slots;
+# r16 newcomers landed later this round displace this filler tail.
+R13_HEAD_IN_R16 = [
+    "hard_negative_mining",
+    "anisotropy_audit",
+    "temperature_sample",
+    "cdc_chunk_dedup",
+    "quality_calibration",
+    "decontaminate_bloom",
+    "record_linkage",
+    "bm25_retrieval",
+    "knn_label_vote",
+    "bpe_merges",
+    "bpe_encode",
+    "source_overlap",
 ]
 
-# Round 15's window has NO rows-only entry: every in-window query is
+# Round 16's window has NO rows-only entry: every in-window query is
 # fully oracle-checked.
 ROWS_ONLY: set[str] = set()
 
@@ -106,8 +94,8 @@ ROWS_ONLY: set[str] = set()
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + NEVER_ROWED_R14_WAVE + NEVER_ROWED_R15_WAVE
-        + CODE_CHANGED_R15 + R10_ROTATED_IN_R15 + R12_HEAD_IN_R15
+        REFERENCE_SURFACE + CODE_CHANGED_R16 + R12_ROTATED_IN_R16
+        + R13_HEAD_IN_R16
     )
     assert len(expected) == WINDOW
     assert window == expected
