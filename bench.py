@@ -303,7 +303,9 @@ def main() -> None:
 
     throughput_meta: dict[str, dict] = {}
     try:
-        streaming_eps, streaming_eps_untuned, m = _streaming_throughput(spark)
+        streaming_eps, streaming_eps_untuned, m = _streaming_throughput_fresh_jvm(
+            spark
+        )
         throughput_meta.update(m)
     except Exception as e:  # noqa: BLE001
         streaming_eps = streaming_eps_untuned = None
@@ -553,6 +555,61 @@ def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:
     return out
 
 
+_STREAM_CHILD_MARKER = "BENCH_STREAM_CHILD_JSON: "
+
+
+def _streaming_throughput_fresh_jvm(spark) -> tuple[float, float | None, dict]:
+    """Run the streaming replay in its OWN subprocess JVM (VERDICT r15
+    #3 / ROADMAP r16 #1): measured in-suite, the tuned sf1 replay read
+    1.03M events/s vs 1.36M standalone at the same HEAD — JVM
+    heap/GC/code-cache state left behind by the 100+-query batch suite
+    that converged-min replays expose but cannot remove. A fresh
+    ``python bench.py --streaming-child`` process (own SparkSession, no
+    prior queries) makes the number suite-position-independent; the
+    child prints one marker-prefixed JSON line this parent parses.
+    Falls back to the in-suite measurement — flagged
+    ``fresh_jvm: false`` in the sidecar meta — if the child fails, so a
+    sandbox that can't fork a second JVM still produces a number."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--streaming-child"]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, env=os.environ
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(_STREAM_CHILD_MARKER):
+                payload = json.loads(line[len(_STREAM_CHILD_MARKER):])
+                meta = payload["meta"]
+                for v in meta.values():
+                    v["fresh_jvm"] = True
+                return payload["eps"], payload["eps_untuned"], meta
+        raise RuntimeError(
+            f"child produced no marker line (rc={proc.returncode}, "
+            f"stderr tail: {proc.stderr[-300:]!r})"
+        )
+    except Exception as e:  # noqa: BLE001
+        eps, eps_untuned, meta = _streaming_throughput(spark)
+        for v in meta.values():
+            v["fresh_jvm"] = False
+            v["fresh_jvm_fallback_reason"] = f"{type(e).__name__}: {e}"[:200]
+        return eps, eps_untuned, meta
+
+
+def _streaming_child_main() -> None:
+    """Child entry for the fresh-JVM streaming measurement: fresh
+    session, the same ``_streaming_throughput`` replays, one
+    marker-prefixed JSON line on stdout."""
+    spark = get_spark(app_name="bench-stream-child")
+    spark.sparkContext.setLogLevel("ERROR")
+    eps, eps_untuned, meta = _streaming_throughput(spark)
+    print(
+        _STREAM_CHILD_MARKER
+        + json.dumps({"eps": eps, "eps_untuned": eps_untuned, "meta": meta})
+    )
+    spark.stop()
+
+
 def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
     """Events/s through the flagship-shaped streaming aggregation: the
     events table replayed through a file-source update-mode keyed count
@@ -637,22 +694,29 @@ def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
         # fastest agree within 4% (min 5, max 10), warm-up replay first.
         _replay("w", f"{work}/ckw")  # untimed warm-up
         counter = iter(range(100))
-        best, meta = converged_best(
-            lambda: _replay(str(next(counter)), f"{work}/ck{next(counter)}"),
-            min_runs=5,
-            max_runs=10,
-        )
+
+        # one index per replay (ADVICE r15): drawing next(counter) twice
+        # in the lambda made tag and checkpoint index silently diverge
+        # (tag 0 / ck1, tag 2 / ck3 ...), which kept artifacts unique but
+        # uncorrelatable when debugging a replay
+        def _next_tuned() -> float:
+            i = next(counter)
+            return _replay(str(i), f"{work}/ck{i}")
+
+        best, meta = converged_best(_next_tuned, min_runs=5, max_runs=10)
         # UNTUNED CONTROL: same pipeline at the session-default shuffle
         # partition count (warm JVM — the tuned replays already paid
-        # cold-start), converged min 2 / max 4. Published next to the
-        # tuned number so the state-partition sizing's contribution is
-        # always on record.
+        # cold-start), converged min 2 / max 8 (VERDICT r15 #4: the sf1
+        # row exited unconverged at the old cap of 4).
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         ucounter = iter(range(100))
+
+        def _next_untuned() -> float:
+            i = next(ucounter)
+            return _replay(f"u{i}", f"{work}/cku{i}")
+
         best_untuned, meta_u = converged_best(
-            lambda: _replay(f"u{next(ucounter)}", f"{work}/cku{next(ucounter)}"),
-            min_runs=2,
-            max_runs=4,
+            _next_untuned, min_runs=2, max_runs=8
         )
         return (
             round(n / best, 1),
@@ -707,7 +771,9 @@ def _keep_best_throughput(spark) -> tuple[float, dict]:
                 proc(docs.filter(F.col("doc_id") % 4 == i), i)
             return time.perf_counter() - t0
 
-        elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=4)
+        # max 8 (VERDICT r15 #4: the sf0.1 row exited unconverged at the
+        # old cap of 4)
+        elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=8)
         return round(n / elapsed, 1), {"keep_best_docs_per_sec": meta}
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -765,9 +831,11 @@ def _curation_stream_throughput(spark) -> dict:
                     proc(stream_df.filter(F.col("doc_id") % 4 == i), i)
                 return time.perf_counter() - t0
 
-            # converged-min (VERDICT r14 #2), bounded at 3: these are the
-            # cheap members (seconds per replay at sf0.1)
-            elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=3)
+            # converged-min (VERDICT r14 #2); max raised 3 -> 6 (VERDICT
+            # r15 #4: containment/temperature exited unconverged at 3 —
+            # these are the cheap members, seconds per replay at sf0.1,
+            # so the extra replays are affordable exactly where needed)
+            elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=6)
             out[metric] = round(n / elapsed, 1)
             meta_all[metric] = meta
 
@@ -831,4 +899,7 @@ def _curation_stream_throughput(spark) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    if "--streaming-child" in sys.argv[1:]:
+        _streaming_child_main()
+    else:
+        main()

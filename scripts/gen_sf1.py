@@ -15,9 +15,13 @@ docs/SCALE.md: document texts repeat 10x (exact/near-dup operators face a
 vectors repeat 10x (ANN candidate structure densifies).
 
 Output layout: ``testdata_sf1/{table}.parquet`` as a DIRECTORY of part
-files (8 for the big tables) — unlike the single-file driver tables, the
-sf1 scan parallelizes at the source with no repartition+persist barrier
-needed (the single-row-group gotcha in .claude/skills/verify).
+files (8 for the big tables). The driver tables are single parquet files
+with ONE row group, so Spark scans them in a single task — and a bare
+``repartition(n)`` does not help because Catalyst pushes projections
+below the round-robin exchange, leaving expensive expressions in the
+one-task scan stage (the ``_parallel_text`` repartition+persist barrier
+exists for exactly that). Multi-part output sidesteps all of it: the
+sf1 scan parallelizes at the source.
 
 Usage: python scripts/gen_sf1.py  (~30 s; skips tables already present)
 """

@@ -121,7 +121,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n1 = docs1.count()
-    shift = checked_shift(docs1, max_rung)
+    # size the aliasing guard from the largest rung that actually RUNS,
+    # not the raw argv (ADVICE r15: max_rung=50 validated a 50-replica
+    # ladder while only the 10x rung executed — the guard could refuse a
+    # configuration that is safe in practice)
+    top_rung = max((r for r in RUNGS if r <= max_rung), default=1)
+    shift = checked_shift(docs1, top_rung)
     expected_planted = docs1.filter(F.col("doc_id") % 20 == 0).count()
     out: dict[str, object] = {
         "sf_dir": sf_dir,
@@ -147,11 +152,13 @@ def main() -> None:
         # every replica plants its own clones on its own gram space
         out[f"distinct_{rung}x_planted"] = planted
         out[f"distinct_{rung}x_recall_ok"] = planted == expected_planted * rung
+    # growth-factor keys named from the rung that actually ran (the
+    # scale_probe_retrieval ADVICE-r15 fix, mirrored here)
     for ladder in ("replicated", "distinct"):
         t1 = out.get(f"{ladder}_1x_s")
-        tN = out.get(f"{ladder}_{min(max_rung, 100)}x_s")
-        if t1 and tN:
-            out[f"{ladder}_{min(max_rung, 100)}x_factor"] = round(tN / t1, 1)
+        tN = out.get(f"{ladder}_{top_rung}x_s")
+        if t1 and tN and top_rung > 1:
+            out[f"{ladder}_{top_rung}x_factor"] = round(tN / t1, 1)
     print(json.dumps(out))
 
 

@@ -94,18 +94,23 @@ def main() -> None:
         out["single_x_seeds_s"] / out["multi_batched_s"], 2
     )
     # corpus-growth ladder for the batched spelling
+    top_rung = 1
     for rung in RUNGS:
         if rung > max_rung:
             break
+        top_rung = rung
         d = parallel_scan(replicate(docs1, "doc_id", rung))
         e = parallel_scan(replicate(emb1, "vec_id", rung))
         out[f"multi_{rung}x_s"] = timed(
             lambda d=d, e=e: R.hybrid_rrf_multi(d, e).count()
         )
-    if "multi_1x_s" in out and f"multi_{min(max_rung, 100)}x_s" in out:
+    # growth-factor key named from the rung that actually RAN (ADVICE
+    # r15: a hardcoded multi_100x_factor reported a 10x ladder's growth
+    # under a 100x name when max_rung < 100)
+    if "multi_1x_s" in out and f"multi_{top_rung}x_s" in out and top_rung > 1:
         t1 = out["multi_1x_s"]
-        tN = out[f"multi_{min(max_rung, 100)}x_s"]
-        out["multi_100x_factor"] = round(tN / t1, 1) if t1 else None
+        tN = out[f"multi_{top_rung}x_s"]
+        out[f"multi_{top_rung}x_factor"] = round(tN / t1, 1) if t1 else None
     print(json.dumps(out))
 
 

@@ -106,3 +106,54 @@ def test_converged_best_stops_on_agreement_and_flags_noise():
     seq = iter([1.0, 1.0, 1.0, 1.0, 1.0])
     best, meta = bench.converged_best(lambda: next(seq), min_runs=5, max_runs=10)
     assert meta == {"n_runs": 5, "converged": True}
+
+
+def test_fresh_jvm_streaming_parses_child_marker(monkeypatch):
+    """VERDICT r15 #3: the streaming measurement runs in its own
+    subprocess JVM; the parent parses the child's marker-prefixed JSON
+    line and stamps fresh_jvm=True on every meta row."""
+    import subprocess
+    import types
+
+    payload = {
+        "eps": 123.4,
+        "eps_untuned": 56.7,
+        "meta": {
+            "streaming_events_per_sec": {"n_runs": 5, "converged": True},
+            "streaming_events_per_sec_untuned": {"n_runs": 2, "converged": True},
+        },
+    }
+    fake_stdout = "noise\n" + bench._STREAM_CHILD_MARKER + json.dumps(payload)
+
+    def fake_run(cmd, **kw):
+        assert "--streaming-child" in cmd
+        return types.SimpleNamespace(stdout=fake_stdout, stderr="", returncode=0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    eps, eps_u, meta = bench._streaming_throughput_fresh_jvm(None)
+    assert (eps, eps_u) == (123.4, 56.7)
+    assert all(v["fresh_jvm"] is True for v in meta.values())
+
+
+def test_fresh_jvm_streaming_falls_back_in_suite(monkeypatch):
+    """If the child JVM can't run, the in-suite measurement is used and
+    the sidecar meta says so (fresh_jvm=False + reason) instead of
+    silently publishing a suite-position-dependent number as fresh."""
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        raise OSError("no fork for you")
+
+    def fake_in_suite(spark):
+        return 99.9, 11.1, {
+            "streaming_events_per_sec": {"n_runs": 5, "converged": True},
+            "streaming_events_per_sec_untuned": {"n_runs": 2, "converged": False},
+        }
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_streaming_throughput", fake_in_suite)
+    eps, eps_u, meta = bench._streaming_throughput_fresh_jvm(None)
+    assert (eps, eps_u) == (99.9, 11.1)
+    for v in meta.values():
+        assert v["fresh_jvm"] is False
+        assert "OSError" in v["fresh_jvm_fallback_reason"]
