@@ -319,3 +319,77 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _uniq_nodes(tree: str, node: str) -> int:
+    import re
+
+    return len(set(re.findall(node + r"[^(]*\((\d+)\)", tree)))
+
+
+def test_weighted_budget_select_plan_shape(spark, sf_dir):
+    """Plan pin for the r15 newcomer (VERDICT r15 #7): the soft-dedup-
+    weighted budget fill must keep the token_budget_select scale shape —
+    no cartesian/unbounded nested-loop, every cumulative window keyed on
+    the bounded bucket column (NOT a corpus-wide q-ordered cumsum), and
+    the shuffle budget pinned."""
+    import re
+
+    from m12_kafkastreams_python_azure_spark.operators import curation as CU
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        release_parallel_caches,
+    )
+
+    # earlier tests may have left the fill's persisted scored projection
+    # in the registry; a cached subtree renders as InMemoryTableScan and
+    # hides the nodes this pin asserts on
+    spark.catalog.clearCache()
+    release_parallel_caches()
+    s = explain_str(CU.q_weighted_budget_select(spark, sf_dir))
+    tree = s.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # exactly ONE nested-loop node: the bounded 1-row gram-total
+    # crossJoin inside soft_dedup_weights (broadcast, Cross BuildRight);
+    # it appears twice in the tree because the persisted scored subtree
+    # is consumed by both fill passes — count unique node ids
+    assert _uniq_nodes(tree, "BroadcastNestedLoopJoin") == 1, tree
+    # every window is keyed on the bucket column: the |buckets|-row
+    # running total orders by bucket, the per-doc keep pass partitions
+    # by bucket — a corpus-wide cumsum would spec on q/weight instead
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", s))
+    assert specs == {"bucket"}, specs
+    # shuffle budget: 8 unique exchanges at this plan (gram agg + doc
+    # agg inside soft_dedup_weights, token join, bucket agg, fill
+    # windows); a regression that re-scores per consumer or loses the
+    # persist shows up here first
+    assert 1 <= _uniq_nodes(tree, r"\bExchange") <= 8, tree
+
+
+def test_soft_dedup_screen_plan_shape(spark, sf_dir):
+    """Plan pin for the r15 newcomer (VERDICT r15 #7): the frozen-
+    reference soft-dedup screen must stay one gram explode + one
+    gram-keyed LEFT equi-join + one doc agg + one bounded 1-row meta
+    broadcast — nothing quadratic."""
+    from m12_kafkastreams_python_azure_spark.operators import dedup as D
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        release_parallel_caches,
+    )
+
+    spark.catalog.clearCache()
+    release_parallel_caches()
+    s = explain_str(D.q_soft_dedup_screen(spark, sf_dir))
+    tree = s.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # the single nested-loop node is the 1-row n_ref_docs meta broadcast
+    # (Cross BuildRight) — the gram join itself must be an equi-join
+    assert _uniq_nodes(tree, "BroadcastNestedLoopJoin") == 1, tree
+    assert (
+        "BroadcastHashJoin" in tree
+        or "SortMergeJoin" in tree
+        or "ShuffledHashJoin" in tree
+    ), tree
+    # shuffle budget: 5 unique exchanges (ref gram agg, doc gram agg,
+    # join distribution, final doc mean)
+    assert 1 <= _uniq_nodes(tree, r"\bExchange") <= 5, tree
