@@ -167,6 +167,8 @@ HEADLINE = [
     "weighted_budget_select",
     "soft_dedup_screen",
     "hybrid_rrf_multi",
+    "doremi_weights",
+    "doremi_resample",
     "bpe_train",
 ]
 
@@ -442,7 +444,7 @@ def main() -> None:
                             "(min 2 / max 4, each with its own fresh "
                             "state dir — independent measurements); "
                             "reported as keep_best_docs_per_sec",
-        "curation_streams": "decontaminate/dsir/temperature/ccnet/containment/soft_dedup "
+        "curation_streams": "decontaminate/dsir/temperature/ccnet/containment/soft_dedup/doremi "
                             "processors replayed over 4 micro-batch "
                             "shards of their stream side (fresh state "
                             "dirs; half-corpus 2-batch warm-up replay "
@@ -450,7 +452,7 @@ def main() -> None:
                             "build-once bloom/model/rate/cutoff "
                             "artifacts — is charged as an offline build "
                             "(the PQ/IVF discipline) and the "
-                            "converged-min timed replays (min 2 / max 3, "
+                            "converged-min timed replays (min 2 / max 6, "
                             "fresh state dirs) measure the per-shard "
                             "screen/score/filter/bucket; sidecar-only "
                             "metrics *_stream_docs_per_sec",
@@ -803,6 +805,7 @@ def _curation_stream_throughput(spark) -> dict:
         containment_batch_processor,
         decontaminate_batch_processor,
         dsir_batch_processor,
+        doremi_batch_processor,
         soft_dedup_batch_processor,
         temperature_batch_processor,
     )
@@ -892,6 +895,17 @@ def _curation_stream_throughput(spark) -> dict:
             "soft_dedup_stream_docs_per_sec",
             lambda d: soft_dedup_batch_processor(ref, d),
             ref,
+        )
+
+        # octet member (round 16): arriving docs resampled toward the
+        # frozen DoReMi mixture (the LM-scored weight fit is the
+        # build-once artifact; per batch it's one |domains|-row
+        # broadcast join + a narrow md5 filter)
+        sd = docs.select("doc_id", "text", "source")
+        _replay(
+            "doremi_stream_docs_per_sec",
+            lambda d: doremi_batch_processor(sd, d),
+            sd,
         )
         return out, meta_all
     finally:

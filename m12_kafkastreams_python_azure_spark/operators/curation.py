@@ -1173,6 +1173,253 @@ GROUP BY d.lang
 """
 
 
+# ---------------------------------- DoReMi-style domain reweighting
+
+DOREMI_ETA = 1.0          # multiplicative-weights step size
+DOREMI_SMOOTH = 0.2       # uniform smoothing mass (DoReMi's c)
+DOREMI_BUDGET_FRAC = 0.5  # resample budget as a fraction of corpus docs
+
+
+def doremi_weights(
+    docs: DataFrame,
+    eta: float = DOREMI_ETA,
+    smooth: float = DOREMI_SMOOTH,
+    group_col: str = "source",
+) -> DataFrame:
+    """One deterministic multiplicative-weights round of DoReMi-style
+    domain reweighting (Xie et al. 2023, "DoReMi: Optimizing Data
+    Mixtures Speeds Up Language Model Pretraining", arXiv:2305.10429):
+    domains the proxy LM fits WORSE than the corpus baseline get their
+    mixture weight multiplied up by exp(eta * excess), then the
+    distribution is renormalized and smoothed with uniform mass c —
+    exactly DoReMi's per-step update with the engine's own
+    ``bigram_lm_score`` standing in for the proxy/reference loss gap
+    (the ccnet_buckets precedent: the update rule is scorer-agnostic).
+
+    This is the SCORE-driven member of the mixture family:
+    ``temperature_sample`` and ``unimax_allocation`` reweight from
+    domain COUNTS alone; DoReMi reweights from a model-quality signal,
+    which is what lets it up-weight small-but-hard domains.
+
+    Cross-engine determinism discipline: the per-domain mean log2p is a
+    ratio of EXACT aggregates (per-doc scores summed in DECIMAL(20,6),
+    counts integer; one double divide at the end — the MONEY_AUDIT
+    ratio pattern), the corpus baseline folds in as a window over the
+    |domains|-row aggregate (the dsir discipline — no second corpus
+    scan), and exp() consumes the PUBLISHED 6-decimal-rounded excess
+    column, so both engines exponentiate identical doubles and the
+    transcendental result never sits on a rounding boundary.
+
+    Output one row per domain: (source, n_docs, mean_log2p, excess,
+    weight) — weights sum to 1. Docs the scorer yields no score for
+    (<2 tokens) carry no loss signal and are excluded from the fit,
+    mirroring ccnet_buckets' unscored exclusion.
+
+    Scale shape: the LM model tables are vocabulary-bounded broadcasts
+    (``bigram_lm_score``); the only corpus-keyed shuffles are the
+    scorer's doc_id aggregation and one |domains|-row groupBy. All the
+    mixture math runs on a |domains|-row table."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        bigram_lm_score,
+    )
+
+    scored = bigram_lm_score(docs)
+    per_src = (
+        docs.select("doc_id", group_col)
+        .join(scored, "doc_id")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("avg_log2p").cast("decimal(20,6)")).alias("s_dec"),
+        )
+    )
+    w = Window.partitionBy()
+    t = (
+        per_src.withColumn("tot_s", F.sum("s_dec").over(w))
+        .withColumn("tot_n", F.sum("n_docs").over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "mean_raw",
+            F.col("s_dec").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .withColumn(
+            "baseline",
+            F.col("tot_s").cast("double") / F.col("tot_n").cast("double"),
+        )
+        .withColumn(
+            "excess",
+            F.round(
+                F.greatest(F.lit(0.0), F.col("baseline") - F.col("mean_raw")), 6
+            ),
+        )
+        .withColumn(
+            "raw",
+            (F.col("n_docs").cast("double") / F.col("tot_n").cast("double"))
+            * F.exp(F.lit(float(eta)) * F.col("excess")),
+        )
+    )
+    return t.select(
+        group_col,
+        "n_docs",
+        F.round("mean_raw", 6).alias("mean_log2p"),
+        "excess",
+        F.round(
+            F.lit(1.0 - float(smooth)) * (F.col("raw") / F.sum("raw").over(w))
+            + F.lit(float(smooth)) / F.col("n_src").cast("double"),
+            6,
+        ).alias("weight"),
+    )
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doremi_weights(parallel_scan(load_table(spark, sf_dir, "documents")))
+
+
+def doremi_resample(
+    docs: DataFrame,
+    budget_frac: float = DOREMI_BUDGET_FRAC,
+    eta: float = DOREMI_ETA,
+    smooth: float = DOREMI_SMOOTH,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The selection CONSUMER of ``doremi_weights`` (the
+    weighted_budget_select discipline — a reweighting audit column must
+    drive an actual training-mix selection): resample the corpus toward
+    the DoReMi mixture. For a doc budget S = budget_frac * N, domain
+    i's docs are kept with probability q_i = min(1, S * w_i / n_i),
+    decided by each doc's md5-derived uniform — reproducible across
+    engines/runs, and appending new documents never flips an old doc's
+    keep decision (the temperature_sample md5 machinery, weights-driven
+    instead of counts-driven).
+
+    The keep probability derives from the weight column doremi_weights
+    PUBLISHES (rounded to 6 places) so the selection reproduces from
+    the audit artifact itself. n_docs here counts ALL of the domain's
+    docs (the population being sampled); the weight fit itself uses
+    scored docs only (see doremi_weights).
+
+    Output one row per domain — (source, n_docs, n_kept, keep_prob) —
+    so any single flipped keep decision shifts a count.
+
+    Scale shape: one |domains|-row rates table broadcast back; the keep
+    decision is one narrow filter. Nothing is proportional to corpus
+    size but the scorer's single scan."""
+    weights = doremi_weights(docs, eta=eta, smooth=smooth, group_col=group_col)
+    w = Window.partitionBy()
+    counts = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("n_total", F.sum("n_docs").over(w))
+    )
+    rates = (
+        counts.join(weights.select(group_col, "weight"), group_col)
+        .withColumn(
+            "keep_prob",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_frac))
+                * F.col("n_total").cast("double")
+                * F.col("weight")
+                / F.col("n_docs").cast("double"),
+            ),
+        )
+        .select(group_col, "n_docs", "keep_prob")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    kept = docs.join(F.broadcast(rates), group_col).withColumn(
+        "_keep", u < F.col("keep_prob")
+    )
+    return kept.groupBy(group_col).agg(
+        F.max("n_docs").alias("n_docs"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.round(F.max("keep_prob"), 6).alias("keep_prob"),
+    )
+
+
+def q_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doremi_resample(parallel_scan(load_table(spark, sf_dir, "documents")))
+
+
+def _oracle_doremi_weights() -> str:
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        ORACLE_BIGRAM_LM_SCORE,
+    )
+
+    return f"""
+WITH scored AS ({ORACLE_BIGRAM_LM_SCORE}),
+per_src AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         SUM(CAST(s.avg_log2p AS DECIMAL(20,6))) AS s_dec
+  FROM documents d JOIN scored s USING (doc_id)
+  GROUP BY d.source
+),
+t AS (
+  SELECT source, n_docs,
+         CAST(s_dec AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_raw,
+         CAST(SUM(s_dec) OVER () AS DOUBLE)
+           / CAST(SUM(n_docs) OVER () AS DOUBLE) AS baseline,
+         SUM(n_docs) OVER () AS tot_n,
+         COUNT(*) OVER () AS n_src
+  FROM per_src
+),
+x AS (
+  SELECT source, n_docs, mean_raw, tot_n, n_src,
+         ROUND(GREATEST(CAST(0 AS DOUBLE), baseline - mean_raw), 6) AS excess
+  FROM t
+),
+r AS (
+  SELECT *,
+         (CAST(n_docs AS DOUBLE) / CAST(tot_n AS DOUBLE))
+           * exp(CAST({DOREMI_ETA!r} AS DOUBLE) * excess) AS raw
+  FROM x
+)
+SELECT source, n_docs, ROUND(mean_raw, 6) AS mean_log2p, excess,
+       ROUND(CAST({1.0 - DOREMI_SMOOTH!r} AS DOUBLE)
+               * (raw / SUM(raw) OVER ())
+             + CAST({DOREMI_SMOOTH!r} AS DOUBLE)
+               / CAST(n_src AS DOUBLE), 6) AS weight
+FROM r
+"""
+
+
+ORACLE_DOREMI_WEIGHTS = _oracle_doremi_weights()
+
+
+def _oracle_doremi_resample() -> str:
+    return f"""
+WITH weights AS ({ORACLE_DOREMI_WEIGHTS}),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         SUM(count(*)) OVER () AS n_total
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT c.source, c.n_docs,
+         LEAST(CAST(1 AS DOUBLE),
+               CAST({DOREMI_BUDGET_FRAC!r} AS DOUBLE)
+                 * CAST(c.n_total AS DOUBLE) * w.weight
+                 / CAST(c.n_docs AS DOUBLE)) AS keep_prob
+  FROM counts c JOIN weights w USING (source)
+)
+SELECT d.source,
+       CAST(MAX(r.n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {_md5_u_sql("CAST(d.doc_id AS VARCHAR)")}
+                          < r.keep_prob THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       ROUND(MAX(r.keep_prob), 6) AS keep_prob
+FROM documents d JOIN rates r USING (source)
+GROUP BY d.source
+"""
+
+
+ORACLE_DOREMI_RESAMPLE = _oracle_doremi_resample()
+
+
 # ------------------------------------ UniMax budgeted language sampling
 
 UNIMAX_EPOCHS = 2.0        # per-language repeat cap (UniMax's N)

@@ -903,6 +903,116 @@ def start_temperature_stream(
     )
 
 
+# ------------------------------- streaming DoReMi mixture resampling
+
+
+def doremi_batch_processor(
+    fit_docs: DataFrame,
+    state_dir: str,
+    budget_frac: float | None = None,
+    eta: float | None = None,
+    smooth: float | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """foreachBatch function for ``start_doremi_stream`` — the streaming
+    twin of ``curation.doremi_resample``, the EIGHTH member of the
+    streaming curation set (keep-best, decontam, DSIR, temperature,
+    CCNet, containment, soft-dedup, DoReMi): per-domain keep RATES are
+    fit once from the DoReMi weights (the LM-scored mixture update —
+    the expensive scorer pass is the build-once artifact, the fit-once
+    discipline every member shares) and persisted to
+    ``{state_dir}/rates``; every arriving shard is filtered by each
+    doc's md5-derived uniform against its domain's rate — one broadcast
+    join + one narrow filter per batch.
+
+    stream == batch EXACTLY because the keep decision is a pure
+    function of (doc_id, the fixed rates): shards filtered one at a
+    time keep precisely the docs ``doremi_resample`` keeps over the
+    union (pinned in tests, per-batch and cumulative), the frozen-
+    reference streaming rule (a running cross-batch refit would
+    retroactively change earlier keep decisions). Kept doc_ids are
+    written per-batch (overwrite partitions — replay idempotent)."""
+    from m12_kafkastreams_python_azure_spark.operators.curation import (
+        DOREMI_BUDGET_FRAC,
+        DOREMI_ETA,
+        DOREMI_SMOOTH,
+        doremi_weights,
+    )
+    from pyspark.sql.window import Window
+
+    bf = DOREMI_BUDGET_FRAC if budget_frac is None else budget_frac
+    e = DOREMI_ETA if eta is None else eta
+    c = DOREMI_SMOOTH if smooth is None else smooth
+    spark = fit_docs.sparkSession
+    rdir = f"{state_dir}/rates"
+    kdir = f"{state_dir}/kept"
+    if not dir_has_data(spark, rdir):
+        w = Window.partitionBy()
+        weights = doremi_weights(fit_docs, eta=e, smooth=c, group_col=group_col)
+        rates = (
+            fit_docs.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("n_total", F.sum("n_docs").over(w))
+            .join(weights.select(group_col, "weight"), group_col)
+            .withColumn(
+                "keep_prob",
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(bf))
+                    * F.col("n_total").cast("double")
+                    * F.col("weight")
+                    / F.col("n_docs").cast("double"),
+                ),
+            )
+            .select(group_col, "keep_prob")
+        )
+        rates.coalesce(1).write.mode("overwrite").parquet(rdir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        rates = bspark.read.parquet(rdir)
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 52))
+        kept = (
+            batch.join(F.broadcast(rates), group_col)
+            .filter(u < F.col("keep_prob"))
+            .select(F.col(id_col).alias("doc_id"), group_col)
+        )
+        kept.write.mode("overwrite").parquet(f"{kdir}/batch={batch_id}")
+
+    return _process
+
+
+def read_doremi_kept(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.option("basePath", f"{state_dir}/kept").parquet(
+        f"{state_dir}/kept"
+    )
+
+
+def start_doremi_stream(
+    docs: DataFrame,
+    fit_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    budget_frac: float | None = None,
+) -> StreamingQuery:
+    """Streaming DoReMi resampling: fit-once rates (the LM-scored
+    mixture weights), filter every micro-batch; ``read_doremi_kept``
+    equals the batch operator's keep set over all shards seen."""
+    return (
+        docs.writeStream.foreachBatch(
+            doremi_batch_processor(fit_docs, state_dir, budget_frac)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 # --------------------------------- streaming containment vs the corpus
 
 

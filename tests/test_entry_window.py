@@ -23,6 +23,14 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
+# Round-16 newcomers (never rowed): DoReMi-style score-driven domain
+# reweighting and its selection consumer (the weighted_budget_select
+# close-the-loop discipline).
+NEVER_ROWED_R16_WAVE = [
+    "doremi_weights",
+    "doremi_resample",
+]
+
 # Plan-affecting code change in round 16 re-enters the window (the
 # window-hygiene rule): ccnet_buckets' unscored bucket now derives from
 # the <2-token narrow predicate instead of a left-anti join against the
@@ -70,7 +78,8 @@ R12_ROTATED_IN_R16 = [
 ]
 
 # The head of the r13 cohort (ledger order) fills the remaining slots;
-# r16 newcomers landed later this round displace this filler tail.
+# the two r16 newcomers displaced bpe_encode and source_overlap to the
+# r17 queue head.
 R13_HEAD_IN_R16 = [
     "hard_negative_mining",
     "anisotropy_audit",
@@ -82,8 +91,6 @@ R13_HEAD_IN_R16 = [
     "bm25_retrieval",
     "knn_label_vote",
     "bpe_merges",
-    "bpe_encode",
-    "source_overlap",
 ]
 
 # Round 16's window has NO rows-only entry: every in-window query is
@@ -94,8 +101,8 @@ ROWS_ONLY: set[str] = set()
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + CODE_CHANGED_R16 + R12_ROTATED_IN_R16
-        + R13_HEAD_IN_R16
+        REFERENCE_SURFACE + NEVER_ROWED_R16_WAVE + CODE_CHANGED_R16
+        + R12_ROTATED_IN_R16 + R13_HEAD_IN_R16
     )
     assert len(expected) == WINDOW
     assert window == expected
