@@ -169,6 +169,8 @@ HEADLINE = [
     "hybrid_rrf_multi",
     "doremi_weights",
     "doremi_resample",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "bpe_train",
 ]
 
@@ -179,7 +181,14 @@ HEADLINE = [
 # containment_near_dup / excerpt_screen also run eager work at
 # construction (the collapsed-reps persist + materialization barrier) —
 # timing count() alone would exclude the collapse shuffle.
-EAGER_QUERIES = {"bpe_train", "containment_near_dup", "excerpt_screen"}
+EAGER_QUERIES = {
+    "bpe_train",
+    "containment_near_dup",
+    "excerpt_screen",
+    # winnow_pairs runs the collapse persist + count barrier at
+    # construction (the containment discipline)
+    "winnow_pairs",
+}
 
 
 def run_headline(spark, queries, names, sf_dir=None):

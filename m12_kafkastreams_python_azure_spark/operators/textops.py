@@ -985,3 +985,299 @@ SELECT d.lang,
 FROM ({ORACLE_BPE_ENCODE}) e JOIN documents d USING (doc_id)
 GROUP BY d.lang
 """
+
+
+# ----------------------------------------------- winnowing fingerprints
+
+WINNOW_K = 4       # words per k-gram
+WINNOW_W = 5       # winnowing window (k-gram hashes per window)
+WINNOW_MAX_DF = 64   # fingerprint-hash ubiquity guard (containment's)
+WINNOW_THRESHOLD = 0.5
+_WIN_POS_CAP = 65535  # positions encode into 16 bits of the argmin key
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD —
+    the MOSS algorithm): hash every word k-gram, slide a window of ``w``
+    consecutive hashes over the sequence, and in each window select the
+    minimum hash (rightmost position on ties). The selected (hash,
+    position) set is the fingerprint. The guarantee that makes this THE
+    sparse fingerprinting scheme: any shared substring of at least
+    w+k-1 tokens contributes at least one IDENTICAL selected hash to
+    both documents, at an expected density of only 2/(w+1) of the
+    k-grams — the downstream candidate join shuffles ~1/3 of the rows a
+    full gram explode would (w=5), with a detection guarantee instead
+    of MinHash's probabilistic one.
+
+    Cross-engine determinism: the k-gram hash is the integer value of
+    the first 10 hex digits of md5(gram) (md5 is the one hash both
+    engines share byte-for-byte — the hash_sample_per_group law), and
+    the rightmost-tie argmin is ONE integer min over the encoded key
+    ``hash * 2^16 + (2^16-1 - pos)`` — no struct ordering, no window
+    UDF. Positions saturate at 65535 (a 65k-token doc keeps selecting
+    correctly by hash; only the reported tie-break position saturates —
+    documented, irrelevant at sane chunk sizes).
+
+    Output: one row per DISTINCT selected (doc_id, fp_pos, fp_hash) —
+    1-based k-gram position. Docs with fewer than w+k-1 tokens are
+    below the guarantee length and yield no rows.
+
+    Scale shape: one explode, one w-row bounded sliding window
+    partitioned BY DOC (state is w rows per task, never corpus-sized),
+    one distinct. Trivially partition-parallel in doc_id."""
+    from pyspark.sql.window import Window
+
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        word_ngrams,
+    )
+
+    g = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("text"), k)).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    enc = g.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("h") * F.lit(_WIN_POS_CAP + 1)
+            + (F.lit(_WIN_POS_CAP) - F.least(F.col("pos"), F.lit(_WIN_POS_CAP)))
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        enc.select(
+            "doc_id",
+            F.min("key").over(win).alias("sel"),
+            F.count(F.lit(1)).over(win).alias("cnt"),
+        )
+        .filter(F.col("cnt") == w)
+        .select(
+            "doc_id",
+            (F.lit(_WIN_POS_CAP) - F.col("sel") % F.lit(_WIN_POS_CAP + 1)).alias(
+                "fp_pos"
+            ),
+            F.expr(f"sel DIV {_WIN_POS_CAP + 1}").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        parallel_scan,
+    )
+
+    return winnow_fingerprints(
+        parallel_scan(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _md5_h40_sql(expr: str) -> str:
+    """DuckDB spelling of Spark's conv(substring(md5(x),1,10),16,10):
+    the integer value of the first 10 md5 hex digits, built from exact
+    BIGINT nibble arithmetic (strpos returns BIGINT; max value 2^40-1,
+    no double rounding anywhere)."""
+    nib = "(strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1)"
+    return (
+        "("
+        + " + ".join(
+            nib.format(e=expr, i=i + 1) + f" * {16 ** (9 - i)}" for i in range(10)
+        )
+        + ")"
+    )
+
+
+def _winnow_fp_sql(src: str, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """The winnowing selection as a DuckDB CTE body over ``src`` (a
+    relation with doc_id, text): mirrors winnow_fingerprints exactly —
+    same k-grams (word_ngrams_sql), same md5-prefix hash, same encoded
+    rightmost-tie argmin, same w-filled-window filter."""
+    from m12_kafkastreams_python_azure_spark.operators.corpus import (
+        word_ngrams_sql,
+    )
+
+    cap = _WIN_POS_CAP
+    return f"""
+  SELECT DISTINCT doc_id,
+         {cap} - (sel % {cap + 1}) AS fp_pos,
+         sel // {cap + 1} AS fp_hash
+  FROM (
+    SELECT doc_id,
+           MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+             AS sel,
+           COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+             AS cnt
+    FROM (
+      SELECT doc_id, u.p AS pos,
+             {_md5_h40_sql("u.g")} * {cap + 1}
+               + ({cap} - least(u.p, {cap})) AS key
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform({word_ngrams_sql('text', k)},
+                                     (x, i) -> {{'g': x, 'p': i}})) AS u
+        FROM {src}
+      )
+    )
+  ) WHERE cnt = {w}
+"""
+
+
+ORACLE_WINNOW_FINGERPRINTS = f"""
+SELECT doc_id, fp_pos, fp_hash FROM ({_winnow_fp_sql('documents')})
+"""
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    threshold: float = WINNOW_THRESHOLD,
+    max_df: int = WINNOW_MAX_DF,
+) -> DataFrame:
+    """MOSS-style match detection over winnowing fingerprints: document
+    pairs whose shared DISTINCT selected hashes cover >= ``threshold``
+    of the smaller side's fingerprint set — containment semantics
+    (Broder 1997) computed over the winnowed 2/(w+1)-density selection
+    instead of the full gram explode. Same detection target as
+    ``dedup.containment_pairs`` (excerpts, quotes, prefix crawls) at
+    roughly a THIRD of the candidate-join shuffle (w=5), with
+    winnowing's guarantee that any shared run of >= w+k-1 tokens still
+    collides. The trade is a coarser ratio (fingerprints, not grams):
+    this is the screening tier a 100 TB sweep runs FIRST; full-gram
+    containment verifies its survivors.
+
+    Inherits the whole containment discipline: exact duplicates
+    collapse to their min-id representative before fingerprinting (the
+    engine's duplicate law — this IS a bucketed candidate generator;
+    EAGER at construction, bench times it in EAGER_QUERIES), ubiquitous
+    fingerprint hashes (df > ``max_df``) are dropped from candidate
+    generation AND the size denominators via a broadcast anti-join, and
+    the pair expansion is bucket-local (``dedup.bucket_pairs``; the df
+    cap IS the bucket bound). Output: (id_a, id_b, shared_fps,
+    containment) over distinct contents.
+
+    Reference parity note: the reference app has no near-dup surface at
+    all (SURVEY.md §2) — this extends the training-data-pipeline tier."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        bucket_pairs,
+        collapse_reps_only,
+        expansion_partitions,
+        register_parallel_cache,
+    )
+
+    reps = register_parallel_cache(
+        collapse_reps_only(docs.select("doc_id", "text")).persist()
+    )
+    reps.count()
+    fps = winnow_fingerprints(reps, k, w).select("doc_id", "fp_hash").distinct()
+    hot = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp_hash")
+    )
+    rare = fps.join(hot, "fp_hash", "left_anti")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    shared = (
+        rare.repartition(expansion_partitions(docs), "fp_hash")
+        .groupBy("fp_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fps").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fps").alias("_nb"))
+    contain = F.col("shared_fps").cast("double") / F.least("_na", "_nb").cast(
+        "double"
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(contain >= threshold)
+        .select(
+            "id_a", "id_b", "shared_fps", F.round(contain, 6).alias("containment")
+        )
+    )
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-pairs over the planted-excerpt corpus (every 20th doc gains
+    a 60%-prefix clone — dedup.docs_with_planted_contained, the corpus
+    where subsumption pairs actually exist at every SF)."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        docs_with_planted_contained,
+    )
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        parallel_scan,
+    )
+
+    docs = parallel_scan(load_table(spark, sf_dir, "documents"))
+    return winnow_pairs(docs_with_planted_contained(docs))
+
+
+def _oracle_winnow_pairs() -> str:
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        _DUCK_CLONE_TOKS,
+        CONTAIN_CLONE_FRAC,
+        CONTAIN_CLONE_SHIFT,
+    )
+
+    return f"""
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_CLONE_SHIFT},
+         array_to_string(
+           list_slice({_DUCK_CLONE_TOKS}, 1,
+             CAST(ceil(len({_DUCK_CLONE_TOKS}) * {CONTAIN_CLONE_FRAC!r}) AS INT)),
+           ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+), reps AS (
+  SELECT min(doc_id) AS doc_id, text FROM docs_all GROUP BY text
+), fp AS (
+  SELECT DISTINCT doc_id, fp_hash FROM ({_winnow_fp_sql('reps')})
+), hot AS (
+  SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) > {WINNOW_MAX_DF}
+), rare AS (
+  SELECT * FROM fp WHERE fp_hash NOT IN (SELECT fp_hash FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_fps FROM rare GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM rare a JOIN rare b USING (fp_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_fps,
+       ROUND(CAST(shared_fps AS DOUBLE) / least(sa.n_fps, sb.n_fps), 6)
+         AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = shared.id_a
+JOIN sizes sb ON sb.doc_id = shared.id_b
+WHERE CAST(shared_fps AS DOUBLE) / least(sa.n_fps, sb.n_fps)
+      >= {WINNOW_THRESHOLD!r}
+"""
+
+
+ORACLE_WINNOW_PAIRS = _oracle_winnow_pairs()

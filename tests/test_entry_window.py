@@ -29,6 +29,8 @@ REFERENCE_SURFACE = [
 NEVER_ROWED_R16_WAVE = [
     "doremi_weights",
     "doremi_resample",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 # Plan-affecting code change in round 16 re-enters the window (the
@@ -78,8 +80,8 @@ R12_ROTATED_IN_R16 = [
 ]
 
 # The head of the r13 cohort (ledger order) fills the remaining slots;
-# the two r16 newcomers displaced bpe_encode and source_overlap to the
-# r17 queue head.
+# the four r16 newcomers displaced knn_label_vote, bpe_merges,
+# bpe_encode and source_overlap to the r17 queue head.
 R13_HEAD_IN_R16 = [
     "hard_negative_mining",
     "anisotropy_audit",
@@ -89,8 +91,6 @@ R13_HEAD_IN_R16 = [
     "decontaminate_bloom",
     "record_linkage",
     "bm25_retrieval",
-    "knn_label_vote",
-    "bpe_merges",
 ]
 
 # Round 16's window has NO rows-only entry: every in-window query is
