@@ -188,6 +188,10 @@ EAGER_QUERIES = {
     # winnow_pairs runs the collapse persist + count barrier at
     # construction (the containment discipline)
     "winnow_pairs",
+    # the composed screen->verify front door and its consumer run the
+    # collapse AND candidate persists (two count barriers) eagerly
+    "containment_screened",
+    "subsumption_prune",
 }
 
 

@@ -795,6 +795,445 @@ WHERE CAST(shared_grams AS DOUBLE) / least(sa.n_grams, sb.n_grams)
 """
 
 
+# ------------------ screened containment: winnow screen -> full-gram verify
+
+SCREEN_THRESHOLD = 0.5  # fingerprint-containment screen bound (vs verify 0.8)
+
+
+def _rare_grams(reps: DataFrame, n: int, max_df: int) -> DataFrame:
+    """The containment gram table over distinct contents with corpus-wide
+    UBIQUITOUS grams removed (df > ``max_df`` — the containment_pairs
+    guard and denominators are corpus-wide functions; candidate-local df
+    would inflate containment for docs whose grams are globally common).
+    The hot table is persisted (tiny, boilerplate-only) because the
+    screened path consumes this anti-join from three branches (short-doc
+    candidate generation a/b sides + the verify's candidate semi-join) —
+    without the pin the full-gram aggregate re-runs per branch. The
+    explode itself stays unpersisted: it is a narrow pass over the
+    caller's already-persisted reps (the containment_pairs trade)."""
+    from ..sources.readers import register_parallel_cache
+
+    g = reps.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
+    )
+    hot = register_parallel_cache(
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("gram")
+        .persist()
+    )
+    return g.join(hot, "gram", "left_anti"), hot
+
+
+def _containment_verify_on_reps(
+    reps: DataFrame,
+    rare: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """The full-gram containment VERIFY restricted to screened candidate
+    pairs: identical math to ``containment_pairs`` (same grams via
+    ``_rare_grams``, same corpus-wide ubiquity guard, same denominators
+    over non-ubiquitous grams, same thresholds and output columns) but
+    the quadratic stage — the gram-bucket pair expansion — is replaced
+    by two equi-joins against the (small, persisted) candidate pair
+    table. Per-doc sizes only need candidate docs' rows: a doc's
+    non-ubiquitous gram count doesn't depend on other docs once the hot
+    table is fixed."""
+    from ..sources.readers import register_parallel_cache
+
+    cand_docs = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # Persisted (registry): three consumers (per-doc sizes, the a-side
+    # and the b-side of the shared-gram join) would otherwise re-run the
+    # gram explode + hot anti-join + candidate semi-join thrice.
+    rare_c = register_parallel_cache(
+        rare.join(cand_docs, "doc_id", "left_semi").persist()
+    )
+    sizes = rare_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = rare_c.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = rare_c.select(F.col("doc_id").alias("id_b"), "gram")
+    # Pair-restricted shared-gram count: fan ga out by candidate pair
+    # (cand is screen-bounded and broadcastable), then ONE (id_b, gram)
+    # equi-join — grams are per-doc distinct (shingles array_distinct +
+    # reps per-content distinct), so the match count IS |A ∩ B|, exactly
+    # the bucket-local count containment_pairs produces.
+    shared = (
+        ga.join(F.broadcast(cand), "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("_nb"))
+    contain = F.col("shared_grams").cast("double") / F.least("_na", "_nb").cast(
+        "double"
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(contain >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams").cast("double") / F.col("_na").cast("double"), 6
+            ).alias("containment_a"),
+            F.round(
+                F.col("shared_grams").cast("double") / F.col("_nb").cast("double"), 6
+            ).alias("containment_b"),
+            F.round(contain, 6).alias("containment"),
+        )
+    )
+
+
+def _screened_pairs_on_reps(
+    reps: DataFrame,
+    n: int,
+    threshold: float,
+    max_df: int,
+    screen_threshold: float,
+    n_parts: int,
+) -> DataFrame:
+    """Screen + verify over a PRE-COLLAPSED reps table (shared by
+    ``containment_screened`` and ``subsumption_prune`` so each does ONE
+    collapse). Candidates come from TWO disjoint routes:
+
+    - LONG docs (>= w+k-1 tokens): the winnow fingerprint screen at
+      ``screen_threshold`` — the 2/(w+1)-density path that carries the
+      scale win;
+    - SHORT docs (< w+k-1 tokens, exactly the zero-fingerprint
+      population — a doc below the guarantee length has no filled
+      window and selects NOTHING, so it could never be screened in):
+      the exact gram route — every pair sharing >= 1 non-ubiquitous
+      gram with a short doc is a candidate. Bounded: short docs have
+      < w+k+1 grams each and every rare gram's fan-out is <= max_df
+      (the ubiquity guard), so this sidecar is linear in the short-doc
+      population. Derived from the narrow token-count predicate, not an
+      anti-join against the fingerprint table (the ccnet_buckets
+      unscored-bucket law, VERDICT r15 #1).
+
+    The candidate table is persisted with a count barrier — it has
+    three verify-side consumers and the whole screen subtree would
+    re-run per consumer otherwise (the containment_pairs reps-pin
+    discipline)."""
+    from m12_kafkastreams_python_azure_spark.operators.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_pair_scores,
+    )
+    from ..sources.readers import register_parallel_cache
+
+    cand_long = winnow_pair_scores(
+        reps, n_parts=n_parts, threshold=screen_threshold
+    ).select("id_a", "id_b")
+    rare, hot = _rare_grams(reps, n, max_df)
+    # explode ONLY the short docs for the a-side (the short population's
+    # gram sets are < w+k+1 each) — the original spelling semi-joined the
+    # FULL corpus gram table, paying two extra corpus-wide explode passes
+    short_reps = reps.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) < WINNOW_W + WINNOW_K - 1
+    )
+    gs = (
+        short_reps.select(
+            "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
+        )
+        .join(hot, "gram", "left_anti")
+        .select(F.col("doc_id").alias("id_s"), "gram")
+    )
+    cand_short = (
+        gs.join(rare.select(F.col("doc_id").alias("id_o"), "gram"), "gram")
+        .filter(F.col("id_s") != F.col("id_o"))
+        .select(
+            F.least("id_s", "id_o").alias("id_a"),
+            F.greatest("id_s", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = register_parallel_cache(
+        cand_long.unionByName(cand_short).distinct().persist()
+    )
+    cand.count()
+    return _containment_verify_on_reps(reps, rare, cand, threshold)
+
+
+def containment_screened(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_df: int = CONTAIN_MAX_DF,
+    screen_threshold: float = SCREEN_THRESHOLD,
+) -> DataFrame:
+    """The composed containment spelling (ROADMAP r17 #2): winnowing
+    fingerprints SCREEN candidate pairs at 2/(w+1) of the gram density
+    (``textops.winnow_pair_scores``, screen bound ``screen_threshold``),
+    then full-gram containment VERIFIES only the survivors — same
+    output schema, thresholds, ubiquity guard and denominators as
+    ``containment_pairs``, with the quadratic gram-bucket pair expansion
+    replaced by candidate-restricted equi-joins.
+
+    MEASURED TRADE (scripts/scale_probe_screened.py, SCALE.md r16 — an
+    honest negative on wall clock): ``containment_pairs``' df-capped
+    bucket-local expansion is ALREADY linear in the corpus, so on
+    local[32] the screen's extra passes cost more than they save at
+    every measured rung — containment_pairs stays the default
+    containment front door. What the screen does buy, measured per-op
+    from the Spark stage metrics: the candidate stage's RAW SHUFFLE
+    drops from the full gram-string table (repartition + collect_list,
+    ~tens of bytes per gram row) to 8-byte fingerprint hashes at 1/3
+    density — the bytes-over-network bottleneck a 1000-executor sweep
+    actually hits, invisible to single-JVM wall clock where shuffles
+    are memory copies. Use this spelling when the network is the
+    constraint or documents are long (gram bytes >> fingerprint
+    bytes); use containment_pairs when CPU is.
+
+    Recall contract (deliberate, measured — NOT silent): output ⊆
+    ``containment_pairs`` output with IDENTICAL values on every emitted
+    pair (the verify math is the same). SHORT docs (< w+k-1 tokens)
+    select no fingerprints at all, so they bypass the screen and take
+    the exact gram route (see ``_screened_pairs_on_reps``) — full recall
+    for the population excerpt screening most cares about. A true >=
+    ``threshold`` pair of two LONG docs is missed only if its
+    FINGERPRINT containment lands under ``screen_threshold`` despite
+    gram containment >= 0.8 — the screen is a deterministic
+    ~1/3-density sample of the gram space, so the 0.5 default sits >4σ
+    below the 0.8 verify bound at realistic fingerprint counts, and
+    winnowing's guarantee (any shared run of >= w+k-1 tokens collides
+    in >= 1 fingerprint) makes zero-candidate misses impossible for
+    contiguous excerpts longer than one window.
+    ``tests/test_screened.py`` pins subset-parity + planted recall;
+    ``scripts/scale_probe_screened.py`` measures the end-to-end win and
+    the recall at 1x/10x/100x.
+
+    Inherits the duplicate law and eager construction: exact duplicates
+    collapse ONCE (shared by both tiers), persisted with a count barrier
+    — bench times this in EAGER_QUERIES.
+
+    Reference parity note: the reference app has no near-dup surface at
+    all (SURVEY.md §2) — this extends the training-data-pipeline tier."""
+    from ..sources.readers import register_parallel_cache
+
+    reps = register_parallel_cache(
+        collapse_reps_only(docs.select("doc_id", "text")).persist()
+    )
+    reps.count()
+    return _screened_pairs_on_reps(
+        reps, n, threshold, max_df, screen_threshold, expansion_partitions(docs)
+    )
+
+
+def q_containment_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screened containment over the planted prefix-excerpt corpus (the
+    q_containment_near_dup fixture): real subsumption positives at every
+    SF, fully oracle-checked against the composed SQL spelling."""
+    from ..sources.readers import parallel_scan
+
+    docs = parallel_scan(load_table(spark, sf_dir, "documents"))
+    return containment_screened(docs_with_planted_contained(docs))
+
+
+def subsumption_prune(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_df: int = CONTAIN_MAX_DF,
+    method: str = "exact",
+    screen_threshold: float = SCREEN_THRESHOLD,
+) -> DataFrame:
+    """The selection CONSUMER that closes the containment loop (the
+    weighted_budget_select / doremi_resample discipline: every pair
+    detector gets a keep-list consumer): from the containment pairs,
+    DROP the mostly-contained side of every pair and keep the maximal
+    documents. Drop rule per pair, deterministic: the side with the
+    LARGER per-side containment ratio is the smaller gram set (its
+    grams are mostly inside the other doc) — drop it; on an exact ratio
+    tie (equal sizes), drop the larger doc_id. Greedy over ALL pairs —
+    in a containment chain A ⊂ B ⊂ C both A and B appear as a
+    mostly-contained side of some pair, so exactly the maximal elements
+    survive (pinned on a 3-chain in tests/test_screened.py).
+
+    ``method``: "exact" (default — ``containment_pairs``' df-capped
+    bucket expansion, full recall, and the faster wall clock at every
+    measured rung, scripts/scale_probe_screened.py) or "screened" (the
+    winnow-screen composition — the lower-shuffle-bytes path, see
+    ``containment_screened``'s measured trade).
+
+    Scope: distinct contents (the containment_pairs doctrine) — exact
+    duplicates collapse to their representative first; pairs AMONG exact
+    duplicates are exact-dedup's domain (``dedup_exact``). Output: the
+    kept doc_ids (one column, ascending ids hash-stable)."""
+    pairs = (
+        containment_pairs(docs, n, threshold, max_df)
+        if method == "exact"
+        else containment_screened(docs, n, threshold, max_df, screen_threshold)
+    )
+    reps = collapse_reps_only(docs.select("doc_id", "text"))
+    drop = pairs.select(
+        F.when(F.col("containment_a") > F.col("containment_b"), F.col("id_a"))
+        .when(F.col("containment_b") > F.col("containment_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("doc_id")
+    ).distinct()
+    return reps.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
+def q_subsumption_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import parallel_scan
+
+    docs = parallel_scan(load_table(spark, sf_dir, "documents"))
+    return subsumption_prune(docs_with_planted_contained(docs))
+
+
+def _oracle_screened(final_select: str) -> str:
+    """Composed oracle body shared by containment_screened and
+    subsumption_prune: the planted corpus, the collapse, the winnow
+    screen CTE (textops._winnow_fp_sql — same md5-prefix hashes, same
+    rightmost-tie argmin), the short-doc exact-gram candidate route
+    (docs under the w+k-1 guarantee length select no fingerprints), and
+    the full-gram verify INNER-JOINED to the union of both candidate
+    routes. The naive DuckDB spelling computes full containment and
+    intersects with the candidates — value-identical to the restricted
+    Spark plan because the verify math is pair-local once ``hot`` is
+    corpus-wide."""
+    from m12_kafkastreams_python_azure_spark.operators.textops import (
+        WINNOW_K,
+        WINNOW_MAX_DF,
+        WINNOW_W,
+        _winnow_fp_sql,
+    )
+
+    return f"""
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_CLONE_SHIFT},
+         array_to_string(
+           list_slice({_DUCK_CLONE_TOKS}, 1,
+             CAST(ceil(len({_DUCK_CLONE_TOKS}) * {CONTAIN_CLONE_FRAC!r}) AS INT)),
+           ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+), reps AS (
+  SELECT min(doc_id) AS doc_id, text FROM docs_all GROUP BY text
+), fp AS (
+  SELECT DISTINCT doc_id, fp_hash FROM ({_winnow_fp_sql('reps')})
+), fhot AS (
+  SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) > {WINNOW_MAX_DF}
+), frare AS (
+  SELECT * FROM fp WHERE fp_hash NOT IN (SELECT fp_hash FROM fhot)
+), fsizes AS (
+  SELECT doc_id, count(*) AS n_fps FROM frare GROUP BY doc_id
+), fshared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sfp
+  FROM frare a JOIN frare b USING (fp_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t='text')} AS s FROM reps
+), g AS (
+  SELECT doc_id, unnest(s) AS gram FROM sh
+), hot AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) > {CONTAIN_MAX_DF}
+), rare AS (
+  SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)
+), shortd AS (
+  SELECT doc_id FROM reps
+  WHERE len(string_split_regex(trim(text), '\\s+')) < {WINNOW_W + WINNOW_K - 1}
+), cand AS (
+  SELECT id_a, id_b FROM fshared
+  JOIN fsizes fa ON fa.doc_id = fshared.id_a
+  JOIN fsizes fb ON fb.doc_id = fshared.id_b
+  WHERE CAST(sfp AS DOUBLE) / least(fa.n_fps, fb.n_fps)
+        >= {SCREEN_THRESHOLD!r}
+  UNION
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM rare a JOIN rare b USING (gram)
+  WHERE a.doc_id IN (SELECT doc_id FROM shortd) AND a.doc_id <> b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM rare GROUP BY doc_id
+), shared AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared_grams
+  FROM cand
+  JOIN rare a ON a.doc_id = cand.id_a
+  JOIN rare b ON b.doc_id = cand.id_b AND b.gram = a.gram
+  GROUP BY 1, 2
+), verified AS (
+  SELECT id_a, id_b, shared_grams,
+         ROUND(CAST(shared_grams AS DOUBLE) / sa.n_grams, 6) AS containment_a,
+         ROUND(CAST(shared_grams AS DOUBLE) / sb.n_grams, 6) AS containment_b,
+         ROUND(CAST(shared_grams AS DOUBLE) / least(sa.n_grams, sb.n_grams), 6)
+           AS containment
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = shared.id_a
+  JOIN sizes sb ON sb.doc_id = shared.id_b
+  WHERE CAST(shared_grams AS DOUBLE) / least(sa.n_grams, sb.n_grams)
+        >= {CONTAIN_THRESHOLD!r}
+)
+{final_select}
+"""
+
+
+ORACLE_CONTAINMENT_SCREENED = _oracle_screened(
+    "SELECT id_a, id_b, shared_grams, containment_a, containment_b,"
+    " containment FROM verified"
+)
+
+# subsumption_prune defaults to method="exact", so its oracle is the
+# EXACT containment body (the ORACLE_CONTAINMENT_NEAR_DUP math) plus the
+# drop-the-contained-side consumer — no screen CTEs.
+ORACLE_SUBSUMPTION_PRUNE = f"""
+WITH docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_CLONE_SHIFT},
+         array_to_string(
+           list_slice({_DUCK_CLONE_TOKS}, 1,
+             CAST(ceil(len({_DUCK_CLONE_TOKS}) * {CONTAIN_CLONE_FRAC!r}) AS INT)),
+           ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+), reps AS (
+  SELECT min(doc_id) AS doc_id, text FROM docs_all GROUP BY text
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t='text')} AS s FROM reps
+), g AS (
+  SELECT doc_id, unnest(s) AS gram FROM sh
+), hot AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) > {CONTAIN_MAX_DF}
+), rare AS (
+  SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM rare GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM rare a JOIN rare b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), verified AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(shared_grams AS DOUBLE) / sa.n_grams, 6) AS containment_a,
+         ROUND(CAST(shared_grams AS DOUBLE) / sb.n_grams, 6) AS containment_b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = shared.id_a
+  JOIN sizes sb ON sb.doc_id = shared.id_b
+  WHERE CAST(shared_grams AS DOUBLE) / least(sa.n_grams, sb.n_grams)
+        >= {CONTAIN_THRESHOLD!r}
+)
+SELECT doc_id FROM reps
+WHERE doc_id NOT IN (
+  SELECT CASE WHEN containment_a > containment_b THEN id_a
+              WHEN containment_b > containment_a THEN id_b
+              ELSE greatest(id_a, id_b) END
+  FROM verified
+)
+"""
+
+
 # ------------------------------- containment vs a FIXED reference corpus
 
 

@@ -1025,55 +1025,64 @@ def winnow_fingerprints(
     1-based k-gram position. Docs with fewer than w+k-1 tokens are
     below the guarantee length and yield no rows.
 
-    Scale shape: one explode, one w-row bounded sliding window
-    partitioned BY DOC (state is w rows per task, never corpus-sized),
-    one distinct. Trivially partition-parallel in doc_id."""
-    from pyspark.sql.window import Window
-
+    Scale shape: SHUFFLE-FREE — the whole selection is per-row array
+    math (grams → hashes → encoded keys → sliding array_min), so
+    fingerprinting is a narrow map over the corpus; the only exchange a
+    consumer ever pays is its own downstream shuffle. The original
+    spelling (r16 first wave) exploded positions and ran a
+    doc-partitioned sliding window, which shuffled the FULL position
+    table by doc_id — one corpus-sized exchange that cancelled the
+    screen's savings in containment_screened (measured: screened 11.4 s
+    vs exact 8.1 s at sf0.1 before this rewrite). Each pipeline stage
+    materializes into a REAL column so the higher-order lambdas
+    reference an attribute, not a captured expression tree (Catalyst
+    re-evaluates captured trees once per element — the engine-wide
+    lambda-capture law, docs/SCALE.md round 5); the per-window
+    ``slice`` + ``array_min`` is O(w) per element, O(m·w) per doc."""
     from m12_kafkastreams_python_azure_spark.operators.corpus import (
         word_ngrams,
     )
 
-    g = docs.select(
+    cap = _WIN_POS_CAP
+    g = docs.select("doc_id", word_ngrams(F.col("text"), k).alias("grams"))
+    h = g.select(
         "doc_id",
-        F.posexplode(word_ngrams(F.col("text"), k)).alias("pos0", "gram"),
+        F.transform(
+            F.col("grams"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 10), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    enc = h.select(
+        "doc_id",
+        F.transform(
+            F.col("hs"),
+            lambda x, i: x * F.lit(cap + 1)
+            + (F.lit(cap) - F.least(i + F.lit(1), F.lit(cap))),
+        ).alias("keys"),
+    )
+    m = F.size(F.col("keys"))
+    sel = enc.select(
+        "doc_id",
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - w + 1),
+                lambda s: F.array_min(F.slice(F.col("keys"), s, w)),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("sels"),
+    )
+    # array_distinct per doc replaces the old global DISTINCT: the
+    # encoded key is (hash, pos), unique within a doc after dedup, so no
+    # cross-row duplicates exist and no shuffle is needed
+    return sel.select(
+        "doc_id", F.explode(F.array_distinct(F.col("sels"))).alias("sel")
     ).select(
         "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10)
-        .cast("long")
-        .alias("h"),
+        (F.lit(cap) - F.col("sel") % F.lit(cap + 1)).alias("fp_pos"),
+        F.expr(f"sel DIV {cap + 1}").alias("fp_hash"),
     )
-    enc = g.select(
-        "doc_id",
-        "pos",
-        (
-            F.col("h") * F.lit(_WIN_POS_CAP + 1)
-            + (F.lit(_WIN_POS_CAP) - F.least(F.col("pos"), F.lit(_WIN_POS_CAP)))
-        ).alias("key"),
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    sel = (
-        enc.select(
-            "doc_id",
-            F.min("key").over(win).alias("sel"),
-            F.count(F.lit(1)).over(win).alias("cnt"),
-        )
-        .filter(F.col("cnt") == w)
-        .select(
-            "doc_id",
-            (F.lit(_WIN_POS_CAP) - F.col("sel") % F.lit(_WIN_POS_CAP + 1)).alias(
-                "fp_pos"
-            ),
-            F.expr(f"sel DIV {_WIN_POS_CAP + 1}").alias("fp_hash"),
-        )
-        .distinct()
-    )
-    return sel
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1175,7 +1184,6 @@ def winnow_pairs(
     Reference parity note: the reference app has no near-dup surface at
     all (SURVEY.md §2) — this extends the training-data-pipeline tier."""
     from m12_kafkastreams_python_azure_spark.operators.dedup import (
-        bucket_pairs,
         collapse_reps_only,
         expansion_partitions,
         register_parallel_cache,
@@ -1185,7 +1193,53 @@ def winnow_pairs(
         collapse_reps_only(docs.select("doc_id", "text")).persist()
     )
     reps.count()
-    fps = winnow_fingerprints(reps, k, w).select("doc_id", "fp_hash").distinct()
+    return winnow_pair_scores(
+        reps, k, w, max_df, expansion_partitions(docs), threshold=threshold
+    )
+
+
+def winnow_pair_scores(
+    reps: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    n_parts: int | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """The winnowed pair-scoring core over PRE-COLLAPSED distinct
+    contents (``reps``: doc_id, text — exact duplicates already collapsed
+    to their min-id representative by the caller). Split out of
+    ``winnow_pairs`` so compositions that already hold a persisted reps
+    table — ``dedup.containment_screened``'s screen tier, which shares
+    ONE collapse between the screen and the full-gram verify — don't pay
+    the collapse shuffle twice. ``threshold`` filters on the RAW
+    fingerprint-containment ratio BEFORE the 6-dp display rounding (the
+    oracle compares the raw ratio; filtering on the rounded column would
+    flip half-boundary pairs — the rational-at-the-half class,
+    docs/MONEY_AUDIT.md r15 addendum)."""
+    from m12_kafkastreams_python_azure_spark.operators.dedup import (
+        bucket_pairs,
+        expansion_partitions,
+    )
+
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
+
+    if n_parts is None:
+        n_parts = expansion_partitions(reps)
+    # Persisted (registry): the fingerprint table feeds BOTH the hot-df
+    # aggregate and the rare anti-join, and Spark shares no subtrees
+    # across join branches — without the pin the md5 hashing pass (the
+    # screen's dominant CPU cost) runs twice. 1/3-density projection of
+    # two longs + id; no count barrier needed — the consumers sit in one
+    # action and the hot shuffle stage fills the cache first.
+    fps = register_parallel_cache(
+        winnow_fingerprints(reps, k, w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .persist()
+    )
     hot = (
         fps.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1195,7 +1249,7 @@ def winnow_pairs(
     rare = fps.join(hot, "fp_hash", "left_anti")
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
     shared = (
-        rare.repartition(expansion_partitions(docs), "fp_hash")
+        rare.repartition(n_parts, "fp_hash")
         .groupBy("fp_hash")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
@@ -1210,13 +1264,11 @@ def winnow_pairs(
     contain = F.col("shared_fps").cast("double") / F.least("_na", "_nb").cast(
         "double"
     )
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(contain >= threshold)
-        .select(
-            "id_a", "id_b", "shared_fps", F.round(contain, 6).alias("containment")
-        )
+    out = shared.join(sa, "id_a").join(sb, "id_b")
+    if threshold is not None:
+        out = out.filter(contain >= threshold)
+    return out.select(
+        "id_a", "id_b", "shared_fps", F.round(contain, 6).alias("containment")
     )
 
 

@@ -25,12 +25,16 @@ REFERENCE_SURFACE = [
 
 # Round-16 newcomers (never rowed): DoReMi-style score-driven domain
 # reweighting and its selection consumer (the weighted_budget_select
-# close-the-loop discipline).
+# close-the-loop discipline), the winnowing pair, and the composed
+# screened-containment front door plus its subsumption-prune consumer
+# (ROADMAP r17 #2 pulled forward into r16).
 NEVER_ROWED_R16_WAVE = [
     "doremi_weights",
     "doremi_resample",
     "winnow_fingerprints",
     "winnow_pairs",
+    "containment_screened",
+    "subsumption_prune",
 ]
 
 # Plan-affecting code change in round 16 re-enters the window (the
@@ -80,8 +84,9 @@ R12_ROTATED_IN_R16 = [
 ]
 
 # The head of the r13 cohort (ledger order) fills the remaining slots;
-# the four r16 newcomers displaced knn_label_vote, bpe_merges,
-# bpe_encode and source_overlap to the r17 queue head.
+# the six r16 newcomers displaced knn_label_vote, bpe_merges,
+# bpe_encode, source_overlap, record_linkage and bm25_retrieval to the
+# r17 queue head.
 R13_HEAD_IN_R16 = [
     "hard_negative_mining",
     "anisotropy_audit",
@@ -89,8 +94,6 @@ R13_HEAD_IN_R16 = [
     "cdc_chunk_dedup",
     "quality_calibration",
     "decontaminate_bloom",
-    "record_linkage",
-    "bm25_retrieval",
 ]
 
 # Round 16's window has NO rows-only entry: every in-window query is
