@@ -13,7 +13,7 @@ artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
 Round-16 rotation (VERDICT r15 #2): the 5 reference-surface queries
-stay first (every round). Then the SIX round-16 newcomers
+stay first (every round). Then the SEVEN round-16 newcomers
 (doremi_weights, doremi_resample — DoReMi-style score-driven domain
 reweighting plus its selection consumer; winnow_fingerprints,
 winnow_pairs — Schleimer et al. 2003 winnowing selection plus the
@@ -21,26 +21,27 @@ MOSS-style containment screen; containment_screened,
 subsumption_prune — the composed winnow-screen -> full-gram-verify
 containment front door (ROADMAP r17 #2 pulled forward, with the
 short-doc exact-gram sidecar for the zero-fingerprint population) plus
-its keep-the-maximal-docs consumer; all swept green at
+its keep-the-maximal-docs consumer; shuffle_shard — deterministic
+training-order shuffle + output sharding; all swept green at
 sf0.001/sf0.01/sf0.1/sf1 before commit). Then the ONE query whose
 plan-affecting code changed this round (hygiene rule): ccnet_buckets —
 its unscored bucket now derives from the <2-token narrow predicate
 instead of a left-anti join against the unpersisted scorer output
 (VERDICT r15 #1). Then ALL THIRTY-TWO remaining r12-row queries — the
 stalest ledger cohort, named query-by-query in the r15 rotation queue,
-fully retired this rotation. The last SIX slots take the head of the
+fully retired this rotation. The last FIVE slots take the head of the
 r13 cohort in ledger order (hard_negative_mining, anisotropy_audit,
-temperature_sample, cdc_chunk_dedup, quality_calibration,
-decontaminate_bloom — the newcomers displaced knn_label_vote,
-bpe_merges, bpe_encode, source_overlap, record_linkage and
-bm25_retrieval to the r17 queue head). 5+6+1+32+6 = 50.
+temperature_sample, cdc_chunk_dedup, quality_calibration — the
+newcomers displaced knn_label_vote, bpe_merges, bpe_encode,
+source_overlap, record_linkage, bm25_retrieval and decontaminate_bloom
+to the r17 queue head). 5+7+1+32+5 = 50.
 Displaced to 51+ this round: everything with a hash-green r14/r15 row
 and code untouched this round (including the whole r15 window apart
 from the reference surface and ccnet_buckets).
-ROTATION QUEUE for round 17 (stalest first): the THIRTY-FIVE remaining
+ROTATION QUEUE for round 17 (stalest first): the THIRTY-SIX remaining
 r13-row queries (knn_label_vote, bpe_merges, bpe_encode,
-source_overlap, record_linkage, bm25_retrieval — the displaced filler
-tail — then cms_merge_bound,
+source_overlap, record_linkage, bm25_retrieval, decontaminate_bloom —
+the displaced filler tail — then cms_merge_bound,
 dataset_mix, segment_dedup,
 chunk_documents, domain_cap, trailing_hour_counts, full_outer_activity,
 unpivot_metrics, event_pairs_10min, latest_event_per_user, lang_id,
@@ -134,6 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # that drops the mostly-contained side of every pair
         "containment_screened": D.q_containment_screened,
         "subsumption_prune": D.q_subsumption_prune,
+        # round-16 third-wave newcomer (never rowed): deterministic
+        # training-order shuffle + output sharding (md5 sort key, first
+        # byte -> shard, per-shard row_number — one hash shuffle + shard
+        # sort, the minimal physical cost of a global permutation)
+        "shuffle_shard": CU.q_shuffle_shard,
         # plan-affecting code change THIS round re-enters the window
         # (hygiene rule): ccnet_buckets' unscored bucket now derives
         # from the <2-token narrow predicate instead of a left-anti
@@ -182,11 +188,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": CU.q_temperature_sample,
         "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
         "quality_calibration": C.q_quality_calibration,
-        "decontaminate_bloom": C.q_decontaminate_bloom,
         # ---- entries 51+: outside the driver window this round ----
-        # record_linkage / bm25_retrieval / knn_label_vote / bpe_merges /
-        # bpe_encode / source_overlap: displaced from the filler tail by
-        # the six r16 newcomers — they head the r17 rotation queue
+        # decontaminate_bloom / record_linkage / bm25_retrieval /
+        # knn_label_vote / bpe_merges / bpe_encode / source_overlap:
+        # displaced from the filler tail by the seven r16 newcomers —
+        # they head the r17 rotation queue
+        "decontaminate_bloom": C.q_decontaminate_bloom,
         "record_linkage": LK.q_record_linkage,
         "bm25_retrieval": R.q_bm25_retrieval,
         "knn_label_vote": S.q_knn_label_vote,
@@ -497,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": T.ORACLE_WINNOW_PAIRS,
         "containment_screened": D.ORACLE_CONTAINMENT_SCREENED,
         "subsumption_prune": D.ORACLE_SUBSUMPTION_PRUNE,
+        "shuffle_shard": CU.ORACLE_SHUFFLE_SHARD,
         "soft_dedup_screen": D.ORACLE_SOFT_DEDUP_SCREEN,
         "hybrid_rrf_multi": R.ORACLE_HYBRID_RRF_MULTI,
         "zipf_vocab_audit": AU.ORACLE_ZIPF_VOCAB_AUDIT,

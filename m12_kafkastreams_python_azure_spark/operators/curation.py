@@ -1753,3 +1753,66 @@ GROUP BY c.doc_id
 
 
 ORACLE_CDC_CHUNK_DEDUP = _oracle_cdc()
+
+
+# ------------------------------ training-order shuffle + output sharding
+
+SHUFFLE_SHARDS = 64
+
+
+def shuffle_shard(
+    docs: DataFrame, shards: int = SHUFFLE_SHARDS, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-order shuffle with output sharding — the
+    LAST step of a curation pipeline before tokenization: every
+    selected document gets a content-independent pseudorandom sort key
+    ``md5(id)`` (the engine's cross-engine-deterministic hash — the
+    hash_sample_per_group law), a shard from the key's first byte
+    (balanced in expectation, reproducible across engines and runs),
+    and a within-shard position by key order. Training readers consume
+    shards round-robin for a shuffled stream; re-running the pipeline
+    reproduces the exact order (no RNG state anywhere).
+
+    Scale shape: one narrow map + ONE hash shuffle by shard + a
+    per-shard sort (the row_number window is keyed on shard, state
+    bounded by shard size) — which is the minimal physical cost of ANY
+    global permutation; there is no corpus-wide window. At 100 TB set
+    ``shards`` from the target shard file size (total_bytes /
+    ~1 GB), not the default.
+
+    Reference parity note: the reference app (src/main.py) has no
+    ordering surface — this extends the training-data-pipeline tier."""
+    key = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % F.lit(shards)
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (
+        docs.select(id_col, key.alias("key"), shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_shard(load_table(spark, sf_dir, "documents"))
+
+
+#: hex-nibble -> int over md5(doc_id) (the dataset_split oracle trick)
+_SS_NIBBLE = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+)
+
+ORACLE_SHUFFLE_SHARD = f"""
+WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+         ({_SS_NIBBLE.format(i=1)} * 16 + {_SS_NIBBLE.format(i=2)})
+           % {SHUFFLE_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS INTEGER) AS pos
+FROM k
+"""

@@ -35,6 +35,7 @@ NEVER_ROWED_R16_WAVE = [
     "winnow_pairs",
     "containment_screened",
     "subsumption_prune",
+    "shuffle_shard",
 ]
 
 # Plan-affecting code change in round 16 re-enters the window (the
@@ -84,16 +85,15 @@ R12_ROTATED_IN_R16 = [
 ]
 
 # The head of the r13 cohort (ledger order) fills the remaining slots;
-# the six r16 newcomers displaced knn_label_vote, bpe_merges,
-# bpe_encode, source_overlap, record_linkage and bm25_retrieval to the
-# r17 queue head.
+# the seven r16 newcomers displaced knn_label_vote, bpe_merges,
+# bpe_encode, source_overlap, record_linkage, bm25_retrieval and
+# decontaminate_bloom to the r17 queue head.
 R13_HEAD_IN_R16 = [
     "hard_negative_mining",
     "anisotropy_audit",
     "temperature_sample",
     "cdc_chunk_dedup",
     "quality_calibration",
-    "decontaminate_bloom",
 ]
 
 # Round 16's window has NO rows-only entry: every in-window query is
