@@ -171,6 +171,11 @@ HEADLINE = [
     "doremi_resample",
     "winnow_fingerprints",
     "winnow_pairs",
+    # round 16 second/third wave: the screened-containment composition,
+    # its keep-list consumer, and the training-order shuffle+shard
+    "containment_screened",
+    "subsumption_prune",
+    "shuffle_shard",
     "bpe_train",
 ]
 

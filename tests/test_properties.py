@@ -494,3 +494,58 @@ def test_temperature_rates_match_pure_python(spark, lang_sizes, alpha):
         q = min(1.0, TEMP_BUDGET_FRAC * n_total * (n**alpha / den) / n)
         assert got[lang][0] == n
         assert abs(got[lang][1] - round(q, 6)) < 2e-6, (lang, q, got[lang])
+
+
+# --------------------------------------------------------- winnowing contract
+
+
+def _winnow_reference(tokens: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python Schleimer et al. selection: md5-prefix hash per
+    k-gram, rightmost-min per window of w hashes — the contract
+    winnow_fingerprints must match on ARBITRARY token sequences (the
+    oracle sweep only checks the fixture corpus)."""
+    import hashlib
+
+    grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+    ]
+    out: set[tuple[int, int]] = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s : s + w]
+        m = min(win)
+        # rightmost occurrence of the min within the window
+        pos = s + max(i for i, h in enumerate(win) if h == m)
+        out.add((pos + 1, m))  # 1-based gram position
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "key", "row", "scan", "x1"]),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnow_fingerprints_match_pure_python_reference(spark, docs_tokens):
+    from m12_kafkastreams_python_azure_spark.operators import textops as T
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set[tuple[int, int]]] = {}
+    for r in T.winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for i, toks in enumerate(docs_tokens):
+        # the engine tokenizes on \s+ after trim; empty docs yield none
+        toks = " ".join(toks).split()
+        expected = (
+            _winnow_reference(toks, T.WINNOW_K, T.WINNOW_W)
+            if len(toks) >= T.WINNOW_W + T.WINNOW_K - 1
+            else set()
+        )
+        assert got.get(i, set()) == expected, (i, toks)
