@@ -160,6 +160,18 @@ SECTIONS = [
      "8 tasks; phase 2 ranks the <= k*8 survivors. Both windows are "
      "bounded; the md5 order makes the result reproducible across "
      "engines and runs."),
+    ("containment_screened", "Screened containment — equi-joins end to end",
+     "The winnow screen is shuffle-free per-row array math feeding one "
+     "fingerprint-bucket expansion at 1/3 gram density; the verify fans "
+     "the persisted candidate table out with a broadcast HASH join on "
+     "id_a and one (id_b, gram) equi-join — no nested loop, no "
+     "cartesian, and the raw gram-string repartition of the exact "
+     "operator is gone (3.1-3.6x fewer shuffle bytes, SCALE.md r16)."),
+    ("shuffle_shard", "Training-order shuffle — one hash shuffle + shard sort",
+     "md5 sort key computed scan-side; the only exchange distributes by "
+     "shard and the row_number window is keyed on shard (state bounded "
+     "by shard size) — the minimal physical cost of a reproducible "
+     "global permutation, with no corpus-wide window anywhere."),
 ]
 
 
@@ -185,7 +197,17 @@ def main() -> None:
         tree_end = next(
             (i for i, l in enumerate(lines) if l.strip() == ""), len(lines)
         )
-        tree = "\n".join(lines[:tree_end])
+        tree_lines = lines[:tree_end]
+        # Persisted-subtree-heavy plans (e.g. containment_screened)
+        # inline every InMemoryTableScan's cached plan plus nested AQE
+        # "Initial Plan" sections — 12k+ lines of repetition. The
+        # evidence is the TOP of the tree; elide the expansions.
+        if len(tree_lines) > 80:
+            tree_lines = tree_lines[:80] + [
+                f"... ({len(lines[:tree_end])} tree lines total; "
+                "cached-subtree and AQE initial-plan expansions elided)"
+            ]
+        tree = "\n".join(tree_lines)
         details = "\n".join(
             l for l in lines if "PushedFilters" in l or "ReadSchema" in l
         )
