@@ -677,6 +677,23 @@ def containment_pairs(
         collapse_reps_only(docs.select("doc_id", "text")).persist()
     )
     reps.count()
+    return _exact_pairs_on_reps(
+        reps, n, threshold, max_df, expansion_partitions(docs)
+    )
+
+
+def _exact_pairs_on_reps(
+    reps: DataFrame,
+    n: int,
+    threshold: float,
+    max_df: int,
+    n_parts: int,
+) -> DataFrame:
+    """``containment_pairs``' df-capped bucket-expansion body over a
+    PRE-COLLAPSED (and persisted, count-barriered) reps table. Split out
+    (ADVICE r16) so ``subsumption_prune`` shares ONE collapse between
+    pair detection and its keep-list base instead of collapsing twice —
+    the same reuse discipline ``_screened_pairs_on_reps`` already has."""
     g = reps.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
     )
@@ -697,7 +714,7 @@ def containment_pairs(
     # sorts ids, so id_a < id_b holds by construction; no star overflow
     # path needed because the df cap IS the bucket bound.
     shared = (
-        rare.repartition(expansion_partitions(docs), "gram")
+        rare.repartition(n_parts, "gram")
         .groupBy("gram")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
@@ -826,11 +843,23 @@ def _rare_grams(reps: DataFrame, n: int, max_df: int) -> DataFrame:
     return g.join(hot, "gram", "left_anti"), hot
 
 
+_BROADCAST_CAND_MAX_ROWS = 5_000_000
+"""Broadcast-hint ceiling for the screened-containment candidate pair
+table: two longs per row, so 5M rows is ~80 MB serialized — far under
+Spark's 8 GB broadcast hard limit and a safe driver footprint. Above
+it the hint is withheld and AQE picks the join strategy (ADVICE r16:
+the candidate table is data-dependent — screen survivors plus the
+short-doc sidecar, which grows with the short-doc population times the
+max_df fan-out — so an unconditional hint could OOM the driver on the
+network-bound corpora this path is recommended for)."""
+
+
 def _containment_verify_on_reps(
     reps: DataFrame,
     rare: DataFrame,
     cand: DataFrame,
     threshold: float,
+    cand_count: int | None = None,
 ) -> DataFrame:
     """The full-gram containment VERIFY restricted to screened candidate
     pairs: identical math to ``containment_pairs`` (same grams via
@@ -857,13 +886,22 @@ def _containment_verify_on_reps(
     sizes = rare_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = rare_c.select(F.col("doc_id").alias("id_a"), "gram")
     gb = rare_c.select(F.col("doc_id").alias("id_b"), "gram")
-    # Pair-restricted shared-gram count: fan ga out by candidate pair
-    # (cand is screen-bounded and broadcastable), then ONE (id_b, gram)
-    # equi-join — grams are per-doc distinct (shingles array_distinct +
-    # reps per-content distinct), so the match count IS |A ∩ B|, exactly
-    # the bucket-local count containment_pairs produces.
+    # Pair-restricted shared-gram count: fan ga out by candidate pair,
+    # then ONE (id_b, gram) equi-join — grams are per-doc distinct
+    # (shingles array_distinct + reps per-content distinct), so the
+    # match count IS |A ∩ B|, exactly the bucket-local count
+    # containment_pairs produces. The broadcast hint is COUNT-GATED
+    # (ADVICE r16): the caller passes the count it already paid for at
+    # the persist barrier; small candidate sets broadcast, larger ones
+    # fall to AQE's own strategy choice (which can still broadcast off
+    # observed shuffle sizes, but never past the driver's limits).
+    cand_side = (
+        F.broadcast(cand)
+        if cand_count is not None and cand_count <= _BROADCAST_CAND_MAX_ROWS
+        else cand
+    )
     shared = (
-        ga.join(F.broadcast(cand), "id_a")
+        ga.join(cand_side, "id_a")
         .join(gb, ["id_b", "gram"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
@@ -958,8 +996,8 @@ def _screened_pairs_on_reps(
     cand = register_parallel_cache(
         cand_long.unionByName(cand_short).distinct().persist()
     )
-    cand.count()
-    return _containment_verify_on_reps(reps, rare, cand, threshold)
+    n_cand = cand.count()
+    return _containment_verify_on_reps(reps, rare, cand, threshold, n_cand)
 
 
 def containment_screened(
@@ -1067,12 +1105,24 @@ def subsumption_prune(
     duplicates collapse to their representative first; pairs AMONG exact
     duplicates are exact-dedup's domain (``dedup_exact``). Output: the
     kept doc_ids (one column, ascending ids hash-stable)."""
-    pairs = (
-        containment_pairs(docs, n, threshold, max_df)
-        if method == "exact"
-        else containment_screened(docs, n, threshold, max_df, screen_threshold)
+    from ..sources.readers import register_parallel_cache
+
+    # ONE collapse, shared between the pair detector and the keep-list
+    # base (ADVICE r16: the detectors' internal collapse was recomputed
+    # here — an extra full collapse shuffle per call). The persisted reps
+    # feed _exact_pairs_on_reps / _screened_pairs_on_reps directly.
+    reps = register_parallel_cache(
+        collapse_reps_only(docs.select("doc_id", "text")).persist()
     )
-    reps = collapse_reps_only(docs.select("doc_id", "text"))
+    reps.count()
+    n_parts = expansion_partitions(docs)
+    pairs = (
+        _exact_pairs_on_reps(reps, n, threshold, max_df, n_parts)
+        if method == "exact"
+        else _screened_pairs_on_reps(
+            reps, n, threshold, max_df, screen_threshold, n_parts
+        )
+    )
     drop = pairs.select(
         F.when(F.col("containment_a") > F.col("containment_b"), F.col("id_a"))
         .when(F.col("containment_b") > F.col("containment_a"), F.col("id_b"))

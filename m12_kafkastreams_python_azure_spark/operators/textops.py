@@ -1232,14 +1232,18 @@ def winnow_pair_scores(
     # aggregate and the rare anti-join, and Spark shares no subtrees
     # across join branches — without the pin the md5 hashing pass (the
     # screen's dominant CPU cost) runs twice. 1/3-density projection of
-    # two longs + id; no count barrier needed — the consumers sit in one
-    # action and the hot shuffle stage fills the cache first.
+    # two longs + id. The count() is the materialization barrier (the
+    # containment_pairs reps-pin discipline): the hot aggregate and the
+    # rare anti-join probe are independent leaf stages of the same job
+    # and can scan concurrently, racing the cache and re-running the
+    # hashing pass the persist exists to dedupe (ADVICE r16).
     fps = register_parallel_cache(
         winnow_fingerprints(reps, k, w)
         .select("doc_id", "fp_hash")
         .distinct()
         .persist()
     )
+    fps.count()
     hot = (
         fps.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("df"))
