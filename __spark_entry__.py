@@ -12,46 +12,46 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-16 rotation (VERDICT r15 #2): the 5 reference-surface queries
-stay first (every round). Then the SEVEN round-16 newcomers
-(doremi_weights, doremi_resample — DoReMi-style score-driven domain
-reweighting plus its selection consumer; winnow_fingerprints,
-winnow_pairs — Schleimer et al. 2003 winnowing selection plus the
-MOSS-style containment screen; containment_screened,
-subsumption_prune — the composed winnow-screen -> full-gram-verify
-containment front door (ROADMAP r17 #2 pulled forward, with the
-short-doc exact-gram sidecar for the zero-fingerprint population) plus
-its keep-the-maximal-docs consumer; shuffle_shard — deterministic
-training-order shuffle + output sharding; all swept green at
-sf0.001/sf0.01/sf0.1/sf1 before commit). Then the ONE query whose
-plan-affecting code changed this round (hygiene rule): ccnet_buckets —
-its unscored bucket now derives from the <2-token narrow predicate
-instead of a left-anti join against the unpersisted scorer output
-(VERDICT r15 #1). Then ALL THIRTY-TWO remaining r12-row queries — the
-stalest ledger cohort, named query-by-query in the r15 rotation queue,
-fully retired this rotation. The last FIVE slots take the head of the
-r13 cohort in ledger order (hard_negative_mining, anisotropy_audit,
-temperature_sample, cdc_chunk_dedup, quality_calibration — the
-newcomers displaced knn_label_vote, bpe_merges, bpe_encode,
-source_overlap, record_linkage, bm25_retrieval and decontaminate_bloom
-to the r17 queue head). 5+7+1+32+5 = 50.
-Displaced to 51+ this round: everything with a hash-green r14/r15 row
-and code untouched this round (including the whole r15 window apart
-from the reference surface and ccnet_buckets).
-ROTATION QUEUE for round 17 (stalest first): the THIRTY-SIX remaining
-r13-row queries (knn_label_vote, bpe_merges, bpe_encode,
-source_overlap, record_linkage, bm25_retrieval, decontaminate_bloom —
-the displaced filler tail — then cms_merge_bound,
-dataset_mix, segment_dedup,
-chunk_documents, domain_cap, trailing_hour_counts, full_outer_activity,
-unpivot_metrics, event_pairs_10min, latest_event_per_user, lang_id,
-doc_fingerprint, pmi_bigrams, source_length_drift,
-exact_substring_dedup, vocab_encode, pii_scrub, bigram_lm_score,
-sq_error_stats, geomean_prices, bpe_pair_counts, region_revenue,
-top_customers, window_top_orders, events_daily, window_functions,
-string_functions, math_functions, sessionize_events), plus any
-never-rowed r17 newcomer and any operator whose code changes in r17,
-then the r14 cohort, then the r15/r16 cohorts.
+Round-17 rotation (VERDICT r16 #1): the 5 reference-surface queries
+stay first (every round). Then the ONE round-17 newcomer:
+c4_line_filter — C4-style line-level cleaning (Raffel et al. 2020
+§2.2; VERDICT r16 #5), terminal-punctuation / min-words / javascript
+line rules with in-order reassembly plus lorem-ipsum / brace /
+blocklist page rules, a zero-shuffle narrow plan. Then the FOUR
+queries whose plan-affecting code changed this round (hygiene rule —
+all from closing the three r16 ADVICE items): containment_screened
+and subsumption_prune (the screened-verify broadcast hint is now
+count-gated at the candidate barrier; subsumption_prune shares ONE
+collapse with its pair detector via the new _exact_pairs_on_reps),
+winnow_pairs (the fps persist gained its materialization barrier),
+and containment_near_dup (containment_pairs' body moved into
+_exact_pairs_on_reps — plan-identical refactor). Then ALL THIRTY-SIX
+remaining r13-row queries — the stalest ledger cohort, named
+query-by-query in the r16 rotation queue, fully retired this rotation
+(clears the last pre-r14 ledger debt). The last FOUR slots take the
+head of the r14 cohort in ledger order (zipf_vocab_audit,
+pricing_summary, top_revenue_orders, volume_shipping_q7).
+5+1+4+36+4 = 50.
+Displaced to 51+ this round: everything with a hash-green r14/r15/r16
+row and code untouched this round (including the whole r16 window
+apart from the reference surface and the ADVICE-touched four).
+ROTATION QUEUE for round 18 (stalest first): the FORTY remaining
+r14-row queries (market_share_q8, returned_items_q10,
+top_supplier_q15, small_qty_revenue_q17, disjunctive_revenue_q19,
+forecast_revenue_q6, promo_revenue_q14, region_revenue_share,
+tokenizer_fertility, hash_sample, conditional_functions,
+customers_without_orders, purchase_and_click_users, rollup_returnflag,
+priority_orders_exists, orders_no_lineitems_anti,
+quantity_percentiles, date_parse_lenient, token_count, cube_events,
+array_functions, inactive_customers_except, json_extract, pivot_daily,
+datetime_functions, salted_user_counts, stats_battery,
+above_avg_orders, phash_near_dup, image_dhash, video_near_dup,
+audio_near_dup, big_orders_having, cast_battery, date_spine_daily,
+decimal_totals, grouping_sets, priority_count_q4, regexp_battery,
+shipmode_priority_q12 — 40 after this round's five r14 promotions,
+containment_near_dup included — plus any never-rowed r18 newcomer and
+any operator whose code changes in r18), then the r15 cohort, then
+the r16/r17 cohorts.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -116,38 +116,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,
         "stay_enrich": A.q_stay_enrich,
         "hotels_count": A.q_hotels_count,
-        # round-16 newcomers (never rowed): DoReMi-style score-driven
-        # domain reweighting and its selection consumer (the
-        # weighted_budget_select close-the-loop discipline), both swept
-        # green at sf0.001/sf0.01/sf0.1/sf1 before commit
-        "doremi_weights": CU.q_doremi_weights,
-        "doremi_resample": CU.q_doremi_resample,
-        # round-16 newcomers (never rowed): winnowing fingerprints
-        # (Schleimer et al. 2003 / MOSS) and the containment-semantics
-        # pairs consumer over the planted-excerpt corpus — the sparse
-        # screening tier for full-gram containment
-        "winnow_fingerprints": T.q_winnow_fingerprints,
-        "winnow_pairs": T.q_winnow_pairs,
-        # round-16 second-wave newcomers (never rowed): the composed
-        # containment front door — winnow screen at 2/(w+1) density,
-        # short-doc exact-gram sidecar, full-gram verify on survivors
-        # (ROADMAP r17 #2, pulled forward) — and its keep-list consumer
-        # that drops the mostly-contained side of every pair
+        # round-17 newcomer (never rowed): C4-style line-level cleaning
+        # (Raffel et al. 2020 §2.2 — VERDICT r16 #5): terminal-punctuation
+        # / min-words / javascript line rules with in-order reassembly,
+        # lorem-ipsum / brace / blocklist page rules; zero-shuffle
+        # narrow plan, plan-pinned exchange-free in tests/test_c4.py
+        "c4_line_filter": CU.q_c4_line_filter,
+        # plan-affecting code changes THIS round re-enter the window
+        # (hygiene rule, all from closing the three r16 ADVICE items):
+        # containment_screened / subsumption_prune — the screened-verify
+        # broadcast hint is now count-gated at the candidate barrier and
+        # subsumption_prune shares ONE collapse with its pair detector
+        # (_exact_pairs_on_reps split out of containment_pairs);
+        # winnow_pairs — the fps persist gained its materialization
+        # barrier; containment_near_dup — containment_pairs' body moved
+        # into _exact_pairs_on_reps (plan-identical refactor)
         "containment_screened": D.q_containment_screened,
         "subsumption_prune": D.q_subsumption_prune,
-        # round-16 third-wave newcomer (never rowed): deterministic
-        # training-order shuffle + output sharding (md5 sort key, first
-        # byte -> shard, per-shard row_number — one hash shuffle + shard
-        # sort, the minimal physical cost of a global permutation)
+        "winnow_pairs": T.q_winnow_pairs,
+        "containment_near_dup": D.q_containment_near_dup,
+        # ALL THIRTY-SIX remaining r13-row queries — the stalest ledger
+        # cohort, fully retired this rotation (VERDICT r16 #1; named
+        # query-by-query in the r16 rotation queue) — clears the last
+        # pre-r14 ledger debt
+        "knn_label_vote": S.q_knn_label_vote,
+        "bpe_merges": T.q_bpe_merges,
+        "bpe_encode": T.q_bpe_encode,
+        "source_overlap": AU.q_source_overlap,
+        "record_linkage": LK.q_record_linkage,
+        "bm25_retrieval": R.q_bm25_retrieval,
+        "decontaminate_bloom": C.q_decontaminate_bloom,
+        "cms_merge_bound": SK.q_cms_merge_bound,
+        "dataset_mix": A10.q_dataset_mix,
+        "segment_dedup": CU.q_segment_dedup,
+        "chunk_documents": CU.q_chunk_documents,
+        "domain_cap": CU.q_domain_cap,
+        "trailing_hour_counts": A9.q_trailing_hour_counts,
+        "full_outer_activity": A10.q_full_outer_activity,
+        "unpivot_metrics": A10.q_unpivot_metrics,
+        "event_pairs_10min": J.q_event_pairs_10min,
+        "latest_event_per_user": A10.q_latest_event_per_user,
+        "lang_id": T.q_lang_id,
+        "doc_fingerprint": T.q_doc_fingerprint,
+        "pmi_bigrams": T.q_pmi_bigrams,
+        "source_length_drift": AU.q_source_length_drift,
+        "exact_substring_dedup": CU.q_exact_substring_dedup,
+        "vocab_encode": T.q_vocab_encode,
+        "pii_scrub": C.q_pii_scrub,
+        "bigram_lm_score": C.q_bigram_lm_score,
+        "sq_error_stats": PQ.q_sq_error_stats,
+        "geomean_prices": V.q_geomean_prices,
+        "bpe_pair_counts": T.q_bpe_pair_counts,
+        "region_revenue": A.q_region_revenue,
+        "top_customers": A.q_top_customers,
+        "window_top_orders": A.q_window_top_orders,
+        "events_daily": A.q_events_daily,
+        "window_functions": A3.q_window_functions,
+        "string_functions": A2.q_string_functions,
+        "math_functions": A2.q_math_functions,
+        "sessionize_events": A2.q_sessionize_events,
+        # the head of the r14 cohort (ledger order) fills the last slots
+        "zipf_vocab_audit": AU.q_zipf_vocab_audit,
+        "pricing_summary": A.q_pricing_summary,
+        "top_revenue_orders": A.q_top_revenue_orders,
+        "volume_shipping_q7": A14.q_volume_shipping_q7,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has a hash-green r14/r15/r16 row with
+        # code untouched this round (the r14 remainder queues next — see
+        # the module docstring); the LSH/IVF/PQ approximation spellings
+        # stay rows-only by design, bounded by their oracle-checked
+        # exact twins
+        "doremi_weights": CU.q_doremi_weights,
+        "doremi_resample": CU.q_doremi_resample,
+        "winnow_fingerprints": T.q_winnow_fingerprints,
         "shuffle_shard": CU.q_shuffle_shard,
-        # plan-affecting code change THIS round re-enters the window
-        # (hygiene rule): ccnet_buckets' unscored bucket now derives
-        # from the <2-token narrow predicate instead of a left-anti
-        # join against the unpersisted scorer output (VERDICT r15 #1)
         "ccnet_buckets": C.q_ccnet_buckets,
-        # ALL THIRTY-TWO remaining r12-row queries — the stalest
-        # ledger cohort, fully retired this rotation (VERDICT r15 #2;
-        # named query-by-query in the r15 rotation queue)
         "lone_fault_supplier_q21": A14.q_lone_fault_supplier_q21,
         "dormant_rich_customers_q22": A14.q_dormant_rich_customers_q22,
         "quality_classifier": C.q_quality_classifier,
@@ -180,31 +223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": CU.q_semantic_dedup,
         "dedup_stats": D.q_dedup_stats,
         "dup_span_coverage": CU.q_dup_span_coverage,
-        # the twelve stalest r13-row queries fill the remaining slots
-        # (r16 newcomers, if landed later this round, displace this
-        # filler tail — see the module docstring arithmetic)
         "hard_negative_mining": MN.q_hard_negative_mining,
         "anisotropy_audit": MN.q_anisotropy_audit,
         "temperature_sample": CU.q_temperature_sample,
         "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
         "quality_calibration": C.q_quality_calibration,
-        # ---- entries 51+: outside the driver window this round ----
-        # decontaminate_bloom / record_linkage / bm25_retrieval /
-        # knn_label_vote / bpe_merges / bpe_encode / source_overlap:
-        # displaced from the filler tail by the seven r16 newcomers —
-        # they head the r17 rotation queue
-        "decontaminate_bloom": C.q_decontaminate_bloom,
-        "record_linkage": LK.q_record_linkage,
-        "bm25_retrieval": R.q_bm25_retrieval,
-        "knn_label_vote": S.q_knn_label_vote,
-        "bpe_merges": T.q_bpe_merges,
-        "bpe_encode": T.q_bpe_encode,
-        "source_overlap": AU.q_source_overlap,
-        # every displaced entry has a hash-green r14/r15 row with code
-        # untouched this round (the r13 remainder queues next — see
-        # the module docstring); the LSH/IVF/PQ approximation
-        # spellings stay rows-only by design, bounded by their
-        # oracle-checked exact twins
         "excerpt_screen": D.q_excerpt_screen,
         "soft_dedup_weights": D.q_soft_dedup_weights,
         "unimax_allocation": CU.q_unimax_allocation,
@@ -249,11 +272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": C.q_semantic_decontaminate,
         "quality_percentile_filter": CU.q_quality_percentile_filter,
         "dedup_keep_best": G.q_dedup_keep_best,
-        "containment_near_dup": D.q_containment_near_dup,
-        "zipf_vocab_audit": AU.q_zipf_vocab_audit,
-        "pricing_summary": A.q_pricing_summary,
-        "top_revenue_orders": A.q_top_revenue_orders,
-        "volume_shipping_q7": A14.q_volume_shipping_q7,
         "market_share_q8": A14.q_market_share_q8,
         "returned_items_q10": A14.q_returned_items_q10,
         "top_supplier_q15": A14.q_top_supplier_q15,
@@ -294,35 +312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_count_q4": A6.q_priority_count_q4,
         "regexp_battery": A5.q_regexp_battery,
         "shipmode_priority_q12": A6.q_shipmode_priority_q12,
-        "cms_merge_bound": SK.q_cms_merge_bound,
-        "dataset_mix": A10.q_dataset_mix,
-        "segment_dedup": CU.q_segment_dedup,
-        "chunk_documents": CU.q_chunk_documents,
-        "domain_cap": CU.q_domain_cap,
-        "trailing_hour_counts": A9.q_trailing_hour_counts,
-        "full_outer_activity": A10.q_full_outer_activity,
-        "unpivot_metrics": A10.q_unpivot_metrics,
-        "event_pairs_10min": J.q_event_pairs_10min,
-        "latest_event_per_user": A10.q_latest_event_per_user,
-        "lang_id": T.q_lang_id,
-        "doc_fingerprint": T.q_doc_fingerprint,
-        "pmi_bigrams": T.q_pmi_bigrams,
-        "source_length_drift": AU.q_source_length_drift,
-        "exact_substring_dedup": CU.q_exact_substring_dedup,
-        "vocab_encode": T.q_vocab_encode,
-        "pii_scrub": C.q_pii_scrub,
-        "bigram_lm_score": C.q_bigram_lm_score,
-        "sq_error_stats": PQ.q_sq_error_stats,
-        "geomean_prices": V.q_geomean_prices,
-        "bpe_pair_counts": T.q_bpe_pair_counts,
-        "region_revenue": A.q_region_revenue,
-        "top_customers": A.q_top_customers,
-        "window_top_orders": A.q_window_top_orders,
-        "events_daily": A.q_events_daily,
-        "window_functions": A3.q_window_functions,
-        "string_functions": A2.q_string_functions,
-        "math_functions": A2.q_math_functions,
-        "sessionize_events": A2.q_sessionize_events,
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
         "simhash_near_dup": D.q_simhash_near_dup,
         "ann_pq": PQ.q_ann_pq,
@@ -498,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_kl_drift": AU.ORACLE_VOCAB_KL_DRIFT,
         "retrieval_eval": R.ORACLE_RETRIEVAL_EVAL,
         "weighted_budget_select": CU.ORACLE_WEIGHTED_BUDGET_SELECT,
+        "c4_line_filter": CU.ORACLE_C4_LINE_FILTER,
         "doremi_weights": CU.ORACLE_DOREMI_WEIGHTS,
         "doremi_resample": CU.ORACLE_DOREMI_RESAMPLE,
         "winnow_fingerprints": T.ORACLE_WINNOW_FINGERPRINTS,

@@ -176,6 +176,8 @@ HEADLINE = [
     "containment_screened",
     "subsumption_prune",
     "shuffle_shard",
+    # round 17: C4-style line-level cleaning (zero-shuffle narrow pass)
+    "c4_line_filter",
     "bpe_train",
 ]
 
@@ -288,6 +290,40 @@ def converged_best(run_fn, min_runs: int = 2, max_runs: int = 4):
     return min(runs), {"n_runs": len(runs), "converged": converged}
 
 
+def _n_unconverged(runmeta: dict) -> int:
+    return sum(1 for m in runmeta.values() if not m["converged"])
+
+
+def hedge_needed(runmeta: dict) -> bool:
+    """VERDICT r16 #2 trigger: MORE THAN A THIRD of the window's rows
+    exited unconverged — evidence of a machine-state-elevated window
+    (the r16 class: 36/86 unconverged, ~13% uniform drift), not of any
+    single noisy query."""
+    return bool(runmeta) and _n_unconverged(runmeta) * 3 > len(runmeta)
+
+
+def pick_hedged_window(first, second):
+    """Choose the committed window between the original run and the
+    hedge re-run: fewer errors wins, then fewer unconverged rows, then
+    the lower total (min-estimates-true-cost, the run_headline law).
+    Each argument is a (timings, errors, runmeta) triple; returns
+    (chosen_triple, hedge_record)."""
+    (t1, e1, m1), (t2, e2, m2) = first, second
+    pick_second = (len(e2), _n_unconverged(m2), sum(t2.values())) < (
+        len(e1), _n_unconverged(m1), sum(t1.values())
+    )
+    hedge = {
+        "triggered": True,
+        "rows": len(m1),
+        "unconverged_first": _n_unconverged(m1),
+        "unconverged_second": _n_unconverged(m2),
+        "total_first": round(sum(t1.values()), 3),
+        "total_second": round(sum(t2.values()), 3),
+        "chosen": "second" if pick_second else "first",
+    }
+    return (second if pick_second else first), hedge
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -320,6 +356,26 @@ def main() -> None:
     names = [n for n in HEADLINE if n not in exclude]
 
     timings, errors, runmeta = run_headline(spark, queries, names)
+
+    # Mechanical noisy-window hedge (VERDICT r16 #2): r16 committed a
+    # known-elevated sf0.1 artifact (36/86 rows unconverged, ~13% uniform
+    # machine-state drift) with the honest number living only in SCALE.md
+    # prose. The rule is now code, not judgment: if MORE THAN A THIRD of
+    # the window's rows exit unconverged, the whole window re-runs once
+    # and the better run (fewer errors, then fewer unconverged rows, then
+    # lower total) becomes the committed artifact. Both runs' summaries
+    # are recorded in the sidecar either way.
+    if hedge_needed(runmeta):
+        second = run_headline(spark, queries, names)
+        (timings, errors, runmeta), hedge = pick_hedged_window(
+            (timings, errors, runmeta), second
+        )
+    else:
+        hedge = {
+            "triggered": False,
+            "unconverged_first": _n_unconverged(runmeta),
+            "rows": len(runmeta),
+        }
 
     throughput_meta: dict[str, dict] = {}
     try:
@@ -406,6 +462,9 @@ def main() -> None:
     # figure in the artifact) — unconditional, unlike the per-query map,
     # because round-over-round streaming comparisons hinge on them.
     sidecar["throughput_convergence"] = throughput_meta
+    # The hedge record is unconditional so every artifact self-describes
+    # whether the window was noisy and which run was committed.
+    sidecar["window_hedge"] = hedge
     # The tuned/untuned PAIR keeps methodology-vs-engine attribution
     # honest: the headline streaming number runs with shuffle.partitions
     # sized to the agg's key cardinality (standard stateful-streaming
@@ -473,7 +532,17 @@ def main() -> None:
                             "converged-min timed replays (min 2 / max 10, "
                             "fresh state dirs) measure the per-shard "
                             "screen/score/filter/bucket; sidecar-only "
-                            "metrics *_stream_docs_per_sec",
+                            "metrics *_stream_docs_per_sec; rows whose "
+                            "single replay is sub-second batch several "
+                            "replays per timing sample to clear the "
+                            "timer noise floor (replays_per_sample in "
+                            "throughput_convergence)",
+        "window_hedge": "if >1/3 of the headline window's rows exit "
+                        "unconverged, the whole window re-runs once and "
+                        "the better run (fewer errors, then fewer "
+                        "unconverged rows, then lower total) is the "
+                        "committed artifact — both summaries recorded "
+                        "under window_hedge (VERDICT r16 #2)",
     }
     deltas = _baseline_deltas(timings, streaming_eps)
     if deltas:
@@ -833,7 +902,9 @@ def _curation_stream_throughput(spark) -> dict:
     meta_all: dict[str, dict] = {}
     work = tempfile.mkdtemp(prefix="bench_curation_stream_")
     try:
-        def _replay(metric: str, make_proc, stream_df) -> None:
+        def _replay(
+            metric: str, make_proc, stream_df, replays_per_sample: int = 1
+        ) -> None:
             n = stream_df.count()
             warm = make_proc(f"{work}/{metric}_warm")
             half = stream_df.filter(F.col("doc_id") % 2 == 0)
@@ -845,11 +916,18 @@ def _curation_stream_throughput(spark) -> dict:
             def _full_replay() -> float:
                 # fresh state dir per replay: the fit-once artifacts are
                 # rebuilt at processor construction (before the clock),
-                # so replays are independent measurements
-                proc = make_proc(f"{work}/{metric}{next(counter)}")
+                # so replays are independent measurements. One timing
+                # SAMPLE batches replays_per_sample whole replays
+                # (VERDICT r16 #3): a sub-second single replay sits under
+                # the scheduler-noise floor where the 4% two-fastest gate
+                # can never close — batching the measured unit is the
+                # standard microbenchmark fix, and docs/sec stays honest
+                # because the numerator scales with the same factor.
                 t0 = time.perf_counter()
-                for i in range(4):
-                    proc(stream_df.filter(F.col("doc_id") % 4 == i), i)
+                for _ in range(replays_per_sample):
+                    proc = make_proc(f"{work}/{metric}{next(counter)}")
+                    for i in range(4):
+                        proc(stream_df.filter(F.col("doc_id") % 4 == i), i)
                 return time.perf_counter() - t0
 
             # converged-min (VERDICT r14 #2); max raised 3 -> 10 (VERDICT
@@ -861,7 +939,9 @@ def _curation_stream_throughput(spark) -> dict:
             # affordable exactly where needed and only run while the row
             # is still unconverged)
             elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=10)
-            out[metric] = round(n / elapsed, 1)
+            if replays_per_sample > 1:
+                meta = dict(meta, replays_per_sample=replays_per_sample)
+            out[metric] = round(n * replays_per_sample / elapsed, 1)
             meta_all[metric] = meta
 
         ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
@@ -905,10 +985,15 @@ def _curation_stream_throughput(spark) -> dict:
             docs_excerpt_stream,
         )
 
+        # the one row that exited unconverged at cap 10 at BOTH tiers for
+        # three rounds (VERDICT r16 #3): its replays are sub-second, so
+        # one timing sample now batches 3 whole replays to clear the
+        # noise floor (replays_per_sample recorded in the meta)
         _replay(
             "containment_stream_docs_per_sec",
             lambda d: containment_batch_processor(ref, d),
             docs_excerpt_stream(ref),
+            replays_per_sample=3,
         )
 
         # septet member (round 15): arriving docs weight-scored against

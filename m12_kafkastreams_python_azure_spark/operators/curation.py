@@ -1816,3 +1816,185 @@ SELECT doc_id, CAST(shard AS INTEGER) AS shard,
             AS INTEGER) AS pos
 FROM k
 """
+
+
+# ------------------------------------------------------ C4 line-level cleaning
+
+C4_MIN_WORDS = 5       # C4: "only retained lines that contained at least 5 words"
+C4_MIN_KEPT_LINES = 3  # page floor (C4 uses >= 3 sentences; line analog here)
+#: placeholder blocklist — production swaps in the full list (a few thousand
+#: tokens still ships fine as ONE array literal, the F.lit(nested) law)
+C4_BADWORDS = ("badword1", "badword2")
+C4_LINE_WORDS = 8      # fixture: words per synthesized line (corpus has no \n)
+C4_LOREM_LINE = "lorem ipsum dolor sit amet."
+C4_BRACE_LINE = "a { brace } config line."
+C4_BADWORD_LINE = "this page mentions badword1 clearly."
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    min_words: int = C4_MIN_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the one
+    widely-hit curation stage the pipeline tier lacked, VERDICT r16 #5).
+    LINE rules (a line = a ``\\n``-separated span): keep a line iff it
+
+    - ends in a terminal punctuation mark (``. ! ?`` or a close quote),
+    - has >= ``min_words`` whitespace words,
+    - does not mention "javascript" (case-insensitive);
+
+    kept lines reassemble IN ORDER with ``\\n``. PAGE rules (drop the
+    whole document): fewer than ``min_kept_lines`` retained lines, any
+    occurrence of "lorem ipsum" (case-insensitive), any ``{`` (code
+    boilerplate), or any whitespace token on the ``badwords`` blocklist.
+    C4's remaining rule — the three-sentence-span cross-page dedup — is
+    ``exact_substring_dedup``'s domain and deliberately not duplicated
+    here.
+
+    Scale shape: a SINGLE narrow per-row pass — split once, one
+    higher-order filter over the line array, page predicates on the raw
+    text — ZERO shuffles, no UDF, the whole plan one WholeStageCodegen
+    project+filter over the scan (plan-pinned exchange-free in
+    tests/test_c4.py). At 100 TB this runs at scan speed and composes
+    with everything downstream; the blocklist rides along as one array
+    literal, never a join.
+
+    Reference parity note: the reference app (src/main.py) has no text
+    hygiene surface — this extends the training-data-pipeline tier
+    alongside gopher_quality / ccnet_buckets (BASELINE.json north-star
+    tier)."""
+    pred = (
+        lambda l: (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
+        & l.rlike('[.!?"]$')
+        & ~F.lower(l).contains("javascript")
+    )
+    lined = docs.select(
+        "doc_id", "text", F.split(F.col("text"), "\n").alias("_lines")
+    )
+    kept = lined.select(
+        "doc_id", "text", "_lines", F.filter("_lines", pred).alias("_kept")
+    )
+    return (
+        kept.filter(
+            (F.size("_kept") >= min_kept_lines)
+            & ~F.lower(F.col("text")).contains("lorem ipsum")
+            & ~F.col("text").contains("{")
+            & ~F.arrays_overlap(
+                F.split(F.lower(F.col("text")), r"\s+"), F.lit(list(badwords))
+            )
+        )
+        .select(
+            "doc_id",
+            F.size("_lines").cast("long").alias("n_lines"),
+            F.size("_kept").cast("long").alias("n_kept"),
+            F.array_join("_kept", "\n").alias("clean_text"),
+        )
+    )
+
+
+def docs_with_planted_lines(docs: DataFrame) -> DataFrame:
+    """Deterministic line-structured fixture over the (newline-free)
+    documents corpus, mirrored verbatim in the oracle: each doc splits
+    into ``C4_LINE_WORDS``-word lines; line i of doc d gets terminal
+    punctuation when (d+i) % 3 == 0 ('.') or % 5 == 0 ('?'), a
+    " javascript now." tail when % 11 == 0 (terminal AND long — dropped
+    only by the javascript rule), else no terminal mark; every 37th doc
+    appends a lorem-ipsum line, every 41st a brace line, every 43rd a
+    blocklist line (page-level positives at every SF). Narrow per-row
+    array math — the words array is materialized into its own
+    projection first (the HOF capture law, docs/SCALE.md round 5)."""
+    w_tbl = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_line = F.ceil(F.size("w") / F.lit(float(C4_LINE_WORDS))).cast("int")
+
+    def line_of(i: Column) -> Column:
+        base = F.array_join(
+            F.slice(F.col("w"), i * C4_LINE_WORDS + 1, C4_LINE_WORDS), " "
+        )
+        k = F.col("doc_id") + i
+        return (
+            F.when(k % 11 == 0, F.concat(base, F.lit(" javascript now.")))
+            .when(k % 3 == 0, F.concat(base, F.lit(".")))
+            .when(k % 5 == 0, F.concat(base, F.lit("?")))
+            .otherwise(base)
+        )
+
+    lines = F.transform(F.sequence(F.lit(0), n_line - 1), line_of)
+    for mod_, planted in (
+        (37, C4_LOREM_LINE),
+        (41, C4_BRACE_LINE),
+        (43, C4_BADWORD_LINE),
+    ):
+        lines = (
+            F.when(
+                F.col("doc_id") % mod_ == 0,
+                F.concat(lines, F.array(F.lit(planted))),
+            )
+            .otherwise(lines)
+        )
+    return w_tbl.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_line_filter(
+        docs_with_planted_lines(load_table(spark, sf_dir, "documents"))
+    )
+
+
+ORACLE_C4_LINE_FILTER = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, i,
+         array_to_string(
+           list_slice(w, i*{C4_LINE_WORDS}+1, i*{C4_LINE_WORDS}+{C4_LINE_WORDS}),
+           ' ') AS b
+  FROM w, LATERAL (SELECT unnest(generate_series(0,
+        CAST(ceil(len(w) / {C4_LINE_WORDS}.0) AS BIGINT) - 1)) AS i) t
+),
+lines1 AS (
+  SELECT doc_id, i,
+         CASE WHEN (doc_id + i) % 11 = 0 THEN b || ' javascript now.'
+              WHEN (doc_id + i) % 3  = 0 THEN b || '.'
+              WHEN (doc_id + i) % 5  = 0 THEN b || '?'
+              ELSE b END AS line
+  FROM base
+),
+extra AS (
+  SELECT doc_id, 1000001 AS i, '{C4_LOREM_LINE}' AS line
+  FROM documents WHERE doc_id % 37 = 0
+  UNION ALL
+  SELECT doc_id, 1000002, '{C4_BRACE_LINE}'
+  FROM documents WHERE doc_id % 41 = 0
+  UNION ALL
+  SELECT doc_id, 1000003, '{C4_BADWORD_LINE}'
+  FROM documents WHERE doc_id % 43 = 0
+),
+lines AS (SELECT * FROM lines1 UNION ALL SELECT * FROM extra),
+flagged AS (
+  SELECT doc_id, i, line,
+         len(string_split_regex(trim(line), '\\s+')) >= {C4_MIN_WORDS}
+         AND regexp_matches(line, '[.!?"]$')
+         AND NOT contains(lower(line), 'javascript') AS kept
+  FROM lines
+),
+pages AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(array_to_string(
+           list(line ORDER BY i) FILTER (WHERE kept), chr(10)), '')
+           AS clean_text,
+         array_to_string(list(line ORDER BY i), chr(10)) AS full_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept, clean_text
+FROM pages
+WHERE n_kept >= {C4_MIN_KEPT_LINES}
+  AND NOT contains(lower(full_text), 'lorem ipsum')
+  AND NOT contains(full_text, '{{')
+  AND NOT list_has_any(string_split_regex(lower(full_text), '\\s+'),
+                       ['badword1', 'badword2'])
+"""

@@ -157,3 +157,41 @@ def test_fresh_jvm_streaming_falls_back_in_suite(monkeypatch):
     for v in meta.values():
         assert v["fresh_jvm"] is False
         assert "OSError" in v["fresh_jvm_fallback_reason"]
+
+
+# ---------------------------------------------------------------- window hedge
+
+def _meta(n_conv, n_unconv):
+    m = {f"q{i}": {"n_runs": 3, "converged": True} for i in range(n_conv)}
+    m.update(
+        {f"u{i}": {"n_runs": 6, "converged": False} for i in range(n_unconv)}
+    )
+    return m
+
+
+def test_hedge_trigger_is_strictly_more_than_a_third():
+    assert not bench.hedge_needed({})
+    assert not bench.hedge_needed(_meta(2, 1))      # exactly 1/3: no
+    assert bench.hedge_needed(_meta(5, 3))          # 3/8 > 1/3: yes
+    assert bench.hedge_needed(_meta(50, 36))        # the r16 window shape
+    assert not bench.hedge_needed(_meta(60, 26))    # 26/86 under the bar
+
+
+def test_hedge_prefers_fewer_errors_then_convergence_then_total():
+    conv = ({"a": 1.0}, {}, _meta(5, 0))
+    noisy = ({"a": 0.5}, {}, _meta(2, 3))
+    errored = ({"a": 0.4}, {"b": "boom"}, _meta(5, 0))
+
+    chosen, rec = bench.pick_hedged_window(noisy, conv)
+    assert chosen is conv and rec["chosen"] == "second"
+    chosen, rec = bench.pick_hedged_window(conv, noisy)
+    assert chosen is conv and rec["chosen"] == "first"
+    # an error-free window beats a faster, better-converged errored one
+    chosen, rec = bench.pick_hedged_window(noisy, errored)
+    assert chosen is noisy and rec["chosen"] == "first"
+    # equal errors + equal convergence -> lower total wins
+    fast = ({"a": 0.5}, {}, _meta(5, 0))
+    slow = ({"a": 0.9}, {}, _meta(5, 0))
+    chosen, rec = bench.pick_hedged_window(slow, fast)
+    assert chosen is fast and rec["chosen"] == "second"
+    assert rec["triggered"] and rec["total_second"] == 0.5

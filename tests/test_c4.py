@@ -1,0 +1,84 @@
+"""C4-style line-level cleaning (curation.c4_line_filter): planted
+line- and page-rule behaviors, reassembly order, and the zero-shuffle
+plan pin. Oracle parity rides test_oracle.py via the entry registration."""
+
+from __future__ import annotations
+
+from m12_kafkastreams_python_azure_spark.operators import curation as CU
+from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+GOOD = "one two three four five six."  # 6 words, terminal '.'
+
+
+def test_line_rules(spark):
+    rows = [
+        # doc 1: 3 good lines + every line-rule negative -> page kept,
+        # negatives dropped, order preserved
+        (
+            1,
+            "\n".join(
+                [
+                    GOOD,
+                    "no terminal punctuation here at all",  # no terminal mark
+                    "short line four.",  # < 5 words
+                    GOOD.replace("six", "seven"),
+                    "enable javascript to view this page.",  # javascript
+                    "is this a question line?",  # '?' terminates, 5 words
+                ]
+            ),
+        ),
+    ]
+    out = CU.c4_line_filter(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_lines, r.n_kept) == (6, 3)
+    assert r.clean_text.split("\n") == [
+        GOOD,
+        GOOD.replace("six", "seven"),
+        "is this a question line?",
+    ]
+
+
+def test_page_rules(spark):
+    three_good = "\n".join([GOOD, GOOD, GOOD])
+    rows = [
+        (1, three_good),  # survives
+        (2, "\n".join([GOOD, GOOD])),  # < 3 kept lines
+        (3, three_good + "\nWe need Lorem Ipsum filler."),  # lorem ipsum
+        (4, three_good + "\nif (x) { return; }"),  # brace
+        (5, three_good + "\nthis page mentions badword1 clearly."),  # blocklist
+        # blocklist is TOKEN-level: 'badword1x' is not a hit
+        (6, three_good + "\nthis page mentions badword1x clearly."),
+    ]
+    kept = sorted(r.doc_id for r in CU.c4_line_filter(_docs(spark, rows)).collect())
+    assert kept == [1, 6]
+
+
+def test_fixture_plants_every_rule(spark, sf_dir):
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    docs = CU.docs_with_planted_lines(load_table(spark, sf_dir, "documents"))
+    corpus = {r.doc_id: r.text for r in docs.collect()}
+    assert any("javascript now." in t for t in corpus.values())
+    assert CU.C4_LOREM_LINE in corpus[0]  # doc 0 hits 37, 41 and 43
+    assert CU.C4_BRACE_LINE in corpus[0]
+    assert CU.C4_BADWORD_LINE in corpus[0]
+    out = {r.doc_id for r in CU.c4_line_filter(docs).collect()}
+    assert 0 not in out and len(out) > 0
+
+
+def test_plan_is_exchange_free(spark, sf_dir):
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    plan = explain_str(
+        CU.c4_line_filter(
+            CU.docs_with_planted_lines(load_table(spark, sf_dir, "documents"))
+        )
+    )
+    assert "Exchange" not in plan  # one narrow scan->project->filter pass
+    assert "BroadcastNestedLoopJoin" not in plan and "Join" not in plan

@@ -23,80 +23,76 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# Round-16 newcomers (never rowed): DoReMi-style score-driven domain
-# reweighting and its selection consumer (the weighted_budget_select
-# close-the-loop discipline), the winnowing pair, and the composed
-# screened-containment front door plus its subsumption-prune consumer
-# (ROADMAP r17 #2 pulled forward into r16).
-NEVER_ROWED_R16_WAVE = [
-    "doremi_weights",
-    "doremi_resample",
-    "winnow_fingerprints",
-    "winnow_pairs",
+# Round-17 newcomer (never rowed): C4-style line-level cleaning
+# (Raffel et al. 2020 §2.2 — VERDICT r16 #5).
+NEVER_ROWED_R17_WAVE = [
+    "c4_line_filter",
+]
+
+# Plan-affecting code changes in round 17 re-enter the window (the
+# window-hygiene rule) — all from closing the three r16 ADVICE items:
+# the screened-verify broadcast hint is count-gated, subsumption_prune
+# shares one collapse with its pair detector via _exact_pairs_on_reps
+# (also touching containment_near_dup's containment_pairs), and the
+# winnow fps persist gained its materialization barrier.
+CODE_CHANGED_R17 = [
     "containment_screened",
     "subsumption_prune",
-    "shuffle_shard",
+    "winnow_pairs",
+    "containment_near_dup",
 ]
 
-# Plan-affecting code change in round 16 re-enters the window (the
-# window-hygiene rule): ccnet_buckets' unscored bucket now derives from
-# the <2-token narrow predicate instead of a left-anti join against the
-# unpersisted scorer output (VERDICT r15 #1).
-CODE_CHANGED_R16 = [
-    "ccnet_buckets",
+# ALL thirty-six remaining r13-row queries — the stalest ledger cohort,
+# fully retired this rotation (VERDICT r16 #1; named query-by-query in
+# the r16 rotation queue).
+R13_ROTATED_IN_R17 = [
+    "knn_label_vote",
+    "bpe_merges",
+    "bpe_encode",
+    "source_overlap",
+    "record_linkage",
+    "bm25_retrieval",
+    "decontaminate_bloom",
+    "cms_merge_bound",
+    "dataset_mix",
+    "segment_dedup",
+    "chunk_documents",
+    "domain_cap",
+    "trailing_hour_counts",
+    "full_outer_activity",
+    "unpivot_metrics",
+    "event_pairs_10min",
+    "latest_event_per_user",
+    "lang_id",
+    "doc_fingerprint",
+    "pmi_bigrams",
+    "source_length_drift",
+    "exact_substring_dedup",
+    "vocab_encode",
+    "pii_scrub",
+    "bigram_lm_score",
+    "sq_error_stats",
+    "geomean_prices",
+    "bpe_pair_counts",
+    "region_revenue",
+    "top_customers",
+    "window_top_orders",
+    "events_daily",
+    "window_functions",
+    "string_functions",
+    "math_functions",
+    "sessionize_events",
 ]
 
-# ALL thirty-two remaining r12-row queries — the stalest ledger cohort,
-# fully retired this rotation (VERDICT r15 #2; named query-by-query in
-# the r15 rotation queue).
-R12_ROTATED_IN_R16 = [
-    "lone_fault_supplier_q21",
-    "dormant_rich_customers_q22",
-    "quality_classifier",
-    "jl_project",
-    "token_entropy",
-    "hash_sample_per_group",
-    "trigram_backoff_score",
-    "ngram_novelty",
-    "scd2_pit_lookup",
-    "knn_ivf_agreement",
-    "dsir_resample",
-    "hll_merge_bound",
-    "quantile_sketch_bound",
-    "heavy_hitters",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "pagerank_parts",
-    "ann_topk",
-    "embedding_near_dup",
-    "normalize_embeddings",
-    "text_quality",
-    "clean_corpus",
-    "decontaminate",
-    "gopher_quality",
-    "pack_sequences",
-    "media_features",
-    "rollup_merge",
-    "scd2_history",
-    "semantic_dedup",
-    "dedup_stats",
-    "dup_span_coverage",
+# The head of the r14 cohort (ledger order) fills the remaining slots.
+R14_HEAD_IN_R17 = [
+    "zipf_vocab_audit",
+    "pricing_summary",
+    "top_revenue_orders",
+    "volume_shipping_q7",
 ]
 
-# The head of the r13 cohort (ledger order) fills the remaining slots;
-# the seven r16 newcomers displaced knn_label_vote, bpe_merges,
-# bpe_encode, source_overlap, record_linkage, bm25_retrieval and
-# decontaminate_bloom to the r17 queue head.
-R13_HEAD_IN_R16 = [
-    "hard_negative_mining",
-    "anisotropy_audit",
-    "temperature_sample",
-    "cdc_chunk_dedup",
-    "quality_calibration",
-]
-
-# Round 16's window has NO rows-only entry: every in-window query is
+# Round 17's window has NO rows-only entry: every in-window query is
 # fully oracle-checked.
 ROWS_ONLY: set[str] = set()
 
@@ -104,8 +100,8 @@ ROWS_ONLY: set[str] = set()
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + NEVER_ROWED_R16_WAVE + CODE_CHANGED_R16
-        + R12_ROTATED_IN_R16 + R13_HEAD_IN_R16
+        REFERENCE_SURFACE + NEVER_ROWED_R17_WAVE + CODE_CHANGED_R17
+        + R13_ROTATED_IN_R17 + R14_HEAD_IN_R17
     )
     assert len(expected) == WINDOW
     assert window == expected
