@@ -34,6 +34,27 @@ deployment uses is also translated (widening drop-in compatibility):
   CREATE STREAM/TABLE statements can read it.
 - ``WHERE`` clauses pass through (ANSI in both dialects);
   ``UCASE``/``LCASE`` are rewritten to ``upper``/``lower``.
+- ``CREATE TABLE name (cols..., PRIMARY KEY marker) WITH (KAFKA_TOPIC=...,
+  [TIMESTAMP='col'])`` — a SOURCE table over a changelog topic (ksqlDB's
+  second table form, next to CTAS): the registered topic is compacted to
+  the LATEST value per primary key. With a ``TIMESTAMP`` property the
+  latest row per key is selected by that event-time column via one
+  ``max_by(struct(...), rowtime)`` aggregate — a single partial-agg
+  shuffle whose reducer state is ONE row per key, the changelog-compaction
+  shape that scales with the key domain, never the update volume (no
+  row_number window over the full history). Without ``TIMESTAMP`` the
+  topic is taken as already compacted (one row per key — ksql's
+  offset-order "latest" has no batch analog) and only projected.
+  Equal-rowtime updates to the same key are tie-broken arbitrarily, just
+  as ksql's offset order is outside the SQL contract.
+- Stream-table joins: ``SELECT ... FROM stream s LEFT JOIN table t ON
+  s.k = t.k [EMIT CHANGES]`` passes through to Spark SQL (ANSI in both
+  dialects once EMIT CHANGES is stripped). When the stream side is a
+  STREAMING DataFrame this is Spark's native stream-static join — the
+  table side is re-read per micro-batch, no state store involved —
+  matching ksqlDB's stream-table join semantics (each stream row joins
+  the table's current state). Verbatim-payload parity with a DuckDB twin
+  is pinned in tests/test_ksql.py.
 
 Only the dialect subset described above is translated; anything else
 passes through to ``spark.sql`` untouched.
@@ -66,6 +87,14 @@ _CREATE_TABLE_RE = re.compile(
     r"CREATE\s+TABLE\s+(?P<name>\w+)\s+AS\s+(?P<select>.*?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# source-table DDL (column list + WITH, no AS SELECT): ksqlDB's
+# changelog-topic table form
+_CREATE_TABLE_SOURCE_RE = re.compile(
+    r"CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<cols>.*?)\)\s*"
+    r"WITH\s*\((?P<props>.*?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PRIMARY_KEY_RE = re.compile(r"\s+PRIMARY\s+KEY\s*$", re.IGNORECASE)
 _CREATE_STREAM_AS_RE = re.compile(
     r"CREATE\s+STREAM\s+(?P<name>\w+)\s+AS\s+(?P<select>.*?);?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -140,6 +169,12 @@ class KsqlContext:
         m = _CREATE_STREAM_AS_RE.match(sql)
         if m:
             return self._create_stream_as(m["name"], m["select"])
+        # source-table DDL before CTAS: "CREATE TABLE t (cols) WITH (...)"
+        # has no AS, so the CTAS regex can't claim it — but match it first
+        # anyway so the more specific form wins by construction
+        m = _CREATE_TABLE_SOURCE_RE.match(sql)
+        if m:
+            return self._create_table_source(m["name"], m["cols"], m["props"])
         m = _CREATE_TABLE_RE.match(sql)
         if m:
             return self._create_table(m["name"], m["select"])
@@ -181,6 +216,74 @@ class KsqlContext:
                     f"not among the declared columns {out.columns}"
                 )
             self._rowtime[name] = rowtime
+        return out
+
+    def _create_table_source(
+        self, name: str, cols: str, props: str
+    ) -> DataFrame:
+        """Source-table DDL: the topic is a CHANGELOG; the table is the
+        latest value per PRIMARY KEY. Compaction shape (scale note in the
+        module docstring): one ``max_by(struct(non-key cols), rowtime)``
+        aggregate keyed on the primary key — partial-aggregated map-side,
+        reducer state bounded by the key domain. Without a TIMESTAMP
+        property the topic is taken as already compacted and only
+        projected (offset order has no batch analog)."""
+        from pyspark.sql import functions as F
+
+        topic = None
+        rowtime = None
+        for p in props.split(","):
+            k, _, v = p.partition("=")
+            if k.strip().upper() == "KAFKA_TOPIC":
+                topic = v.strip().strip("'\"")
+            elif k.strip().upper() == "TIMESTAMP":
+                rowtime = v.strip().strip("'\"")
+        if topic is None or topic not in self._topics:
+            raise ValueError(
+                f"CREATE TABLE {name}: topic {topic!r} not registered "
+                f"(known: {sorted(self._topics)})"
+            )
+        src = self._topics[topic]
+        exprs: list[str] = []
+        declared: list[str] = []
+        keys: list[str] = []
+        for colspec in cols.split(","):
+            spec = colspec.strip()
+            stripped = _PRIMARY_KEY_RE.sub("", spec)
+            parts = stripped.split()
+            cname, ctype = parts[0], _KSQL_TO_SPARK_TYPES[parts[1].upper()]
+            if stripped != spec:
+                keys.append(cname)
+            declared.append(cname)
+            if cname in src.columns:
+                exprs.append(f"CAST({cname} AS {ctype}) AS {cname}")
+            else:
+                exprs.append(f"CAST(NULL AS {ctype}) AS {cname}")
+        if not keys:
+            raise ValueError(
+                f"CREATE TABLE {name}: a source table needs a PRIMARY KEY "
+                "column (ksqlDB requires one too)"
+            )
+        out = src.selectExpr(*exprs)
+        if rowtime is not None:
+            if rowtime not in declared:
+                raise ValueError(
+                    f"CREATE TABLE {name}: TIMESTAMP column {rowtime!r} is "
+                    f"not among the declared columns {declared}"
+                )
+            self._rowtime[name] = rowtime
+            rest = [c for c in declared if c not in keys]
+            out = (
+                out.groupBy(*keys)
+                .agg(
+                    F.max_by(
+                        F.struct(*rest), F.col(rowtime)
+                    ).alias("_latest")
+                )
+                .select(*keys, *[f"_latest.{c}" for c in rest])
+                .select(*declared)
+            )
+        out.createOrReplaceTempView(name)
         return out
 
     def _create_table(self, name: str, select: str) -> DataFrame:

@@ -272,3 +272,198 @@ def test_csas_rowtime_survives_literal_from(events_ctx):
     )
     rows = events_ctx.execute("SELECT * FROM tagged_hourly;").collect()
     assert sum(r["n"] for r in rows) == 600
+
+
+# ------------------------------------------------- stream-table joins (r17)
+
+CREATE_ORDERS_STREAM = """{
+    "ksql": "CREATE STREAM orders_s (order_id BIGINT, hotel_id BIGINT, amount DOUBLE) WITH (KAFKA_TOPIC='orders_topic', VALUE_FORMAT='JSON');",
+    "streamsProperties": {}
+  }"""
+CREATE_HOTELS_TABLE = """{
+    "ksql": "CREATE TABLE hotel_t (hotel_id BIGINT PRIMARY KEY, tier VARCHAR, updated_at TIMESTAMP) WITH (KAFKA_TOPIC='hotel_changelog', VALUE_FORMAT='JSON', TIMESTAMP='updated_at');",
+    "streamsProperties": {}
+  }"""
+JOIN_QUERY = """{
+    "ksql": "SELECT o.order_id, o.hotel_id, o.amount, h.tier FROM orders_s o LEFT JOIN hotel_t h ON o.hotel_id = h.hotel_id EMIT CHANGES;",
+    "streamsProperties": {}
+  }"""
+
+
+def _order_rows(n=400):
+    # every 7th order references a hotel absent from the changelog so the
+    # LEFT JOIN's null path is exercised
+    return [
+        (i, (i % 25) + (1000 if i % 7 == 0 else 0), float(i) * 1.5)
+        for i in range(n)
+    ]
+
+
+def _changelog_rows():
+    # three versions per hotel key at distinct update times — only the
+    # latest tier may survive compaction
+    import datetime as dt
+
+    rows = []
+    for h in range(25):
+        for v in range(3):
+            rows.append(
+                (
+                    h,
+                    f"tier_{h}_v{v}",
+                    dt.datetime(2024, 1, 1 + v, 12, 0, 0),
+                )
+            )
+    return rows
+
+
+@pytest.fixture()
+def join_ctx(spark):
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "orders_topic",
+        spark.createDataFrame(
+            _order_rows(), "order_id long, hotel_id long, amount double"
+        ),
+    )
+    ctx.register_topic(
+        "hotel_changelog",
+        spark.createDataFrame(
+            _changelog_rows(), "hotel_id long, tier string, updated_at timestamp"
+        ),
+    )
+    return ctx
+
+
+def test_source_table_compacts_changelog_to_latest_per_key(join_ctx):
+    tbl = join_ctx.execute(CREATE_HOTELS_TABLE)
+    rows = tbl.collect()
+    assert len(rows) == 25  # one row per primary key
+    assert all(r.tier.endswith("_v2") for r in rows)  # the latest version
+    assert tbl.columns == ["hotel_id", "tier", "updated_at"]  # declared order
+
+
+def test_stream_table_left_join_matches_duckdb(join_ctx):
+    """The verbatim three-payload stream-table flow vs an INDEPENDENT
+    DuckDB twin computing the same changelog compaction + LEFT JOIN."""
+    import duckdb
+
+    join_ctx.execute(CREATE_ORDERS_STREAM)
+    join_ctx.execute(CREATE_HOTELS_TABLE)
+    got = {
+        (r.order_id, r.hotel_id, r.amount, r.tier)
+        for r in join_ctx.execute(JOIN_QUERY).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "orders_topic",
+        join_ctx.execute("SELECT * FROM orders_s").toPandas(),
+    )
+    import pandas as pd
+
+    con.register(
+        "hotel_changelog",
+        pd.DataFrame(
+            _changelog_rows(), columns=["hotel_id", "tier", "updated_at"]
+        ),
+    )
+    want = {
+        tuple(row)
+        for row in con.execute(
+            """
+            WITH latest AS (
+              SELECT hotel_id, tier FROM (
+                SELECT hotel_id, tier, row_number() OVER (
+                  PARTITION BY hotel_id ORDER BY updated_at DESC) AS rn
+                FROM hotel_changelog) WHERE rn = 1
+            )
+            SELECT o.order_id, o.hotel_id, o.amount, l.tier
+            FROM orders_topic o LEFT JOIN latest l USING (hotel_id)
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert any(t[3] is None for t in got)  # the null path fired
+
+
+def test_stream_table_join_runs_as_stream_static(join_ctx, spark, tmp_path):
+    """The SAME join payload over a genuinely STREAMING orders side:
+    Spark's native stream-static join (table re-read per micro-batch, no
+    state store) must produce exactly the batch join's rows."""
+    import json as _json
+
+    d = tmp_path / "orders_json"
+    d.mkdir()
+    rows = _order_rows()
+    for part in range(4):
+        with open(d / f"part{part}.json", "w") as fh:
+            for r in rows[part::4]:
+                fh.write(
+                    _json.dumps(
+                        {"order_id": r[0], "hotel_id": r[1], "amount": r[2]}
+                    )
+                    + "\n"
+                )
+    stream_src = (
+        spark.readStream.schema("order_id long, hotel_id long, amount double")
+        .json(str(d))
+    )
+    join_ctx.register_topic("orders_topic", stream_src)
+    streamed = join_ctx.execute(CREATE_ORDERS_STREAM)
+    assert streamed.isStreaming
+    join_ctx.execute(CREATE_HOTELS_TABLE)
+    joined = join_ctx.execute(JOIN_QUERY)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("kt_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM kt_join").collect()
+    }
+    # batch truth: same payloads over the batch registration
+    batch_ctx = KsqlContext(spark)
+    batch_ctx.register_topic(
+        "orders_topic",
+        spark.createDataFrame(
+            rows, "order_id long, hotel_id long, amount double"
+        ),
+    )
+    batch_ctx.register_topic(
+        "hotel_changelog",
+        spark.createDataFrame(
+            _changelog_rows(), "hotel_id long, tier string, updated_at timestamp"
+        ),
+    )
+    batch_ctx.execute(CREATE_ORDERS_STREAM)
+    batch_ctx.execute(CREATE_HOTELS_TABLE)
+    want = {tuple(r) for r in batch_ctx.execute(JOIN_QUERY).collect()}
+    assert got == want and len(got) == len(rows)
+
+
+def test_source_table_without_primary_key_is_clear_error(join_ctx):
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        join_ctx.execute(
+            "CREATE TABLE bad_t (hotel_id BIGINT, tier VARCHAR) "
+            "WITH (KAFKA_TOPIC='hotel_changelog', VALUE_FORMAT='JSON');"
+        )
+
+
+def test_source_table_without_timestamp_projects_compacted_topic(join_ctx, spark):
+    """No TIMESTAMP property: the topic is taken as already compacted —
+    pure projection, no aggregate (offset order has no batch analog)."""
+    pre = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "hotel_id long, tier string"
+    )
+    join_ctx.register_topic("hotel_compacted", pre)
+    out = join_ctx.execute(
+        "CREATE TABLE hc_t (hotel_id BIGINT PRIMARY KEY, tier VARCHAR) "
+        "WITH (KAFKA_TOPIC='hotel_compacted', VALUE_FORMAT='JSON');"
+    )
+    assert {tuple(r) for r in out.collect()} == {(1, "gold"), (2, "silver")}
