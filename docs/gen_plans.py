@@ -167,6 +167,12 @@ SECTIONS = [
      "id_a and one (id_b, gram) equi-join — no nested loop, no "
      "cartesian, and the raw gram-string repartition of the exact "
      "operator is gone (3.1-3.6x fewer shuffle bytes, SCALE.md r16)."),
+    ("c4_line_filter", "C4 line-level cleaning — zero-shuffle narrow pass",
+     "Split once, one higher-order line filter, page predicates on the "
+     "raw text, the blocklist as an array literal: the WHOLE plan is "
+     "one WholeStageCodegen project+filter over the scan — no Exchange, "
+     "no join, no Python. At 100 TB this runs at scan speed on every "
+     "executor independently."),
     ("shuffle_shard", "Training-order shuffle — one hash shuffle + shard sort",
      "md5 sort key computed scan-side; the only exchange distributes by "
      "shard and the row_number window is keyed on shard (state bounded "
