@@ -55,6 +55,19 @@ deployment uses is also translated (widening drop-in compatibility):
   matching ksqlDB's stream-table join semantics (each stream row joins
   the table's current state). Verbatim-payload parity with a DuckDB twin
   is pinned in tests/test_ksql.py.
+- Stream-stream joins: ``FROM s1 a JOIN s2 b WITHIN n UNIT ON a.k = b.k``
+  (ksql's windowed join — rows pair only when their event times are
+  within the window) rewrites to the same join with the WITHIN clause
+  moved into the ON condition as a symmetric event-time band:
+  ``ON (a.k = b.k) AND a.rt BETWEEN b.rt - INTERVAL n unit AND b.rt +
+  INTERVAL n unit``, both rowtime columns taken from each side's
+  ``WITH (TIMESTAMP='col')`` declaration. This is EXACTLY the
+  time-range-condition form Spark's stream-stream join requires, so the
+  same statement runs over two streaming registrations (with watermarks
+  on the sources) and over batch ones — both pinned against a DuckDB
+  twin in tests/test_ksql.py. Scale shape: an equi-join on the key with
+  a residual band predicate — shuffle by key, never a cartesian; state
+  in the streaming case is watermark-bounded per key.
 
 Only the dialect subset described above is translated; anything else
 passes through to ``spark.sql`` untouched.
@@ -95,6 +108,21 @@ _CREATE_TABLE_SOURCE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _PRIMARY_KEY_RE = re.compile(r"\s+PRIMARY\s+KEY\s*$", re.IGNORECASE)
+# windowed stream-stream join: FROM s1 [a] [INNER|LEFT [OUTER]|FULL
+# [OUTER]] JOIN s2 [b] WITHIN n UNIT ON  (aliases must not swallow the
+# join keywords / WITHIN — hence the lookaheads)
+_JOIN_WITHIN_RE = re.compile(
+    r"\bFROM\s+(?P<left>\w+)"
+    r"(?:\s+(?!INNER\b|LEFT\b|FULL\b|JOIN\b)(?P<la>\w+))?\s+"
+    r"(?P<jtype>(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?)"
+    r"JOIN\s+(?P<right>\w+)"
+    r"(?:\s+(?!WITHIN\b)(?P<ra>\w+))?\s+"
+    r"WITHIN\s+(?P<n>\d+)\s+(?P<unit>\w+)\s+ON\s+",
+    re.IGNORECASE,
+)
+_CLAUSE_AFTER_ON_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|EMIT)\b", re.IGNORECASE
+)
 _CREATE_STREAM_AS_RE = re.compile(
     r"CREATE\s+STREAM\s+(?P<name>\w+)\s+AS\s+(?P<select>.*?);?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -324,7 +352,54 @@ class KsqlContext:
         select = _map_outside_literals(
             select.rstrip().rstrip(";"), rewrite
         )
-        return self._rewrite_window(select)
+        return self._rewrite_within(self._rewrite_window(select))
+
+    def _rewrite_within(self, select: str) -> str:
+        """``JOIN ... WITHIN n UNIT ON cond`` -> ``JOIN ... ON (cond) AND
+        <symmetric event-time band>`` — the time-range-condition spelling
+        Spark's stream-stream join requires and batch SQL evaluates
+        identically. Both sides must have declared event time
+        (WITH (TIMESTAMP='col'))."""
+        masked = _LITERAL_RE.sub(
+            lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", select
+        )
+        m = _JOIN_WITHIN_RE.search(masked)
+        if not m:
+            return select
+        left, right = m["left"], m["right"]
+        la = m["la"] or left
+        ra = m["ra"] or right
+        for side in (left, right):
+            if side not in self._rowtime:
+                raise ValueError(
+                    f"JOIN WITHIN: side {side!r} has no event-time column — "
+                    "declare it with WITH (TIMESTAMP='col') on CREATE "
+                    "STREAM/TABLE"
+                )
+        lrt, rrt = self._rowtime[left], self._rowtime[right]
+        n, unit = m["n"], m["unit"].lower()
+        cond_end_m = _CLAUSE_AFTER_ON_RE.search(masked, m.end())
+        cond_end = cond_end_m.start() if cond_end_m else len(select)
+        cond = select[m.end():cond_end].strip()
+        band = (
+            f"{la}.{lrt} >= {ra}.{rrt} - INTERVAL {n} {unit} AND "
+            f"{la}.{lrt} <= {ra}.{rrt} + INTERVAL {n} {unit}"
+        )
+        jtype = (m["jtype"] or "").strip()
+        head = " ".join(
+            ["FROM", left]
+            + ([m["la"]] if m["la"] else [])
+            + ([jtype] if jtype else [])
+            + ["JOIN", right]
+            + ([m["ra"]] if m["ra"] else [])
+            + ["ON"]
+        ) + " "
+        return (
+            select[: m.start()]
+            + head
+            + f"({cond}) AND {band} "
+            + select[cond_end:]
+        )
 
     def _rewrite_window(self, select: str) -> str:
         # Search on a literal-masked copy (same length, so spans align with

@@ -467,3 +467,155 @@ def test_source_table_without_timestamp_projects_compacted_topic(join_ctx, spark
         "WITH (KAFKA_TOPIC='hotel_compacted', VALUE_FORMAT='JSON');"
     )
     assert {tuple(r) for r in out.collect()} == {(1, "gold"), (2, "silver")}
+
+
+# ------------------------------------------- stream-stream WITHIN joins (r17)
+
+CREATE_CLICKS = (
+    "CREATE STREAM clicks_s (user_id BIGINT, cts TIMESTAMP) "
+    "WITH (KAFKA_TOPIC='clicks_topic', VALUE_FORMAT='JSON', TIMESTAMP='cts');"
+)
+CREATE_VIEWS = (
+    "CREATE STREAM views_s (user_id BIGINT, vts TIMESTAMP) "
+    "WITH (KAFKA_TOPIC='views_topic', VALUE_FORMAT='JSON', TIMESTAMP='vts');"
+)
+WITHIN_QUERY = (
+    "SELECT c.user_id, c.cts, v.vts FROM clicks_s c JOIN views_s v "
+    "WITHIN 10 MINUTES ON c.user_id = v.user_id EMIT CHANGES;"
+)
+
+
+def _click_rows():
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # user u clicks at +0, +25 min; views land at +5 (inside the band for
+    # the first click only) and +70 (outside both)
+    return (
+        [(u, base + dt.timedelta(minutes=m)) for u in range(20) for m in (0, 25)],
+        [(u, base + dt.timedelta(minutes=m)) for u in range(20) for m in (5, 70)],
+    )
+
+
+@pytest.fixture()
+def within_ctx(spark):
+    clicks, views = _click_rows()
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "clicks_topic",
+        spark.createDataFrame(clicks, "user_id long, cts timestamp"),
+    )
+    ctx.register_topic(
+        "views_topic",
+        spark.createDataFrame(views, "user_id long, vts timestamp"),
+    )
+    ctx.execute(CREATE_CLICKS)
+    ctx.execute(CREATE_VIEWS)
+    return ctx
+
+
+def test_within_join_matches_duckdb(within_ctx):
+    import duckdb
+    import pandas as pd
+
+    got = {tuple(r) for r in within_ctx.execute(WITHIN_QUERY).collect()}
+    clicks, views = _click_rows()
+    con = duckdb.connect()
+    con.register("clicks_s", pd.DataFrame(clicks, columns=["user_id", "cts"]))
+    con.register("views_s", pd.DataFrame(views, columns=["user_id", "vts"]))
+    want = {
+        tuple(row)
+        for row in con.execute(
+            "SELECT c.user_id, c.cts, v.vts FROM clicks_s c JOIN views_s v "
+            "ON c.user_id = v.user_id AND c.cts BETWEEN "
+            "v.vts - INTERVAL 10 MINUTE AND v.vts + INTERVAL 10 MINUTE"
+        ).fetchall()
+    }
+    assert got == want
+    # each user: click@0 x view@5 and click@25 x view@... 25-5=20 > 10, out;
+    # 70-25=45, out -> exactly ONE pair per user
+    assert len(got) == 20
+
+
+def test_within_join_requires_event_time(spark):
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "clicks_topic",
+        spark.createDataFrame([(1,)], "user_id long"),
+    )
+    ctx.execute(
+        "CREATE STREAM clicks_nt (user_id BIGINT) "
+        "WITH (KAFKA_TOPIC='clicks_topic', VALUE_FORMAT='JSON');"
+    )
+    with pytest.raises(ValueError, match="event-time"):
+        ctx.execute(
+            "SELECT * FROM clicks_nt a JOIN clicks_nt b WITHIN 1 HOURS "
+            "ON a.user_id = b.user_id;"
+        )
+
+
+def test_within_join_left_outer(within_ctx):
+    """LEFT JOIN WITHIN keeps unmatched stream rows with NULLs."""
+    rows = within_ctx.execute(
+        "SELECT c.user_id, c.cts, v.vts FROM clicks_s c LEFT JOIN views_s v "
+        "WITHIN 10 MINUTES ON c.user_id = v.user_id;"
+    ).collect()
+    matched = [r for r in rows if r.vts is not None]
+    unmatched = [r for r in rows if r.vts is None]
+    assert len(matched) == 20 and len(unmatched) == 20  # the +25min clicks
+
+
+def test_within_join_runs_stream_stream(within_ctx, spark, tmp_path):
+    """The SAME WITHIN payload over two genuinely STREAMING sides is
+    Spark's native stream-stream join (the rewrite emits exactly the
+    time-range condition it requires) and must reproduce the batch rows."""
+    import json as _json
+
+    # batch truth FIRST: temp views are session-global, so the streaming
+    # registration below will repoint clicks_s/views_s at streaming DFs
+    want = {tuple(r) for r in within_ctx.execute(WITHIN_QUERY).collect()}
+
+    clicks, views = _click_rows()
+    for name, rows, col in (
+        ("clicks", clicks, "cts"),
+        ("views", views, "vts"),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        for part in range(2):
+            with open(d / f"p{part}.json", "w") as fh:
+                for r in rows[part::2]:
+                    fh.write(
+                        _json.dumps(
+                            {"user_id": r[0], col: r[1].isoformat(sep=" ")}
+                        )
+                        + "\n"
+                    )
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "clicks_topic",
+        spark.readStream.schema("user_id long, cts timestamp").json(
+            str(tmp_path / "clicks")
+        ),
+    )
+    ctx.register_topic(
+        "views_topic",
+        spark.readStream.schema("user_id long, vts timestamp").json(
+            str(tmp_path / "views")
+        ),
+    )
+    ctx.execute(CREATE_CLICKS)
+    ctx.execute(CREATE_VIEWS)
+    joined = ctx.execute(WITHIN_QUERY)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_within")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ss_within").collect()}
+    assert got == want and len(got) == 20
