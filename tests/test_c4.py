@@ -82,3 +82,36 @@ def test_plan_is_exchange_free(spark, sf_dir):
     )
     assert "Exchange" not in plan  # one narrow scan->project->filter pass
     assert "BroadcastNestedLoopJoin" not in plan and "Join" not in plan
+
+
+def test_c4_streams_stateless(spark, tmp_path):
+    """c4_line_filter is a stateless narrow pass, so the SAME code runs
+    unchanged on a streaming DataFrame (append mode, no state store) and
+    emits exactly the batch rows."""
+    import json as _json
+
+    rows = [
+        (1, "\n".join([GOOD, GOOD, GOOD])),
+        (2, "\n".join([GOOD, GOOD])),  # dropped: < 3 kept lines
+        (3, "\n".join([GOOD, GOOD, GOOD, "We need lorem ipsum filler."])),
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    with open(d / "p0.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps({"doc_id": r[0], "text": r[1]}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    out = CU.c4_line_filter(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("c4_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM c4_stream").collect()}
+    want = {tuple(r) for r in CU.c4_line_filter(_docs(spark, rows)).collect()}
+    assert got == want and {t[0] for t in got} == {1}
