@@ -55,19 +55,41 @@ deployment uses is also translated (widening drop-in compatibility):
   matching ksqlDB's stream-table join semantics (each stream row joins
   the table's current state). Verbatim-payload parity with a DuckDB twin
   is pinned in tests/test_ksql.py.
-- Stream-stream joins: ``FROM s1 a JOIN s2 b WITHIN n UNIT ON a.k = b.k``
-  (ksql's windowed join — rows pair only when their event times are
-  within the window) rewrites to the same join with the WITHIN clause
-  moved into the ON condition as a symmetric event-time band:
-  ``ON (a.k = b.k) AND a.rt BETWEEN b.rt - INTERVAL n unit AND b.rt +
-  INTERVAL n unit``, both rowtime columns taken from each side's
-  ``WITH (TIMESTAMP='col')`` declaration. This is EXACTLY the
-  time-range-condition form Spark's stream-stream join requires, so the
-  same statement runs over two streaming registrations (with watermarks
-  on the sources) and over batch ones — both pinned against a DuckDB
-  twin in tests/test_ksql.py. Scale shape: an equi-join on the key with
-  a residual band predicate — shuffle by key, never a cartesian; state
-  in the streaming case is watermark-bounded per key.
+- Stream-stream joins: ``FROM s1 a JOIN s2 b WITHIN n UNIT [GRACE
+  PERIOD g UNIT] ON a.k = b.k`` (ksql's windowed join — rows pair only
+  when their event times are within the window) rewrites to the same
+  join with the WITHIN clause moved into the ON condition as a
+  symmetric event-time band: ``ON (a.k = b.k) AND a.rt BETWEEN b.rt -
+  INTERVAL n unit AND b.rt + INTERVAL n unit``, both rowtime columns
+  taken from each side's ``WITH (TIMESTAMP='col')`` declaration. This
+  is EXACTLY the time-range-condition form Spark's stream-stream join
+  requires. When a join side is a STREAMING registration, the rewrite
+  also applies ``withWatermark`` to it (ADVICE r17 #3 — previously the
+  docstring claimed bounded state the module never established): the
+  watermark delay is the GRACE PERIOD when declared, else the window
+  size itself (ksqlDB's grace bounds out-of-order acceptance the same
+  way), so streaming state really is watermark-bounded per key and
+  streaming LEFT JOIN WITHIN works in append mode. GRACE PERIOD is a
+  late-data acceptance bound only — in batch evaluation (no late data)
+  it never changes results. A statement may contain SEVERAL windowed
+  joins — the rewrite loops until none remain (ADVICE r17 #4) and
+  raises a dialect error if an unparseable WITHIN survives. Scale
+  shape: an equi-join on the key with a residual band predicate —
+  shuffle by key, never a cartesian.
+- Table-table joins: ``SELECT ... FROM t1 JOIN t2 ON t1.k = t2.k``
+  over two (source or CTAS) tables evaluates over each table's CURRENT
+  state — ksqlDB's table-table join semantics re-expressed as a pull
+  query over materialized views. Batch tables are plain views, so the
+  join passes through to Spark SQL. A source table whose changelog
+  topic is a STREAMING DataFrame is MATERIALIZED at DDL time: the
+  same ``max_by(struct, rowtime)`` compaction runs as a streaming
+  aggregation into a complete-mode in-memory sink (Spark cannot join
+  two streaming aggregations directly — the materialize-then-join
+  split is the Spark-native spelling of ksqlDB's RocksDB-backed table
+  join, and the memory table after each micro-batch IS the compacted
+  table). ``process_available()`` advances all such materializations;
+  joins then read the refreshed state. Pinned against a DuckDB twin
+  AND run with a real streaming changelog in tests/test_ksql.py.
 
 Only the dialect subset described above is translated; anything else
 passes through to ``spark.sql`` untouched.
@@ -117,11 +139,16 @@ _JOIN_WITHIN_RE = re.compile(
     r"(?P<jtype>(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?)"
     r"JOIN\s+(?P<right>\w+)"
     r"(?:\s+(?!WITHIN\b)(?P<ra>\w+))?\s+"
-    r"WITHIN\s+(?P<n>\d+)\s+(?P<unit>\w+)\s+ON\s+",
+    r"WITHIN\s+(?P<n>\d+)\s+(?P<unit>\w+)"
+    r"(?:\s+GRACE\s+PERIOD\s+(?P<gn>\d+)\s+(?P<gunit>\w+))?"
+    r"\s+ON\s+",
     re.IGNORECASE,
 )
+_WITHIN_RESIDUAL_RE = re.compile(r"\bWITHIN\b", re.IGNORECASE)
 _CLAUSE_AFTER_ON_RE = re.compile(
-    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|EMIT)\b", re.IGNORECASE
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|EMIT|"
+    r"(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?JOIN)\b",
+    re.IGNORECASE,
 )
 _CREATE_STREAM_AS_RE = re.compile(
     r"CREATE\s+STREAM\s+(?P<name>\w+)\s+AS\s+(?P<select>.*?);?\s*$",
@@ -177,10 +204,27 @@ class KsqlContext:
         self._topics: dict[str, DataFrame] = {}
         # event-time column per stream/view name (ksql WITH (TIMESTAMP=...))
         self._rowtime: dict[str, str] = {}
+        # DataFrame behind each registered view (needed to re-register a
+        # streaming side with a watermark at WITHIN-join rewrite time)
+        self._views: dict[str, DataFrame] = {}
+        # running materializations of streaming source tables, by name
+        self._queries: dict[str, object] = {}
 
     # -- topic registry (the "broker") ------------------------------------
     def register_topic(self, topic: str, df: DataFrame) -> None:
         self._topics[topic] = df
+
+    # -- streaming-table lifecycle -----------------------------------------
+    def process_available(self) -> None:
+        """Advance every streaming source-table materialization to the end
+        of its currently-available input (the test/pull-query barrier)."""
+        for q in self._queries.values():
+            q.processAllAvailable()
+
+    def stop_all(self) -> None:
+        for q in self._queries.values():
+            q.stop()
+        self._queries.clear()
 
     # -- statement execution ----------------------------------------------
     def execute(self, payload_or_sql: str) -> DataFrame | None:
@@ -237,6 +281,7 @@ class KsqlContext:
                 exprs.append(f"CAST(NULL AS {ctype}) AS {cname}")
         out = src.selectExpr(*exprs)
         out.createOrReplaceTempView(name)
+        self._views[name] = out
         if rowtime is not None:
             if rowtime not in out.columns:
                 raise ValueError(
@@ -282,6 +327,17 @@ class KsqlContext:
             cname, ctype = parts[0], _KSQL_TO_SPARK_TYPES[parts[1].upper()]
             if stripped != spec:
                 keys.append(cname)
+                if cname not in src.columns:
+                    # ADVICE r17 #2: NULL-filling a missing key would group
+                    # the whole changelog under one NULL key and silently
+                    # compact it to a single row; ksqlDB rejects a null
+                    # primary key — so do we, loudly.
+                    raise ValueError(
+                        f"CREATE TABLE {name}: PRIMARY KEY column {cname!r} "
+                        f"is absent from topic {topic!r}'s columns "
+                        f"{src.columns} — a changelog key cannot be "
+                        "NULL-filled"
+                    )
             declared.append(cname)
             if cname in src.columns:
                 exprs.append(f"CAST({cname} AS {ctype}) AS {cname}")
@@ -311,12 +367,40 @@ class KsqlContext:
                 .select(*keys, *[f"_latest.{c}" for c in rest])
                 .select(*declared)
             )
+        if out.isStreaming:
+            # streaming changelog topic: Spark cannot join a streaming
+            # aggregation to anything else directly, so the table is
+            # MATERIALIZED — the compaction runs as a streaming agg into a
+            # complete-mode memory sink whose table after each micro-batch
+            # IS the compacted state (the Spark-native spelling of
+            # ksqlDB's RocksDB-backed table; module docstring). Pull
+            # queries and table-table joins read the materialized view.
+            if rowtime is None:
+                raise ValueError(
+                    f"CREATE TABLE {name}: a STREAMING changelog topic "
+                    "needs WITH (TIMESTAMP='col') so compaction can pick "
+                    "the latest row per key (offset order is not "
+                    "observable from a DataFrame registration)"
+                )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .start()
+            )
+            self._queries[name] = q
+            q.processAllAvailable()
+            out = self.spark.table(name)
+            self._views[name] = out
+            return out
         out.createOrReplaceTempView(name)
+        self._views[name] = out
         return out
 
     def _create_table(self, name: str, select: str) -> DataFrame:
         out = self.spark.sql(self._rewrite_select(select))
         out.createOrReplaceTempView(name)
+        self._views[name] = out
         return out
 
     def _create_stream_as(self, name: str, select: str) -> DataFrame:
@@ -325,6 +409,7 @@ class KsqlContext:
         writing the derived stream back to a topic."""
         out = self.spark.sql(self._rewrite_select(select))
         out.createOrReplaceTempView(name)
+        self._views[name] = out
         self._topics[name] = out
         # event time survives derivation if the source's rowtime column is
         # still present in the output (ksql keeps ROWTIME implicitly).
@@ -355,51 +440,94 @@ class KsqlContext:
         return self._rewrite_within(self._rewrite_window(select))
 
     def _rewrite_within(self, select: str) -> str:
-        """``JOIN ... WITHIN n UNIT ON cond`` -> ``JOIN ... ON (cond) AND
-        <symmetric event-time band>`` — the time-range-condition spelling
-        Spark's stream-stream join requires and batch SQL evaluates
-        identically. Both sides must have declared event time
-        (WITH (TIMESTAMP='col'))."""
-        masked = _LITERAL_RE.sub(
-            lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", select
-        )
-        m = _JOIN_WITHIN_RE.search(masked)
-        if not m:
-            return select
-        left, right = m["left"], m["right"]
-        la = m["la"] or left
-        ra = m["ra"] or right
-        for side in (left, right):
-            if side not in self._rowtime:
-                raise ValueError(
-                    f"JOIN WITHIN: side {side!r} has no event-time column — "
-                    "declare it with WITH (TIMESTAMP='col') on CREATE "
-                    "STREAM/TABLE"
-                )
-        lrt, rrt = self._rowtime[left], self._rowtime[right]
-        n, unit = m["n"], m["unit"].lower()
-        cond_end_m = _CLAUSE_AFTER_ON_RE.search(masked, m.end())
-        cond_end = cond_end_m.start() if cond_end_m else len(select)
-        cond = select[m.end():cond_end].strip()
-        band = (
-            f"{la}.{lrt} >= {ra}.{rrt} - INTERVAL {n} {unit} AND "
-            f"{la}.{lrt} <= {ra}.{rrt} + INTERVAL {n} {unit}"
-        )
-        jtype = (m["jtype"] or "").strip()
-        head = " ".join(
-            ["FROM", left]
-            + ([m["la"]] if m["la"] else [])
-            + ([jtype] if jtype else [])
-            + ["JOIN", right]
-            + ([m["ra"]] if m["ra"] else [])
-            + ["ON"]
-        ) + " "
-        return (
-            select[: m.start()]
-            + head
-            + f"({cond}) AND {band} "
-            + select[cond_end:]
-        )
+        """``JOIN ... WITHIN n UNIT [GRACE PERIOD g UNIT] ON cond`` ->
+        ``JOIN ... ON (cond) AND <symmetric event-time band>`` — the
+        time-range-condition spelling Spark's stream-stream join requires
+        and batch SQL evaluates identically. Both sides must have declared
+        event time (WITH (TIMESTAMP='col')). Loops until every windowed
+        join is rewritten (ADVICE r17 #4 — a statement may hold several)
+        and raises on an unparseable residual WITHIN. Streaming sides get
+        ``withWatermark`` applied and re-registered (ADVICE r17 #3): delay
+        = GRACE PERIOD when declared, else the window size — so streaming
+        join state is genuinely watermark-bounded and LEFT JOIN WITHIN
+        works in append mode. GRACE PERIOD only bounds late-data
+        acceptance; batch results never depend on it. Limitation: a
+        CHAINED windowed join (``... JOIN s3 WITHIN m UNIT ON ...`` after
+        a first windowed join in the same FROM) is rejected with the
+        residual-WITHIN error rather than guessed at — Kafka Streams
+        stamps the intermediate record max(l.ts, r.ts), a derived event
+        time Spark's stream-stream state eviction cannot key on; separate
+        FROM clauses (subqueries) each with their own windowed join are
+        fully supported by the loop."""
+        while True:
+            masked = _LITERAL_RE.sub(
+                lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", select
+            )
+            m = _JOIN_WITHIN_RE.search(masked)
+            if not m:
+                if _WITHIN_RESIDUAL_RE.search(masked):
+                    raise ValueError(
+                        "JOIN WITHIN: a WITHIN clause remains that the "
+                        "dialect cannot parse — expected 'JOIN s WITHIN n "
+                        "UNIT [GRACE PERIOD g UNIT] ON ...' in: " + select
+                    )
+                return select
+            left, right = m["left"], m["right"]
+            la = m["la"] or left
+            ra = m["ra"] or right
+            for side in (left, right):
+                if side not in self._rowtime:
+                    raise ValueError(
+                        f"JOIN WITHIN: side {side!r} has no event-time "
+                        "column — declare it with WITH (TIMESTAMP='col') "
+                        "on CREATE STREAM/TABLE"
+                    )
+            lrt, rrt = self._rowtime[left], self._rowtime[right]
+            n, unit = m["n"], m["unit"].lower()
+            delay = (
+                f"{m['gn']} {m['gunit'].lower()}"
+                if m["gn"] is not None
+                else f"{n} {unit}"
+            )
+            for side in (left, right):
+                df = self._views.get(side)
+                if df is not None and df.isStreaming:
+                    wm = df.withWatermark(self._rowtime[side], delay)
+                    wm.createOrReplaceTempView(side)
+                    self._views[side] = wm
+            cond_end_m = _CLAUSE_AFTER_ON_RE.search(masked, m.end())
+            cond_end = cond_end_m.start() if cond_end_m else len(select)
+            # inside a subquery the condition also ends at the subquery's
+            # closing paren — stop at the first unbalanced ')'
+            depth = 0
+            for i in range(m.end(), cond_end):
+                if masked[i] == "(":
+                    depth += 1
+                elif masked[i] == ")":
+                    depth -= 1
+                    if depth < 0:
+                        cond_end = i
+                        break
+            cond = select[m.end():cond_end].strip()
+            band = (
+                f"{la}.{lrt} >= {ra}.{rrt} - INTERVAL {n} {unit} AND "
+                f"{la}.{lrt} <= {ra}.{rrt} + INTERVAL {n} {unit}"
+            )
+            jtype = (m["jtype"] or "").strip()
+            head = " ".join(
+                ["FROM", left]
+                + ([m["la"]] if m["la"] else [])
+                + ([jtype] if jtype else [])
+                + ["JOIN", right]
+                + ([m["ra"]] if m["ra"] else [])
+                + ["ON"]
+            ) + " "
+            select = (
+                select[: m.start()]
+                + head
+                + f"({cond}) AND {band} "
+                + select[cond_end:]
+            )
 
     def _rewrite_window(self, select: str) -> str:
         # Search on a literal-masked copy (same length, so spans align with

@@ -37,6 +37,8 @@ a cartesian product, or an unpartitioned global window.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1848,7 +1850,11 @@ def c4_line_filter(
     kept lines reassemble IN ORDER with ``\\n``. PAGE rules (drop the
     whole document): fewer than ``min_kept_lines`` retained lines, any
     occurrence of "lorem ipsum" (case-insensitive), any ``{`` (code
-    boilerplate), or any whitespace token on the ``badwords`` blocklist.
+    boilerplate), or any word-boundary OCCURRENCE of a ``badwords``
+    blocklist entry in the lowered page text (ADVICE r17 #5: C4's
+    bad-words check matches occurrences within the page, so a badword
+    adjacent to punctuation — "badword1." — must still trip it; the
+    earlier whole-token ``arrays_overlap`` spelling let it escape).
     C4's remaining rule — the three-sentence-span cross-page dedup — is
     ``exact_substring_dedup``'s domain and deliberately not duplicated
     here.
@@ -1870,6 +1876,10 @@ def c4_line_filter(
         & l.rlike('[.!?"]$')
         & ~F.lower(l).contains("javascript")
     )
+    # occurrence match with word boundaries (never substring-inside-a-
+    # word: "badword1x" stays clean, "badword1." trips) — one rlike over
+    # the lowered page text, still a narrow per-row predicate
+    badword_re = r"\b(" + "|".join(re.escape(b) for b in badwords) + r")\b"
     lined = docs.select(
         "doc_id", "text", F.split(F.col("text"), "\n").alias("_lines")
     )
@@ -1881,9 +1891,7 @@ def c4_line_filter(
             (F.size("_kept") >= min_kept_lines)
             & ~F.lower(F.col("text")).contains("lorem ipsum")
             & ~F.col("text").contains("{")
-            & ~F.arrays_overlap(
-                F.split(F.lower(F.col("text")), r"\s+"), F.lit(list(badwords))
-            )
+            & ~F.lower(F.col("text")).rlike(badword_re)
         )
         .select(
             "doc_id",
@@ -1995,6 +2003,5 @@ FROM pages
 WHERE n_kept >= {C4_MIN_KEPT_LINES}
   AND NOT contains(lower(full_text), 'lorem ipsum')
   AND NOT contains(full_text, '{{')
-  AND NOT list_has_any(string_split_regex(lower(full_text), '\\s+'),
-                       ['badword1', 'badword2'])
+  AND NOT regexp_matches(lower(full_text), '\\b(badword1|badword2)\\b')
 """

@@ -52,8 +52,12 @@ def test_page_rules(spark):
         (3, three_good + "\nWe need Lorem Ipsum filler."),  # lorem ipsum
         (4, three_good + "\nif (x) { return; }"),  # brace
         (5, three_good + "\nthis page mentions badword1 clearly."),  # blocklist
-        # blocklist is TOKEN-level: 'badword1x' is not a hit
+        # blocklist matches word-boundary OCCURRENCES (ADVICE r17 #5):
+        # 'badword1x' is a different word — not a hit ...
         (6, three_good + "\nthis page mentions badword1x clearly."),
+        # ... but punctuation-adjacent 'badword1.' IS one (C4 semantics)
+        (7, three_good + "\nthis page ends with badword1."),
+        (8, three_good + "\nBADWORD2, capitalized and comma'd."),
     ]
     kept = sorted(r.doc_id for r in CU.c4_line_filter(_docs(spark, rows)).collect())
     assert kept == [1, 6]

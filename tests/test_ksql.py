@@ -619,3 +619,311 @@ def test_within_join_runs_stream_stream(within_ctx, spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM ss_within").collect()}
     assert got == want and len(got) == 20
+
+
+# -------------------------------------------------- round-18 additions
+
+def test_source_table_missing_primary_key_column_is_clear_error(join_ctx):
+    """ADVICE r17 #2: a PRIMARY KEY column absent from the topic must be
+    rejected loudly, never NULL-filled (which would compact the whole
+    changelog under one NULL key to a single row)."""
+    with pytest.raises(ValueError, match="PRIMARY KEY column 'missing_key'"):
+        join_ctx.execute(
+            "CREATE TABLE bad_key_t (missing_key BIGINT PRIMARY KEY, "
+            "tier VARCHAR, updated_at TIMESTAMP) "
+            "WITH (KAFKA_TOPIC='hotel_changelog', VALUE_FORMAT='JSON', "
+            "TIMESTAMP='updated_at');"
+        )
+
+
+def test_within_join_grace_period_batch_parity(within_ctx):
+    """GRACE PERIOD bounds late-data acceptance only — batch evaluation
+    (no late data) must return exactly the plain-WITHIN rows."""
+    plain = {tuple(r) for r in within_ctx.execute(WITHIN_QUERY).collect()}
+    graced = {
+        tuple(r)
+        for r in within_ctx.execute(
+            "SELECT c.user_id, c.cts, v.vts FROM clicks_s c JOIN views_s v "
+            "WITHIN 10 MINUTES GRACE PERIOD 2 MINUTES "
+            "ON c.user_id = v.user_id EMIT CHANGES;"
+        ).collect()
+    }
+    assert graced == plain and len(graced) == 20
+
+
+def test_chained_windowed_join_is_clear_dialect_error(within_ctx):
+    """ADVICE r17 #4: a second WITHIN the rewrite cannot parse must raise
+    a dialect error, not leak raw WITHIN into Spark's parser."""
+    with pytest.raises(ValueError, match="WITHIN"):
+        within_ctx.execute(
+            "SELECT * FROM clicks_s c JOIN views_s v WITHIN 10 MINUTES "
+            "ON c.user_id = v.user_id JOIN views_s w WITHIN 5 MINUTES "
+            "ON c.user_id = w.user_id;"
+        )
+
+
+def test_two_windowed_joins_in_subqueries_both_rewrite(within_ctx):
+    """The rewrite LOOPS: two windowed joins in separate FROM clauses
+    (subqueries) are both translated (ADVICE r17 #4)."""
+    import duckdb
+    import pandas as pd
+
+    got = {
+        tuple(r)
+        for r in within_ctx.execute(
+            "SELECT * FROM ("
+            "SELECT c.user_id AS u FROM clicks_s c JOIN views_s v "
+            "WITHIN 10 MINUTES ON c.user_id = v.user_id) a "
+            "JOIN ("
+            "SELECT c.user_id AS u FROM clicks_s c JOIN views_s v "
+            "WITHIN 5 MINUTES ON c.user_id = v.user_id) b "
+            "ON a.u = b.u;"
+        ).collect()
+    }
+    clicks, views = _click_rows()
+    con = duckdb.connect()
+    con.register("clicks_s", pd.DataFrame(clicks, columns=["user_id", "cts"]))
+    con.register("views_s", pd.DataFrame(views, columns=["user_id", "vts"]))
+    want = {
+        tuple(row)
+        for row in con.execute(
+            "SELECT * FROM ("
+            "SELECT c.user_id AS u FROM clicks_s c JOIN views_s v "
+            "ON c.user_id = v.user_id AND c.cts BETWEEN "
+            "v.vts - INTERVAL 10 MINUTE AND v.vts + INTERVAL 10 MINUTE) a "
+            "JOIN ("
+            "SELECT c.user_id AS u FROM clicks_s c JOIN views_s v "
+            "ON c.user_id = v.user_id AND c.cts BETWEEN "
+            "v.vts - INTERVAL 5 MINUTE AND v.vts + INTERVAL 5 MINUTE) b "
+            "ON a.u = b.u"
+        ).fetchall()
+    }
+    assert got == want and len(got) == 20
+
+
+def test_within_join_streaming_left_outer_with_watermark(spark, tmp_path):
+    """Streaming LEFT JOIN WITHIN in append mode: impossible without
+    watermarks (Spark rejects the query at start) — the rewrite now
+    applies them to streaming sides (ADVICE r17 #3). A far-future
+    sentinel row on each side pushes the watermark past every real row
+    so unmatched clicks flush as NULL-padded results."""
+    import datetime as dt
+    import json as _json
+
+    clicks, views = _click_rows()
+    sentinel = dt.datetime(2024, 3, 3, 12, 0, 0)  # 2 days later
+    clicks = clicks + [(999, sentinel)]
+    views = views + [(999, sentinel)]
+    for name, rows, col in (("clicks", clicks, "cts"), ("views", views, "vts")):
+        d = tmp_path / name
+        d.mkdir()
+        # two files read as two micro-batches (maxFilesPerTrigger=1): the
+        # sentinel lands in batch 2, advancing the watermark over batch 1
+        bulk, tail = rows[:-1], rows[-1:]
+        for fname, part in (("p0.json", bulk), ("p1_late.json", tail)):
+            with open(d / fname, "w") as fh:
+                for r in part:
+                    fh.write(
+                        _json.dumps(
+                            {"user_id": r[0], col: r[1].isoformat(sep=" ")}
+                        )
+                        + "\n"
+                    )
+    ctx = KsqlContext(spark)
+    for topic, sub, schema in (
+        ("clicks_topic", "clicks", "user_id long, cts timestamp"),
+        ("views_topic", "views", "user_id long, vts timestamp"),
+    ):
+        ctx.register_topic(
+            topic,
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(tmp_path / sub)),
+        )
+    ctx.execute(CREATE_CLICKS)
+    ctx.execute(CREATE_VIEWS)
+    joined = ctx.execute(
+        "SELECT c.user_id, c.cts, v.vts FROM clicks_s c LEFT JOIN views_s v "
+        "WITHIN 10 MINUTES GRACE PERIOD 1 MINUTES ON c.user_id = v.user_id;"
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_within_left")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.sql("SELECT * FROM ss_within_left").collect()
+    matched = {(r.user_id, r.cts, r.vts) for r in rows_out if r.vts is not None}
+    # batch truth for the matched set
+    batch = KsqlContext(spark)
+    batch.register_topic(
+        "clicks_topic",
+        spark.createDataFrame(clicks, "user_id long, cts timestamp"),
+    )
+    batch.register_topic(
+        "views_topic",
+        spark.createDataFrame(views, "user_id long, vts timestamp"),
+    )
+    batch.execute(CREATE_CLICKS)
+    batch.execute(CREATE_VIEWS)
+    want_matched = {
+        (r.user_id, r.cts, r.vts)
+        for r in batch.execute(WITHIN_QUERY).collect()
+        if r.user_id != 999
+    } | {(999, sentinel, sentinel)}
+    assert matched == want_matched
+    # the NULL path flushed once the sentinel advanced the watermark
+    unmatched = {r.user_id for r in rows_out if r.vts is None}
+    assert len(unmatched) == 20  # every user's +25min click
+
+
+# --------------------------------------------------- table-table joins (r18)
+
+CREATE_CAPACITY_TABLE = (
+    "CREATE TABLE cap_t (hotel_id BIGINT PRIMARY KEY, rooms BIGINT, "
+    "cap_at TIMESTAMP) WITH (KAFKA_TOPIC='capacity_changelog', "
+    "VALUE_FORMAT='JSON', TIMESTAMP='cap_at');"
+)
+TT_JOIN_QUERY = (
+    "SELECT h.hotel_id AS hotel_id, h.tier AS tier, c.rooms AS rooms "
+    "FROM hotel_t h LEFT JOIN cap_t c ON h.hotel_id = c.hotel_id "
+    "EMIT CHANGES;"
+)
+
+
+def _capacity_rows():
+    # two versions per hotel for keys 0..19 (keys 20..24 missing so the
+    # LEFT JOIN null path fires); latest version carries rooms = key*10+1
+    import datetime as dt
+
+    rows = []
+    for h in range(20):
+        for v in range(2):
+            rows.append(
+                (h, h * 10 + v, dt.datetime(2024, 2, 1 + v, 9, 0, 0))
+            )
+    return rows
+
+
+def test_table_table_join_matches_duckdb(join_ctx, spark):
+    """ksqlDB table-table join: both sides changelog-compacted, joined on
+    the primary key — vs an INDEPENDENT DuckDB twin doing the same two
+    compactions + LEFT JOIN."""
+    import duckdb
+    import pandas as pd
+
+    join_ctx.register_topic(
+        "capacity_changelog",
+        spark.createDataFrame(
+            _capacity_rows(), "hotel_id long, rooms long, cap_at timestamp"
+        ),
+    )
+    join_ctx.execute(CREATE_HOTELS_TABLE)
+    join_ctx.execute(CREATE_CAPACITY_TABLE)
+    got = {
+        (r.hotel_id, r.tier, r.rooms)
+        for r in join_ctx.execute(TT_JOIN_QUERY).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "hotel_changelog",
+        pd.DataFrame(
+            _changelog_rows(), columns=["hotel_id", "tier", "updated_at"]
+        ),
+    )
+    con.register(
+        "capacity_changelog",
+        pd.DataFrame(
+            _capacity_rows(), columns=["hotel_id", "rooms", "cap_at"]
+        ),
+    )
+    want = {
+        tuple(row)
+        for row in con.execute(
+            """
+            WITH h AS (
+              SELECT hotel_id, tier FROM (
+                SELECT hotel_id, tier, row_number() OVER (
+                  PARTITION BY hotel_id ORDER BY updated_at DESC) rn
+                FROM hotel_changelog) WHERE rn = 1),
+            c AS (
+              SELECT hotel_id, rooms FROM (
+                SELECT hotel_id, rooms, row_number() OVER (
+                  PARTITION BY hotel_id ORDER BY cap_at DESC) rn
+                FROM capacity_changelog) WHERE rn = 1)
+            SELECT h.hotel_id, h.tier, c.rooms
+            FROM h LEFT JOIN c USING (hotel_id)
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) == 25
+    assert any(t[2] is None for t in got)  # keys 20..24: null path fired
+
+
+def test_table_table_join_with_streaming_changelog(join_ctx, spark, tmp_path):
+    """A REAL streaming changelog behind one table side: the source-table
+    DDL materializes the max_by compaction via a complete-mode memory
+    sink; the table-table join is a pull query over current state and
+    UPDATES when the changelog grows (process_available)."""
+    import datetime as dt
+    import json as _json
+
+    d = tmp_path / "cap_stream"
+    d.mkdir()
+    rows = _capacity_rows()
+    with open(d / "p0.json", "w") as fh:
+        for r in rows:
+            fh.write(
+                _json.dumps(
+                    {
+                        "hotel_id": r[0],
+                        "rooms": r[1],
+                        "cap_at": r[2].isoformat(sep=" "),
+                    }
+                )
+                + "\n"
+            )
+    join_ctx.register_topic(
+        "capacity_changelog",
+        spark.readStream.schema("hotel_id long, rooms long, cap_at timestamp")
+        .json(str(d)),
+    )
+    join_ctx.execute(CREATE_HOTELS_TABLE)
+    try:
+        tbl = join_ctx.execute(CREATE_CAPACITY_TABLE)
+        assert not tbl.isStreaming  # the materialized (pull-query) view
+        got = {
+            (r.hotel_id, r.tier, r.rooms)
+            for r in join_ctx.execute(TT_JOIN_QUERY).collect()
+        }
+        assert len(got) == 25
+        assert {(h, r) for h, _, r in got if r is not None} == {
+            (h, h * 10 + 1) for h in range(20)  # latest version per key
+        }
+        # the changelog grows: hotel 20 gains capacity; the SAME pull
+        # query reflects it after process_available
+        with open(d / "p1.json", "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "hotel_id": 20,
+                        "rooms": 777,
+                        "cap_at": dt.datetime(
+                            2024, 2, 5, 9, 0, 0
+                        ).isoformat(sep=" "),
+                    }
+                )
+                + "\n"
+            )
+        join_ctx.process_available()
+        got2 = {
+            (r.hotel_id, r.rooms)
+            for r in join_ctx.execute(TT_JOIN_QUERY).collect()
+        }
+        assert (20, 777) in got2 and len(got2) == 25
+    finally:
+        join_ctx.stop_all()
