@@ -12,46 +12,43 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-17 rotation (VERDICT r16 #1): the 5 reference-surface queries
-stay first (every round). Then the ONE round-17 newcomer:
-c4_line_filter — C4-style line-level cleaning (Raffel et al. 2020
-§2.2; VERDICT r16 #5), terminal-punctuation / min-words / javascript
-line rules with in-order reassembly plus lorem-ipsum / brace /
-blocklist page rules, a zero-shuffle narrow plan. Then the FOUR
-queries whose plan-affecting code changed this round (hygiene rule —
-all from closing the three r16 ADVICE items): containment_screened
-and subsumption_prune (the screened-verify broadcast hint is now
-count-gated at the candidate barrier; subsumption_prune shares ONE
-collapse with its pair detector via the new _exact_pairs_on_reps),
-winnow_pairs (the fps persist gained its materialization barrier),
-and containment_near_dup (containment_pairs' body moved into
-_exact_pairs_on_reps — plan-identical refactor). Then ALL THIRTY-SIX
-remaining r13-row queries — the stalest ledger cohort, named
-query-by-query in the r16 rotation queue, fully retired this rotation
-(clears the last pre-r14 ledger debt). The last FOUR slots take the
-head of the r14 cohort in ledger order (zipf_vocab_audit,
-pricing_summary, top_revenue_orders, volume_shipping_q7).
-5+1+4+36+4 = 50.
-Displaced to 51+ this round: everything with a hash-green r14/r15/r16
-row and code untouched this round (including the whole r16 window
-apart from the reference surface and the ADVICE-touched four).
-ROTATION QUEUE for round 18 (stalest first): the FORTY remaining
-r14-row queries (market_share_q8, returned_items_q10,
-top_supplier_q15, small_qty_revenue_q17, disjunctive_revenue_q19,
-forecast_revenue_q6, promo_revenue_q14, region_revenue_share,
-tokenizer_fertility, hash_sample, conditional_functions,
-customers_without_orders, purchase_and_click_users, rollup_returnflag,
-priority_orders_exists, orders_no_lineitems_anti,
-quantity_percentiles, date_parse_lenient, token_count, cube_events,
-array_functions, inactive_customers_except, json_extract, pivot_daily,
-datetime_functions, salted_user_counts, stats_battery,
-above_avg_orders, phash_near_dup, image_dhash, video_near_dup,
-audio_near_dup, big_orders_having, cast_battery, date_spine_daily,
-decimal_totals, grouping_sets, priority_count_q4, regexp_battery,
-shipmode_priority_q12 — 40 after this round's five r14 promotions,
-containment_near_dup included — plus any never-rowed r18 newcomer and
-any operator whose code changes in r18), then the r15 cohort, then
-the r16/r17 cohorts.
+Round-18 rotation (VERDICT r17 #1): the 5 reference-surface queries
+stay first (every round). Then the ONE round-18 newcomer: url_dedup —
+URL-level dedup with RefinedWeb/Dolma canonicalization (VERDICT r17
+#7: scheme/host/www/fragment/tracking-param/param-order/trailing-slash
+normalization as a narrow per-row pass, then ONE hash groupBy on the
+canonical URL). Then the TWO entries whose code or ledger key changed
+this round (hygiene rule): c4_line_filter (blocklist pages now match
+by word-boundary OCCURRENCE over the lowered page text, oracle
+mirrored — ADVICE r17 #5) and embedding_near_dup_exact (the quadratic
+oracle twin RENAMED from embedding_near_dup and demoted out of the
+bench headline, VERDICT r17 #2 — the fresh ledger name needs a fresh
+row; the front-door LSH spelling keeps the headline slot). Then ALL
+FORTY remaining r14-row queries — the stalest ledger cohort, named
+query-by-query in the r17 rotation queue, fully retired this rotation
+(clears the r14 ledger debt). The last TWO slots take the head of the
+r15 cohort in ledger order (excerpt_screen, soft_dedup_weights).
+5+1+2+40+2 = 50.
+Displaced to 51+ this round: everything with a hash-green r15/r16/r17
+row and code untouched this round (including the whole r17 window
+apart from the reference surface).
+ROTATION QUEUE for round 19 (stalest first): the FORTY-TWO remaining
+r15-row queries (unimax_allocation, hybrid_rrf_retrieval,
+vocab_kl_drift, retrieval_eval, weighted_budget_select,
+soft_dedup_screen, hybrid_rrf_multi, token_budget_select,
+tumbling_hourly, union_all_activity, user_event_profile,
+window_frames, word_count, zscore_events, asof_latest_order,
+asof_next_order, cte_sql, dataset_split, edit_distance_pairs,
+histogram_bins, hopping_hourly, map_functions, purchase_funnel,
+quality_report, stratified_sample, tfidf_top_terms, value_band_join,
+zorder_key, array_set_ops, arrow_byte_stats, benford_digits,
+bitwise_aggregates, cheapest_supplier, corr_battery,
+median_aggregates, orderkey_islands, string_functions2,
+word_positions, audio_fingerprints, semantic_decontaminate,
+quality_percentile_filter, dedup_keep_best — 42 after this round's
+two r15 promotions — plus any never-rowed r19 newcomer and any
+operator whose code changes in r19), then the r16 cohort, then the
+r17/r18 cohorts.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -116,29 +113,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,
         "stay_enrich": A.q_stay_enrich,
         "hotels_count": A.q_hotels_count,
-        # round-17 newcomer (never rowed): C4-style line-level cleaning
-        # (Raffel et al. 2020 §2.2 — VERDICT r16 #5): terminal-punctuation
-        # / min-words / javascript line rules with in-order reassembly,
-        # lorem-ipsum / brace / blocklist page rules; zero-shuffle
-        # narrow plan, plan-pinned exchange-free in tests/test_c4.py
-        "c4_line_filter": CU.q_c4_line_filter,
+        # round-18 newcomer (never rowed): URL-level dedup with
+        # RefinedWeb/Dolma canonicalization (VERDICT r17 #7) — narrow
+        # canonicalize pass + ONE hash groupBy, plan-pinned
+        "url_dedup": CU.q_url_dedup,
         # plan-affecting code changes THIS round re-enter the window
-        # (hygiene rule, all from closing the three r16 ADVICE items):
-        # containment_screened / subsumption_prune — the screened-verify
-        # broadcast hint is now count-gated at the candidate barrier and
-        # subsumption_prune shares ONE collapse with its pair detector
-        # (_exact_pairs_on_reps split out of containment_pairs);
-        # winnow_pairs — the fps persist gained its materialization
-        # barrier; containment_near_dup — containment_pairs' body moved
-        # into _exact_pairs_on_reps (plan-identical refactor)
+        # (hygiene rule): c4_line_filter — blocklist pages now match by
+        # word-boundary occurrence, oracle mirrored (ADVICE r17 #5)
+        "c4_line_filter": CU.q_c4_line_filter,
+        # renamed THIS round (VERDICT r17 #2 headline demotion): the
+        # quadratic oracle-twin lost the embedding_near_dup name (and its
+        # bench headline slot) to make the all-pairs plan's ground-truth
+        # role explicit — fresh ledger name needs a fresh row
+        "embedding_near_dup_exact": S.q_embedding_near_dup_exact,
+        # ALL FORTY remaining r14-row queries — the stalest ledger
+        # cohort, fully retired this rotation (VERDICT r17 #1; named
+        # query-by-query in the r17 rotation queue) — clears the r14
+        # ledger debt
+        "market_share_q8": A14.q_market_share_q8,
+        "returned_items_q10": A14.q_returned_items_q10,
+        "top_supplier_q15": A14.q_top_supplier_q15,
+        "small_qty_revenue_q17": A14.q_small_qty_revenue_q17,
+        "disjunctive_revenue_q19": A14.q_disjunctive_revenue_q19,
+        "forecast_revenue_q6": A6.q_forecast_revenue_q6,
+        "promo_revenue_q14": A6.q_promo_revenue_q14,
+        "region_revenue_share": A12.q_region_revenue_share,
+        "tokenizer_fertility": T.q_tokenizer_fertility,
+        "hash_sample": A4.q_hash_sample,
+        "conditional_functions": A4.q_conditional_functions,
+        "customers_without_orders": A.q_customers_without_orders,
+        "purchase_and_click_users": A.q_purchase_and_click_users,
+        "rollup_returnflag": A.q_rollup_returnflag,
+        "priority_orders_exists": A2.q_priority_orders_exists,
+        "orders_no_lineitems_anti": A2.q_orders_no_lineitems_anti,
+        "quantity_percentiles": A2.q_quantity_percentiles,
+        "date_parse_lenient": A2.q_date_parse_lenient,
+        "token_count": A3.q_token_count,
+        "cube_events": A3.q_cube_events,
+        "array_functions": A3.q_array_functions,
+        "inactive_customers_except": A3.q_inactive_customers_except,
+        "json_extract": A4.q_json_extract,
+        "pivot_daily": A4.q_pivot_daily,
+        "datetime_functions": A4.q_datetime_functions,
+        "salted_user_counts": A4.q_salted_user_counts,
+        "stats_battery": A5.q_stats_battery,
+        "above_avg_orders": A5.q_above_avg_orders,
+        "phash_near_dup": M.q_phash_near_dup,
+        "image_dhash": M.q_image_dhash,
+        "video_near_dup": M.q_video_near_dup,
+        "audio_near_dup": M.q_audio_near_dup,
+        "big_orders_having": A5.q_big_orders_having,
+        "cast_battery": A8.q_cast_battery,
+        "date_spine_daily": A7.q_date_spine_daily,
+        "decimal_totals": A8.q_decimal_totals,
+        "grouping_sets": A8.q_grouping_sets,
+        "priority_count_q4": A6.q_priority_count_q4,
+        "regexp_battery": A5.q_regexp_battery,
+        "shipmode_priority_q12": A6.q_shipmode_priority_q12,
+        # the head of the r15 cohort (ledger order) fills the last slots
+        "excerpt_screen": D.q_excerpt_screen,
+        "soft_dedup_weights": D.q_soft_dedup_weights,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has a hash-green r15/r16/r17 row with
+        # code untouched this round (the r15 remainder queues next — see
+        # the module docstring); the LSH/IVF/PQ approximation spellings
+        # stay rows-only by design, bounded by their oracle-checked
+        # exact twins
         "containment_screened": D.q_containment_screened,
         "subsumption_prune": D.q_subsumption_prune,
         "winnow_pairs": T.q_winnow_pairs,
         "containment_near_dup": D.q_containment_near_dup,
-        # ALL THIRTY-SIX remaining r13-row queries — the stalest ledger
-        # cohort, fully retired this rotation (VERDICT r16 #1; named
-        # query-by-query in the r16 rotation queue) — clears the last
-        # pre-r14 ledger debt
         "knn_label_vote": S.q_knn_label_vote,
         "bpe_merges": T.q_bpe_merges,
         "bpe_encode": T.q_bpe_encode,
@@ -175,17 +219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": A2.q_string_functions,
         "math_functions": A2.q_math_functions,
         "sessionize_events": A2.q_sessionize_events,
-        # the head of the r14 cohort (ledger order) fills the last slots
         "zipf_vocab_audit": AU.q_zipf_vocab_audit,
         "pricing_summary": A.q_pricing_summary,
         "top_revenue_orders": A.q_top_revenue_orders,
         "volume_shipping_q7": A14.q_volume_shipping_q7,
-        # ---- entries 51+: outside the driver window this round ----
-        # every displaced entry has a hash-green r14/r15/r16 row with
-        # code untouched this round (the r14 remainder queues next — see
-        # the module docstring); the LSH/IVF/PQ approximation spellings
-        # stay rows-only by design, bounded by their oracle-checked
-        # exact twins
         "doremi_weights": CU.q_doremi_weights,
         "doremi_resample": CU.q_doremi_resample,
         "winnow_fingerprints": T.q_winnow_fingerprints,
@@ -210,7 +247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": G.q_dedup_clusters,
         "pagerank_parts": G.q_pagerank_parts,
         "ann_topk": S.q_ann_topk,
-        "embedding_near_dup": S.q_embedding_near_dup,
         "normalize_embeddings": V.q_normalize_embeddings,
         "text_quality": T.q_text_quality,
         "clean_corpus": T.q_clean_corpus,
@@ -228,8 +264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": CU.q_temperature_sample,
         "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
         "quality_calibration": C.q_quality_calibration,
-        "excerpt_screen": D.q_excerpt_screen,
-        "soft_dedup_weights": D.q_soft_dedup_weights,
         "unimax_allocation": CU.q_unimax_allocation,
         "hybrid_rrf_retrieval": R.q_hybrid_rrf_retrieval,
         "vocab_kl_drift": AU.q_vocab_kl_drift,
@@ -272,46 +306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": C.q_semantic_decontaminate,
         "quality_percentile_filter": CU.q_quality_percentile_filter,
         "dedup_keep_best": G.q_dedup_keep_best,
-        "market_share_q8": A14.q_market_share_q8,
-        "returned_items_q10": A14.q_returned_items_q10,
-        "top_supplier_q15": A14.q_top_supplier_q15,
-        "small_qty_revenue_q17": A14.q_small_qty_revenue_q17,
-        "disjunctive_revenue_q19": A14.q_disjunctive_revenue_q19,
-        "forecast_revenue_q6": A6.q_forecast_revenue_q6,
-        "promo_revenue_q14": A6.q_promo_revenue_q14,
-        "region_revenue_share": A12.q_region_revenue_share,
-        "tokenizer_fertility": T.q_tokenizer_fertility,
-        "hash_sample": A4.q_hash_sample,
-        "conditional_functions": A4.q_conditional_functions,
-        "customers_without_orders": A.q_customers_without_orders,
-        "purchase_and_click_users": A.q_purchase_and_click_users,
-        "rollup_returnflag": A.q_rollup_returnflag,
-        "priority_orders_exists": A2.q_priority_orders_exists,
-        "orders_no_lineitems_anti": A2.q_orders_no_lineitems_anti,
-        "quantity_percentiles": A2.q_quantity_percentiles,
-        "date_parse_lenient": A2.q_date_parse_lenient,
-        "token_count": A3.q_token_count,
-        "cube_events": A3.q_cube_events,
-        "array_functions": A3.q_array_functions,
-        "inactive_customers_except": A3.q_inactive_customers_except,
-        "json_extract": A4.q_json_extract,
-        "pivot_daily": A4.q_pivot_daily,
-        "datetime_functions": A4.q_datetime_functions,
-        "salted_user_counts": A4.q_salted_user_counts,
-        "stats_battery": A5.q_stats_battery,
-        "above_avg_orders": A5.q_above_avg_orders,
-        "phash_near_dup": M.q_phash_near_dup,
-        "image_dhash": M.q_image_dhash,
-        "video_near_dup": M.q_video_near_dup,
-        "audio_near_dup": M.q_audio_near_dup,
-        "big_orders_having": A5.q_big_orders_having,
-        "cast_battery": A8.q_cast_battery,
-        "date_spine_daily": A7.q_date_spine_daily,
-        "decimal_totals": A8.q_decimal_totals,
-        "grouping_sets": A8.q_grouping_sets,
-        "priority_count_q4": A6.q_priority_count_q4,
-        "regexp_battery": A5.q_regexp_battery,
-        "shipmode_priority_q12": A6.q_shipmode_priority_q12,
         "knn_label_vote_ivf": API.q_knn_label_vote_ivf,
         "simhash_near_dup": D.q_simhash_near_dup,
         "ann_pq": PQ.q_ann_pq,
@@ -425,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_filter": CU.ORACLE_QUALITY_PERCENTILE_FILTER,
         "chunk_documents": CU.ORACLE_CHUNK_DOCUMENTS,
         "domain_cap": CU.ORACLE_DOMAIN_CAP,
+        "url_dedup": CU.ORACLE_URL_DEDUP,
         "semantic_dedup": CU.ORACLE_SEMANTIC_DEDUP,
         "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
         "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,
@@ -502,7 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": G.ORACLE_DEDUP_CLUSTERS,
         "pagerank_parts": G.ORACLE_PAGERANK_PARTS,
         "ann_topk": S.ORACLE_ANN_TOPK,
-        "embedding_near_dup": S.ORACLE_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup_exact": S.ORACLE_EMBEDDING_NEAR_DUP,
         "normalize_embeddings": V.ORACLE_NORMALIZE_EMBEDDINGS,
         "geomean_prices": V.ORACLE_GEOMEAN_PRICES,
         # minhash_near_dup / simhash_near_dup / ann_lsh / ann_ivf /

@@ -51,7 +51,11 @@ HEADLINE = [
     "text_quality",
     "minhash_near_dup",
     "simhash_near_dup",
-    "embedding_near_dup",
+    # embedding near-dup is benched by its FRONT-DOOR LSH spelling only
+    # (VERDICT r17 #2): the exact quadratic twin (ledger key
+    # embedding_near_dup_exact) is oracle-tier ground truth, not an
+    # operating point — an all-pairs plan has no business in a headline
+    # window that claims 100x-safety
     "embedding_near_dup_lsh",
     "ann_topk",
     "ann_lsh",
@@ -342,12 +346,13 @@ def main() -> None:
     # SPARK_GRAFT_EXCLUDE: comma-separated queries to skip, recorded in the
     # output (never silent). Used by the sf1 tier to skip the
     # quadratic-BY-DESIGN oracle twins whose production paths ARE included:
-    # embedding_near_dup (LSH variant runs), knn_label_vote (the exact
-    # brute-force candidate scan; knn_label_vote_ivf runs), and — since
-    # round 11 — knn_ivf_agreement, which EMBEDS knn_label_vote as the
-    # ground-truth side of its oracle-checked bound (scale front door:
-    # knn_label_vote_ivf). At sf1 each exact twin is pure O(n^2)
-    # ground-truth machinery, not a plan anyone would run at scale.
+    # knn_label_vote (the exact brute-force candidate scan;
+    # knn_label_vote_ivf runs) and — since round 11 — knn_ivf_agreement,
+    # which EMBEDS knn_label_vote as the ground-truth side of its
+    # oracle-checked bound (scale front door: knn_label_vote_ivf). At sf1
+    # each exact twin is pure O(n^2) ground-truth machinery, not a plan
+    # anyone would run at scale. (embedding_near_dup_exact left the
+    # headline entirely in r18 — its LSH front door is the benched row.)
     exclude = {
         s.strip() for s in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",")
         if s.strip()

@@ -266,6 +266,161 @@ SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
 ) WHERE rk <= {DOMAIN_CAP}
 """
 
+# ------------------------------------------------------------------ URL dedup
+
+#: query parameters that never change page content (RefinedWeb / Dolma
+#: strip these before URL-level dedup)
+URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid)="
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``canonical_url``: the RefinedWeb/Dolma-style canonical form
+    under which two raw URLs count as the same page —
+
+    - scheme-insensitive (http == https; canonical spells ``https``),
+    - host lowercased, leading ``www.`` stripped,
+    - fragment (``#...``) dropped,
+    - tracking query params (``utm_*``, ``fbclid``, ``gclid``) dropped,
+    - remaining query params SORTED (order-insensitive),
+    - trailing path slash stripped.
+
+    Complements ``domain_cap`` (VERDICT r17 #7): the cap bounds a domain's
+    share but never recognizes ``http://www.X.com/p/`` and
+    ``https://x.com/p?utm_source=feed`` as one page — this does.
+
+    Scale shape: pure narrow per-row string expressions (regexp + split +
+    a tiny filter/sort HOF over <= a handful of query params) — zero
+    shuffles, whole-stage-codegen'd, runs at scan speed at 100 TB."""
+    u = F.col(url_col)
+    rest = F.regexp_replace(u, r"^[a-zA-Z]+://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    hostpath = F.split_part(rest, F.lit("?"), F.lit(1))
+    query = F.when(
+        rest.contains("?"), F.split_part(rest, F.lit("?"), F.lit(2))
+    ).otherwise(F.lit(""))
+    host = F.regexp_replace(
+        F.lower(F.split_part(hostpath, F.lit("/"), F.lit(1))), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(hostpath, r"^[^/]*(/.*)?$", 1), r"/$", ""
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE),
+    )
+    qsorted = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumn("canonical_url", canon)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup after canonicalization: one row per
+    canonical URL, keeping the lowest doc_id (first-crawled analog) and
+    counting how many raw URLs collapsed into it.
+
+    Scale shape: canonicalization is a narrow pass; the dedup is ONE hash
+    groupBy on canonical_url with map-side partial aggregation — linear,
+    the same shape as ``dedup_exact``. No window, no join."""
+    return (
+        url_canonicalize(df, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def docs_with_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL fixture over documents (the corpus has no
+    URL column; same pattern as ``docs_with_planted_lines``), mirrored
+    verbatim in the oracle. Every canonicalization rule is exercised:
+    scheme flips on doc_id%2, ``www.`` on %3, trailing slash on %5,
+    tracking params (+ out-of-order keepers) on %7, plain out-of-order
+    keepers on %11, uppercase host on %17, fragment on %13; the page key
+    is (doc_id%5 host, doc_id%3 path) — a deliberately tiny page-key
+    space so canonical groups COLLIDE and mix raw spellings at every SF
+    (97*41 was first tried and produced zero collisions at sf0.01)."""
+    d = F.col("doc_id")
+    host = F.concat(F.lit("site"), (d % 5).cast("string"), F.lit(".example"))
+    host = F.when(d % 17 == 0, F.upper(host)).otherwise(host)
+    host = F.when(d % 3 == 0, F.concat(F.lit("www."), host)).otherwise(host)
+    path = F.concat(F.lit("/page/"), (d % 3).cast("string"))
+    path = F.when(d % 5 == 0, F.concat(path, F.lit("/"))).otherwise(path)
+    query = (
+        F.when(d % 7 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 11 == 0, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 13 == 0, F.lit("#section-3")).otherwise(F.lit(""))
+    scheme = F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://"), host, path, query, frag
+        ).alias("url"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return url_dedup(docs_with_urls(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+         (CASE WHEN doc_id % 17 = 0
+               THEN upper('site' || CAST(doc_id % 5 AS VARCHAR) || '.example')
+               ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' END) ||
+         '/page/' || CAST(doc_id % 3 AS VARCHAR) ||
+         (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN doc_id % 11 = 0 THEN '?b=2&a=1' ELSE '' END) ||
+         (CASE WHEN doc_id % 13 = 0 THEN '#section-3' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(url, '^[a-zA-Z]+://', ''), '#.*$', '')
+           AS rest
+  FROM u
+),
+split1 AS (
+  SELECT doc_id,
+         split_part(rest, '?', 1) AS hostpath,
+         CASE WHEN contains(rest, '?') THEN split_part(rest, '?', 2)
+              ELSE '' END AS query
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+         'https://' ||
+         regexp_replace(lower(split_part(hostpath, '/', 1)), '^www\\.', '') ||
+         regexp_replace(regexp_extract(hostpath, '^[^/]*(/.*)?$', 1), '/$', '') ||
+         (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url
+  FROM (
+    SELECT doc_id, hostpath,
+           coalesce(array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')
+           )), '&'), '') AS q
+    FROM split1
+  )
+)
+SELECT canonical_url, min(doc_id) AS kept_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY canonical_url
+"""
+
 # --------------------------------------------------------------- semantic dedup
 
 SEMANTIC_TAU = 0.35

@@ -164,9 +164,13 @@ def embedding_near_dup_exact(
     )
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.4 (id_a < id_b). Exact — the
-    oracle-checked ground truth that the LSH variant approximates."""
+    oracle-checked ground truth that the LSH variant approximates.
+    Ledger key ``embedding_near_dup_exact`` (renamed from
+    ``embedding_near_dup`` and demoted out of the bench headline in r18,
+    VERDICT r17 #2: an all-pairs plan must never pose as the engine's
+    operating point — the front-door LSH spelling keeps the headline)."""
     return embedding_near_dup_exact(load_table(spark, sf_dir, "embeddings"))
 
 

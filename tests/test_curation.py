@@ -249,3 +249,67 @@ def test_dup_span_hashed_grams_match_string_grams(spark, sf_dir):
         CU.dup_span_coverage(docs, use_hashed_grams=False).collect()
     )
     assert hashed == strings
+
+
+# ------------------------------------------------------------ url dedup (r18)
+
+def test_url_canonicalize_rules(spark):
+    """Every canonicalization rule on a hand-built case each."""
+    cases = [
+        # (raw, canonical)
+        ("http://example.com/a", "https://example.com/a"),          # scheme
+        ("https://WWW.Example.COM/a", "https://example.com/a"),     # case+www
+        ("https://example.com/a/", "https://example.com/a"),        # slash
+        ("https://example.com/a#frag", "https://example.com/a"),    # fragment
+        ("https://example.com/a?utm_source=x&q=1",
+         "https://example.com/a?q=1"),                              # tracking
+        ("https://example.com/a?b=2&a=1",
+         "https://example.com/a?a=1&b=2"),                          # sort
+        ("https://example.com/a?utm_campaign=c&fbclid=z&gclid=y",
+         "https://example.com/a"),                                  # all dropped
+        ("https://example.com", "https://example.com"),             # no path
+        ("https://wwwx.example.com/a", "https://wwwx.example.com/a"),  # not www.
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.canonical_url for r in CU.url_canonicalize(df).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_collapses_spelling_variants(spark):
+    rows = [
+        (10, "http://www.shop.example/item/7?utm_source=mail"),
+        (11, "https://shop.example/item/7/"),
+        (12, "https://SHOP.example/item/7#reviews"),
+        (13, "https://shop.example/item/8"),  # different page
+    ]
+    out = {
+        r.canonical_url: (r.kept_doc_id, r.n_docs)
+        for r in CU.url_dedup(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert out == {
+        "https://shop.example/item/7": (10, 3),
+        "https://shop.example/item/8": (13, 1),
+    }
+
+
+def test_url_dedup_plan_is_one_hash_agg(spark, sf_dir):
+    """Scale pin: canonicalization is narrow; the dedup is ONE hash
+    aggregate — no window, no join, exactly one exchange (the groupBy)."""
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    df = CU.url_dedup(CU.docs_with_urls(load_table(spark, sf_dir, "documents")))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree and "Join" not in tree
+    assert tree.count("Exchange") == 1
+    assert "HashAggregate" in tree

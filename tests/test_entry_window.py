@@ -23,76 +23,76 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# Round-17 newcomer (never rowed): C4-style line-level cleaning
-# (Raffel et al. 2020 §2.2 — VERDICT r16 #5).
-NEVER_ROWED_R17_WAVE = [
+# Round-18 newcomer (never rowed): URL-level dedup with RefinedWeb/Dolma
+# canonicalization (VERDICT r17 #7).
+NEVER_ROWED_R18_WAVE = [
+    "url_dedup",
+]
+
+# Code or ledger-key changes in round 18 re-enter the window (the
+# window-hygiene rule): c4_line_filter's blocklist rule moved to
+# word-boundary occurrence matching (ADVICE r17 #5, oracle mirrored);
+# embedding_near_dup_exact is the quadratic oracle twin RENAMED from
+# embedding_near_dup and demoted out of the bench headline (VERDICT
+# r17 #2) — the fresh ledger name needs a fresh row.
+CODE_CHANGED_R18 = [
     "c4_line_filter",
+    "embedding_near_dup_exact",
 ]
 
-# Plan-affecting code changes in round 17 re-enter the window (the
-# window-hygiene rule) — all from closing the three r16 ADVICE items:
-# the screened-verify broadcast hint is count-gated, subsumption_prune
-# shares one collapse with its pair detector via _exact_pairs_on_reps
-# (also touching containment_near_dup's containment_pairs), and the
-# winnow fps persist gained its materialization barrier.
-CODE_CHANGED_R17 = [
-    "containment_screened",
-    "subsumption_prune",
-    "winnow_pairs",
-    "containment_near_dup",
+# ALL forty remaining r14-row queries — the stalest ledger cohort,
+# fully retired this rotation (VERDICT r17 #1; named query-by-query in
+# the r17 rotation queue).
+R14_ROTATED_IN_R18 = [
+    "market_share_q8",
+    "returned_items_q10",
+    "top_supplier_q15",
+    "small_qty_revenue_q17",
+    "disjunctive_revenue_q19",
+    "forecast_revenue_q6",
+    "promo_revenue_q14",
+    "region_revenue_share",
+    "tokenizer_fertility",
+    "hash_sample",
+    "conditional_functions",
+    "customers_without_orders",
+    "purchase_and_click_users",
+    "rollup_returnflag",
+    "priority_orders_exists",
+    "orders_no_lineitems_anti",
+    "quantity_percentiles",
+    "date_parse_lenient",
+    "token_count",
+    "cube_events",
+    "array_functions",
+    "inactive_customers_except",
+    "json_extract",
+    "pivot_daily",
+    "datetime_functions",
+    "salted_user_counts",
+    "stats_battery",
+    "above_avg_orders",
+    "phash_near_dup",
+    "image_dhash",
+    "video_near_dup",
+    "audio_near_dup",
+    "big_orders_having",
+    "cast_battery",
+    "date_spine_daily",
+    "decimal_totals",
+    "grouping_sets",
+    "priority_count_q4",
+    "regexp_battery",
+    "shipmode_priority_q12",
 ]
 
-# ALL thirty-six remaining r13-row queries — the stalest ledger cohort,
-# fully retired this rotation (VERDICT r16 #1; named query-by-query in
-# the r16 rotation queue).
-R13_ROTATED_IN_R17 = [
-    "knn_label_vote",
-    "bpe_merges",
-    "bpe_encode",
-    "source_overlap",
-    "record_linkage",
-    "bm25_retrieval",
-    "decontaminate_bloom",
-    "cms_merge_bound",
-    "dataset_mix",
-    "segment_dedup",
-    "chunk_documents",
-    "domain_cap",
-    "trailing_hour_counts",
-    "full_outer_activity",
-    "unpivot_metrics",
-    "event_pairs_10min",
-    "latest_event_per_user",
-    "lang_id",
-    "doc_fingerprint",
-    "pmi_bigrams",
-    "source_length_drift",
-    "exact_substring_dedup",
-    "vocab_encode",
-    "pii_scrub",
-    "bigram_lm_score",
-    "sq_error_stats",
-    "geomean_prices",
-    "bpe_pair_counts",
-    "region_revenue",
-    "top_customers",
-    "window_top_orders",
-    "events_daily",
-    "window_functions",
-    "string_functions",
-    "math_functions",
-    "sessionize_events",
+# The head of the r15 cohort (ledger order) fills the remaining slots.
+R15_HEAD_IN_R18 = [
+    "excerpt_screen",
+    "soft_dedup_weights",
 ]
 
-# The head of the r14 cohort (ledger order) fills the remaining slots.
-R14_HEAD_IN_R17 = [
-    "zipf_vocab_audit",
-    "pricing_summary",
-    "top_revenue_orders",
-    "volume_shipping_q7",
-]
-
-# Round 17's window has NO rows-only entry: every in-window query is
+# Round 18's window has NO rows-only entry: every in-window query is
 # fully oracle-checked.
 ROWS_ONLY: set[str] = set()
 
@@ -100,8 +100,8 @@ ROWS_ONLY: set[str] = set()
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + NEVER_ROWED_R17_WAVE + CODE_CHANGED_R17
-        + R13_ROTATED_IN_R17 + R14_HEAD_IN_R17
+        REFERENCE_SURFACE + NEVER_ROWED_R18_WAVE + CODE_CHANGED_R18
+        + R14_ROTATED_IN_R18 + R15_HEAD_IN_R18
     )
     assert len(expected) == WINDOW
     assert window == expected
