@@ -548,10 +548,19 @@ def main() -> None:
                         "unconverged rows, then lower total) is the "
                         "committed artifact — both summaries recorded "
                         "under window_hedge (VERDICT r16 #2)",
+        "converged_ratios_vs_prev": "per-query this/prev ratio vs the "
+                                    "previous round's committed artifact "
+                                    "for the same tier, rows converged in "
+                                    "BOTH runs only — cross-round claims "
+                                    "read this table, never the noisy "
+                                    "totals (VERDICT r17 #6)",
     }
     deltas = _baseline_deltas(timings, streaming_eps)
     if deltas:
         sidecar["vs_baseline"] = deltas
+    ratios = _converged_ratios_vs_prev(timings, runmeta, sf_val)
+    if ratios:
+        sidecar["converged_ratios_vs_prev"] = ratios
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"bench_sidecar_sf{sf_val}.json",
@@ -611,6 +620,64 @@ def _compact_line(out: dict, budget: int = _LINE_BUDGET) -> str:
     cand["queries"] = "see sidecar"
     cand.pop("queries_fast", None)
     return json.dumps(cand, separators=(",", ":"))
+
+
+def _converged_ratios_vs_prev(
+    timings: dict, runmeta: dict, sf_val
+) -> dict | None:
+    """Per-query ratio table vs the PREVIOUS round's committed artifact
+    for the same SF tier, restricted to rows converged in BOTH runs
+    (VERDICT r17 #6: two consecutive elevated sf1 windows showed that
+    cross-round sf1 claims must not depend on noisy TOTALS — the
+    converged per-query ratios are the comparable record). The previous
+    artifact is the highest-round ``bench_sf{tag}_r{N}.json`` committed
+    next to this script; override with $SPARK_GRAFT_PREV_BENCH."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
+    if not prev_path:
+        tag = {0.1: "sf01", 1.0: "sf1"}.get(sf_val)
+        if tag is None:
+            return None
+        cands = []
+        for p in glob.glob(os.path.join(here, f"bench_{tag}_r*.json")):
+            m = _re.search(r"_r(\d+)\.json$", p)
+            if m:
+                cands.append((int(m.group(1)), p))
+        if not cands:
+            return None
+        prev_path = max(cands)[1]
+    try:
+        with open(prev_path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    prev_q = prev.get("queries")
+    if not isinstance(prev_q, dict):
+        return None
+    # run_convergence lists ONLY unconverged / slow-to-converge rows —
+    # absence means converged-by-3
+    prev_conv = prev.get("run_convergence", {})
+    ratios = {}
+    for nm, t in timings.items():
+        pt = prev_q.get(nm)
+        if not pt:
+            continue
+        cur_ok = runmeta.get(nm, {}).get("converged", False)
+        prev_ok = prev_conv.get(nm, {}).get("converged", True)
+        if cur_ok and prev_ok:
+            ratios[nm] = round(t / pt, 3)
+    if not ratios:
+        return None
+    vals = sorted(ratios.values())
+    return {
+        "prev_artifact": os.path.basename(prev_path),
+        "n": len(ratios),
+        "median": vals[len(vals) // 2],
+        "ratios": ratios,
+    }
 
 
 def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:
