@@ -182,6 +182,9 @@ HEADLINE = [
     "shuffle_shard",
     # round 17: C4-style line-level cleaning (zero-shuffle narrow pass)
     "c4_line_filter",
+    # round 18: URL-level dedup with canonicalization (narrow pass +
+    # one hash agg)
+    "url_dedup",
     "bpe_train",
 ]
 

@@ -34,6 +34,16 @@ deployment uses is also translated (widening drop-in compatibility):
   CREATE STREAM/TABLE statements can read it.
 - ``WHERE`` clauses pass through (ANSI in both dialects);
   ``UCASE``/``LCASE`` are rewritten to ``upper``/``lower``.
+- CSAS ``PARTITION BY col`` (ksql's re-keying clause) ->
+  ``repartition(col)``: the DataFrame model has no message key, so
+  co-locating rows by the new key is the Spark analog, and downstream
+  keyed aggregations reuse the exchange.
+- ``LATEST_BY_OFFSET(col)`` / ``EARLIEST_BY_OFFSET(col)`` ->
+  ``max_by(col, rowtime)`` / ``min_by(col, rowtime)`` over the source's
+  declared ``WITH (TIMESTAMP='col')`` event time (documented
+  divergence: Kafka offset order has no batch analog — the declared
+  event time is this engine's record order, the same choice the
+  source-table changelog compaction makes).
 - ``CREATE TABLE name (cols..., PRIMARY KEY marker) WITH (KAFKA_TOPIC=...,
   [TIMESTAMP='col'])`` — a SOURCE table over a changelog topic (ksqlDB's
   second table form, next to CTAS): the registered topic is compacted to
@@ -156,6 +166,20 @@ _CREATE_STREAM_AS_RE = re.compile(
 )
 _EMIT_CHANGES_RE = re.compile(r"\s+EMIT\s+CHANGES\s*", re.IGNORECASE)
 _COUNT_DISTINCT_RE = re.compile(r"\bCOUNT_DISTINCT\s*\(", re.IGNORECASE)
+# CSAS re-keying clause: PARTITION BY col at the statement tail (ksql
+# grammar places it after WHERE, before EMIT CHANGES)
+_PARTITION_BY_RE = re.compile(
+    r"\s+PARTITION\s+BY\s+(?P<col>\w+)\s*(?=EMIT\b|;|\s*$)", re.IGNORECASE
+)
+# offset-ordered "latest/earliest value per group" aggregates; the
+# common single-column spelling (a residual unparsed call raises)
+_LATEST_BY_OFFSET_RE = re.compile(
+    r"\b(?P<which>LATEST|EARLIEST)_BY_OFFSET\s*\(\s*(?P<col>\w+)\s*\)",
+    re.IGNORECASE,
+)
+_BY_OFFSET_RESIDUAL_RE = re.compile(
+    r"\b(?:LATEST|EARLIEST)_BY_OFFSET\b", re.IGNORECASE
+)
 _UCASE_RE = re.compile(r"\bUCASE\s*\(", re.IGNORECASE)
 _LCASE_RE = re.compile(r"\bLCASE\s*\(", re.IGNORECASE)
 _WINDOW_RE = re.compile(
@@ -406,8 +430,30 @@ class KsqlContext:
     def _create_stream_as(self, name: str, select: str) -> DataFrame:
         """CSAS: a derived stream. Registered as both view and topic so it
         can feed further CREATE STREAM/TABLE statements, mirroring ksql
-        writing the derived stream back to a topic."""
+        writing the derived stream back to a topic. A trailing
+        ``PARTITION BY col`` (ksql's re-keying clause) maps to
+        ``repartition(col)`` — the DataFrame model has no message key, so
+        co-locating rows by the new key is the Spark analog; downstream
+        keyed aggregations then reuse the exchange."""
+        part_col = None
+        masked = _LITERAL_RE.sub(
+            lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", select
+        )
+        pm = _PARTITION_BY_RE.search(masked)
+        if pm:
+            part_col = pm["col"]
+            select = select[: pm.start()] + " " + select[pm.end():]
         out = self.spark.sql(self._rewrite_select(select))
+        if part_col is not None:
+            if part_col not in out.columns:
+                raise ValueError(
+                    f"CREATE STREAM {name}: PARTITION BY column "
+                    f"{part_col!r} is not in the projection {out.columns} "
+                    "(ksql requires the key column to be selected)"
+                )
+            from pyspark.sql import functions as F
+
+            out = out.repartition(F.col(part_col))
         out.createOrReplaceTempView(name)
         self._views[name] = out
         self._topics[name] = out
@@ -437,7 +483,54 @@ class KsqlContext:
         select = _map_outside_literals(
             select.rstrip().rstrip(";"), rewrite
         )
+        select = self._rewrite_by_offset(select)
         return self._rewrite_within(self._rewrite_window(select))
+
+    def _rewrite_by_offset(self, select: str) -> str:
+        """``LATEST_BY_OFFSET(col)`` / ``EARLIEST_BY_OFFSET(col)`` ->
+        ``max_by(col, rt)`` / ``min_by(col, rt)`` over the FROM source's
+        declared event-time column. Divergence, documented: ksql orders
+        by Kafka OFFSET, which has no batch analog — the declared
+        ``WITH (TIMESTAMP='col')`` is this engine's record order (the
+        same choice the source-table changelog compaction makes); equal
+        event times tie-break arbitrarily, as ksql's offset order is
+        outside the SQL contract."""
+        masked = _LITERAL_RE.sub(
+            lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", select
+        )
+        if not _BY_OFFSET_RESIDUAL_RE.search(masked):
+            return select
+        src = _FROM_RE.search(masked)
+        if not src or src.group(1) not in self._rowtime:
+            raise ValueError(
+                "LATEST_BY_OFFSET/EARLIEST_BY_OFFSET: the source has no "
+                "event-time column — declare WITH (TIMESTAMP='col'); "
+                "Kafka offset order has no batch analog, so the declared "
+                "event time is the engine's record order"
+            )
+        rt = self._rowtime[src.group(1)]
+
+        def sub(seg: str) -> str:
+            return _LATEST_BY_OFFSET_RE.sub(
+                lambda m: (
+                    ("max_by" if m["which"].upper() == "LATEST" else "min_by")
+                    + f"({m['col']}, {rt})"
+                ),
+                seg,
+            )
+
+        out = _map_outside_literals(select, sub)
+        if _BY_OFFSET_RESIDUAL_RE.search(
+            _LITERAL_RE.sub(
+                lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", out
+            )
+        ):
+            raise ValueError(
+                "LATEST/EARLIEST_BY_OFFSET: an unparseable spelling "
+                "remains (only the single-column form is translated): "
+                + select
+            )
+        return out
 
     def _rewrite_within(self, select: str) -> str:
         """``JOIN ... WITHIN n UNIT [GRACE PERIOD g UNIT] ON cond`` ->

@@ -927,3 +927,80 @@ def test_table_table_join_with_streaming_changelog(join_ctx, spark, tmp_path):
         assert (20, 777) in got2 and len(got2) == 25
     finally:
         join_ctx.stop_all()
+
+
+# ------------------------------------ PARTITION BY / *_BY_OFFSET (r18)
+
+def test_csas_partition_by_rekeys_without_changing_rows(events_ctx, spark):
+    """ksql's CSAS re-keying clause: same rows, and the plan carries a
+    hashpartitioning exchange on the new key (downstream keyed aggs
+    reuse it)."""
+    out = events_ctx.execute(
+        "CREATE STREAM ev_by_type AS SELECT event_id, ts, etype FROM ev "
+        "PARTITION BY etype EMIT CHANGES;"
+    )
+    want = {
+        tuple(r)
+        for r in events_ctx.execute(
+            "SELECT event_id, ts, etype FROM ev;"
+        ).collect()
+    }
+    assert {tuple(r) for r in out.collect()} == want
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(etype" in plan
+
+
+def test_csas_partition_by_unselected_column_is_clear_error(events_ctx):
+    with pytest.raises(ValueError, match="PARTITION BY"):
+        events_ctx.execute(
+            "CREATE STREAM ev_bad AS SELECT event_id FROM ev "
+            "PARTITION BY etype;"
+        )
+
+
+def test_latest_earliest_by_offset_match_duckdb(join_ctx, spark):
+    """LATEST/EARLIEST_BY_OFFSET over the changelog stream vs a DuckDB
+    max_by/min_by twin on the declared event time."""
+    import duckdb
+    import pandas as pd
+
+    join_ctx.execute(
+        "CREATE STREAM hotel_cl (hotel_id BIGINT, tier VARCHAR, "
+        "updated_at TIMESTAMP) WITH (KAFKA_TOPIC='hotel_changelog', "
+        "VALUE_FORMAT='JSON', TIMESTAMP='updated_at');"
+    )
+    got = {
+        (r.hotel_id, r.latest_tier, r.first_tier)
+        for r in join_ctx.execute(
+            "CREATE TABLE hotel_latest AS SELECT hotel_id, "
+            "LATEST_BY_OFFSET(tier) AS latest_tier, "
+            "EARLIEST_BY_OFFSET(tier) AS first_tier "
+            "FROM hotel_cl GROUP BY hotel_id;"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "cl",
+        pd.DataFrame(
+            _changelog_rows(), columns=["hotel_id", "tier", "updated_at"]
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT hotel_id, max_by(tier, updated_at), "
+            "min_by(tier, updated_at) FROM cl GROUP BY hotel_id"
+        ).fetchall()
+    }
+    assert got == want and len(got) == 25
+
+
+def test_by_offset_without_event_time_is_clear_error(ksql_ctx):
+    ksql_ctx.execute(CREATE_STREAM)  # expedia_stream declares no TIMESTAMP
+    with pytest.raises(ValueError, match="offset order has no batch"):
+        ksql_ctx.execute(
+            "SELECT stay_category, LATEST_BY_OFFSET(hotel_id) "
+            "FROM expedia_stream GROUP BY stay_category;"
+        )
