@@ -313,3 +313,44 @@ def test_url_dedup_plan_is_one_hash_agg(spark, sf_dir):
     assert "Window" not in tree and "Join" not in tree
     assert tree.count("Exchange") == 1
     assert "HashAggregate" in tree
+
+
+def test_url_canonicalize_streams_stateless(spark, tmp_path):
+    """url_canonicalize is a stateless narrow pass: the SAME code runs
+    unchanged on a streaming DataFrame (append mode, no state store) and
+    emits exactly the batch canonical forms. (The dedup itself is the
+    stateful half — batch url_dedup, or streaming dropDuplicates on
+    canonical_url with first-seen keep semantics.)"""
+    import json as _json
+
+    rows = [
+        (1, "http://www.shop.example/item/7?utm_source=mail"),
+        (2, "https://SHOP.example/item/7/"),
+        (3, "https://shop.example/item/8#reviews"),
+    ]
+    d = tmp_path / "urls"
+    d.mkdir()
+    with open(d / "p0.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps({"doc_id": r[0], "url": r[1]}) + "\n")
+    stream = spark.readStream.schema("doc_id long, url string").json(str(d))
+    out = CU.url_canonicalize(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("url_canon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.doc_id, r.canonical_url)
+        for r in spark.sql("SELECT * FROM url_canon_stream").collect()
+    }
+    assert got == {
+        (1, "https://shop.example/item/7"),
+        (2, "https://shop.example/item/7"),
+        (3, "https://shop.example/item/8"),
+    }
