@@ -32,8 +32,11 @@ r15 cohort in ledger order (excerpt_screen, soft_dedup_weights).
 Displaced to 51+ this round: everything with a hash-green r15/r16/r17
 row and code untouched this round (including the whole r17 window
 apart from the reference surface).
-ROTATION QUEUE for round 19 (stalest first): the FORTY-TWO remaining
-r15-row queries (unimax_allocation, hybrid_rrf_retrieval,
+ROTATION QUEUE for round 19 (stalest first): the FOUR never-rowed r18
+TPC-H newcomers (shipping_priority_q3, local_supplier_volume_q5,
+customer_distribution_q13, large_volume_customer_q18 — sweep-verified
+at all four tiers in r18 but never driver-rowed), then the FORTY-TWO
+remaining r15-row queries (unimax_allocation, hybrid_rrf_retrieval,
 vocab_kl_drift, retrieval_eval, weighted_budget_select,
 soft_dedup_screen, hybrid_rrf_multi, token_budget_select,
 tumbling_hourly, union_all_activity, user_event_profile,
@@ -174,6 +177,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excerpt_screen": D.q_excerpt_screen,
         "soft_dedup_weights": D.q_soft_dedup_weights,
         # ---- entries 51+: outside the driver window this round ----
+        # round-18 TPC-H closers (q3/q5/q13/q18 — the last shapes the
+        # fixture schema can express, analytics14 module note): arrived
+        # after the 50-slot window was sealed around the full r14-cohort
+        # retirement (VERDICT r17 #1's done-criterion), so they are
+        # sweep-verified at all four tiers this round and HEAD the r19
+        # rotation queue as never-rowed newcomers
+        "shipping_priority_q3": A14.q_shipping_priority_q3,
+        "local_supplier_volume_q5": A14.q_local_supplier_volume_q5,
+        "customer_distribution_q13": A14.q_customer_distribution_q13,
+        "large_volume_customer_q18": A14.q_large_volume_customer_q18,
         # every displaced entry has a hash-green r15/r16/r17 row with
         # code untouched this round (the r15 remainder queues next — see
         # the module docstring); the LSH/IVF/PQ approximation spellings
@@ -455,6 +468,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprints": M.ORACLE_AUDIO_FINGERPRINTS,
         "semantic_decontaminate": C.ORACLE_SEMANTIC_DECONTAMINATE,
         "volume_shipping_q7": A14.ORACLE_VOLUME_SHIPPING_Q7,
+        "shipping_priority_q3": A14.ORACLE_SHIPPING_PRIORITY_Q3,
+        "local_supplier_volume_q5": A14.ORACLE_LOCAL_SUPPLIER_VOLUME_Q5,
+        "customer_distribution_q13": A14.ORACLE_CUSTOMER_DISTRIBUTION_Q13,
+        "large_volume_customer_q18": A14.ORACLE_LARGE_VOLUME_CUSTOMER_Q18,
         "market_share_q8": A14.ORACLE_MARKET_SHARE_Q8,
         "returned_items_q10": A14.ORACLE_RETURNED_ITEMS_Q10,
         "top_supplier_q15": A14.ORACLE_TOP_SUPPLIER_Q15,

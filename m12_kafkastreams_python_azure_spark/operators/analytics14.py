@@ -1,5 +1,5 @@
 """Fourteenth query wave: the remaining TPC-H-shaped analytics the
-testdata schema can express (reference parity is long complete — these
+testdata schema can express — completed by the round-18 wave below, after which Q2/Q9/Q11/Q16/Q20 (partsupp-dependent) are the only TPC-H shapes out of reach (reference parity is long complete — these
 widen the analytic surface the way a warehouse user expects; cf. the
 reference's ksql aggregation surface, /root/reference/ci_cd/ksql/*.json,
 which this engine generalizes).
@@ -21,6 +21,17 @@ query). Implemented here:
                              for the missing receipt/commit dates)
 - ``dormant_rich_customers_q22`` — above-average-balance customers with
                              no recent orders, by market segment
+- ``shipping_priority_q3``  — top-10 unshipped orders by revenue for one
+                             segment (o_orderpriority stands in for the
+                             missing o_shippriority)
+- ``local_supplier_volume_q5`` — per-nation revenue where customer and
+                             supplier share the nation, one region/year
+- ``customer_distribution_q13`` — order-count distribution per customer
+                             including zero-order customers (priority
+                             exclusion stands in for the missing
+                             o_comment NOT LIKE)
+- ``large_volume_customer_q18`` — customers with a single order above a
+                             quantity threshold (single lineitem scan)
 
 Scale notes (100 TB): every dimension that reaches a fact join is
 broadcast (region 5 rows, nation 25, filtered part/supplier slices);
@@ -474,4 +485,184 @@ WHERE c_acctbal > avg_bal
       AND o_orderdate >= TIMESTAMP '2000-01-01'
   )
 GROUP BY 1
+"""
+
+
+# ------------------------------------------------- round-18 wave: Q3/Q5/Q13/Q18
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q5_REGION = "ASIA"
+Q18_MIN_QTY = 300
+
+
+def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment (o_shippriority is absent from the fixture — o_orderpriority
+    stands in, the q21-style adaptation). The segment slice is broadcast
+    into the orders join so the 1/5 customer selectivity lands before
+    the lineitem⋈orders shuffle; the top-10 is a TakeOrderedAndProject
+    (never a global sort), deterministically tiebroken by l_orderkey and
+    mirrored in the oracle's ORDER BY."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+ORACLE_SHIPPING_PRIORITY_Q3 = f"""
+SELECT l_orderkey,
+       CAST(ROUND(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue where customer and supplier
+    share the nation, one region, one order year. nation⋈region collapse
+    to a 5-nation broadcast slice; supplier joins it broadcast too, so
+    only lineitem⋈orders⋈customer shuffle — the minimum any engine pays.
+    The customer-nation == supplier-nation equality is the join's resid
+    predicate, exactly TPC-H's local-supplier semantics."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("s_nationkey").alias("sn"), "n_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == F.col("sn")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME_Q5 = f"""
+SELECT n_name,
+       CAST(ROUND(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of order counts per customer,
+    INCLUDING zero-order customers (the LEFT join is the point of the
+    query). The fixture has no o_comment, so the classic NOT LIKE
+    '%special%requests%' exclusion is adapted to o_orderpriority <>
+    '5-LOW' — same plan shape: the exclusion rides IN the join
+    condition, never a post-join filter (a post-join filter would turn
+    matched-but-excluded customers into c_count rows of matched size,
+    not zero). Two aggregations: per-customer count (shuffle on
+    c_custkey), then the |distinct-counts|-row distribution."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+ORACLE_CUSTOMER_DISTRIBUTION_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single order exceeds
+    {Q18_MIN_QTY} total quantity. The classic spelling scans lineitem
+    TWICE (the IN-subquery plus the outer sum); here the per-order
+    quantity aggregates ONCE, the > threshold filter prunes it to the
+    0.1% tail, and orders/customer join the tiny survivor set — the q21
+    single-fact-scan discipline. Quantities are integral doubles, so
+    the sums are exact and partition-order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMER_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_MIN_QTY}
+) big, orders, customer
+WHERE big.l_orderkey = o_orderkey AND o_custkey = c_custkey
 """

@@ -213,3 +213,56 @@ def test_pit_lookup_resolves_versions_at_order_time(spark):
     ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
     rows = {r["o_orderkey"]: r["segment"] for r in scd2_pit_lookup(orders, versions).collect()}
     assert rows == {100: "OLD", 101: "NEW", 102: "NEW", 103: "ONLY"}
+
+
+# ------------------------------------------------- round-18 wave plan pins
+
+def test_q3_top10_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Q3's top-10 must be a TakeOrderedAndProject (per-partition heads +
+    one merge), never a full Sort, and the segment slice must broadcast."""
+    plan = explain_str(A14.q_shipping_priority_q3(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_q5_broadcasts_every_dimension(spark, sf_dir):
+    """Q5: the region-filtered nation/supplier slices broadcast; the only
+    shuffle joins are the fact-fact ones (lineitem⋈orders⋈customer)."""
+    plan = explain_str(A14.q_local_supplier_volume_q5(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_q13_exclusion_rides_in_the_join_condition(spark):
+    """The o_orderpriority exclusion must sit IN the LEFT join: an
+    excluded-but-matched customer counts ZERO orders (not a dropped
+    row). Customer 2's only order is 5-LOW -> c_count 0, alongside the
+    never-ordered customer 3."""
+    c = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    o = spark.createDataFrame(
+        [(1, 10, "1-URGENT"), (1, 11, "5-LOW"), (2, 12, "5-LOW")],
+        "o_custkey long, o_orderkey long, o_orderpriority string",
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    got = {r.c_custkey: r.c_count for r in per_cust.collect()}
+    assert got == {1: 1, 2: 0, 3: 0}
+
+
+def test_q18_scans_lineitem_once(spark, sf_dir):
+    """The classic Q18 IN-subquery spelling scans lineitem twice; the
+    single-aggregation rewrite must show exactly ONE lineitem scan."""
+    plan = explain_str(A14.q_large_volume_customer_q18(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1  # the q21 detection style
+    assert "CartesianProduct" not in plan
