@@ -634,7 +634,12 @@ def _converged_ratios_vs_prev(
     cross-round sf1 claims must not depend on noisy TOTALS — the
     converged per-query ratios are the comparable record). The previous
     artifact is the highest-round ``bench_sf{tag}_r{N}.json`` committed
-    next to this script; override with $SPARK_GRAFT_PREV_BENCH."""
+    next to this script whose round is ALREADY CLOSED (round N is
+    closed once ``CORRECTNESS_r{N}.json`` exists) — without the cap, a
+    mid-round re-run would pick the CURRENT round's just-committed
+    artifact and self-compare at ratio ~1.0 while claiming to be the
+    cross-round table (r18 review finding #7). Override with
+    $SPARK_GRAFT_PREV_BENCH."""
     import glob
     import re as _re
 
@@ -644,10 +649,16 @@ def _converged_ratios_vs_prev(
         tag = {0.1: "sf01", 1.0: "sf1"}.get(sf_val)
         if tag is None:
             return None
+        closed = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"_r(\d+)\.json$", p))
+        ]
+        cap = max(closed) if closed else 0
         cands = []
         for p in glob.glob(os.path.join(here, f"bench_{tag}_r*.json")):
             m = _re.search(r"_r(\d+)\.json$", p)
-            if m:
+            if m and int(m.group(1)) <= cap:
                 cands.append((int(m.group(1)), p))
         if not cands:
             return None
@@ -674,11 +685,12 @@ def _converged_ratios_vs_prev(
             ratios[nm] = round(t / pt, 3)
     if not ratios:
         return None
-    vals = sorted(ratios.values())
+    import statistics
+
     return {
         "prev_artifact": os.path.basename(prev_path),
         "n": len(ratios),
-        "median": vals[len(vals) // 2],
+        "median": round(statistics.median(ratios.values()), 3),
         "ratios": ratios,
     }
 

@@ -154,7 +154,13 @@ _JOIN_WITHIN_RE = re.compile(
     r"\s+ON\s+",
     re.IGNORECASE,
 )
-_WITHIN_RESIDUAL_RE = re.compile(r"\bWITHIN\b", re.IGNORECASE)
+# a residual WINDOWED-JOIN clause (WITHIN <n> <unit>), NOT any bare
+# identifier named 'within' — a column called within must keep passing
+# through to Spark (r18 review finding #5)
+_WITHIN_RESIDUAL_RE = re.compile(r"\bWITHIN\s+\d+\s+\w+", re.IGNORECASE)
+_PARTITION_BY_RESIDUAL_RE = re.compile(
+    r"\bPARTITION\s+BY\b", re.IGNORECASE
+)
 _CLAUSE_AFTER_ON_RE = re.compile(
     r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|EMIT|"
     r"(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?JOIN)\b",
@@ -198,6 +204,22 @@ _BARE_DURATION_RE = re.compile(r"^\s*(\d+)\s+(\w+)\s*$")
 _LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
 
 
+_UNIT_SECONDS = {
+    "millisecond": 0.001,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+}
+
+
+def _duration_seconds(n: str, unit: str) -> float:
+    """ksql duration (e.g. '10', 'MINUTES') in seconds; unknown units
+    map conservatively high so a comparison never shortens a delay."""
+    u = unit.lower().rstrip("s")
+    return float(n) * _UNIT_SECONDS.get(u, 86400.0)
+
+
 def _map_outside_literals(sql: str, fn) -> str:
     """Apply ``fn`` to every segment of ``sql`` OUTSIDE single-quoted
     string literals, leaving the literals byte-identical — so a statement
@@ -231,6 +253,11 @@ class KsqlContext:
         # DataFrame behind each registered view (needed to re-register a
         # streaming side with a watermark at WITHIN-join rewrite time)
         self._views: dict[str, DataFrame] = {}
+        # watermark delay (seconds) already applied per streaming view —
+        # a later, SHORTER delay must never overwrite a longer one (it
+        # would let an earlier join's in-window rows be evicted;
+        # r18 review finding #3)
+        self._wm_seconds: dict[str, float] = {}
         # running materializations of streaming source tables, by name
         self._queries: dict[str, object] = {}
 
@@ -443,6 +470,24 @@ class KsqlContext:
         if pm:
             part_col = pm["col"]
             select = select[: pm.start()] + " " + select[pm.end():]
+        elif any(
+            not re.search(
+                r"OVER\s*\(\s*$", masked[: m.start()], re.IGNORECASE
+            )
+            for m in _PARTITION_BY_RESIDUAL_RE.finditer(masked)
+        ):
+            # a ksql-legal form this dialect doesn't translate (an
+            # expression or qualified column) must fail with a dialect
+            # error, not leak raw PARTITION BY into Spark's parser
+            # (r18 review finding #4). Window-function OVER (PARTITION
+            # BY ...) is ANSI and passes through — only a PARTITION BY
+            # outside an OVER( is ksql's re-keying clause.
+            raise ValueError(
+                f"CREATE STREAM {name}: PARTITION BY is only translated "
+                "for a bare column name (ksql's re-keying clause); "
+                "project the expression first, then PARTITION BY the "
+                "alias: " + select
+            )
         out = self.spark.sql(self._rewrite_select(select))
         if part_col is not None:
             if part_col not in out.columns:
@@ -500,15 +545,31 @@ class KsqlContext:
         )
         if not _BY_OFFSET_RESIDUAL_RE.search(masked):
             return select
-        src = _FROM_RE.search(masked)
-        if not src or src.group(1) not in self._rowtime:
+        if re.search(r"\bJOIN\b", masked, re.IGNORECASE):
+            # which side's record order applies is ambiguous in a join —
+            # refuse rather than guess (r18 review finding #1)
+            raise ValueError(
+                "LATEST_BY_OFFSET/EARLIEST_BY_OFFSET over a JOIN is not "
+                "translated: the aggregate's record order would be "
+                "ambiguous across sides — compact each side first "
+                "(source table / CSAS), then join"
+            )
+        # resolve the source among ALL 'FROM <ident>' matches: a FROM
+        # inside a function call (EXTRACT(YEAR FROM ts)) names no view,
+        # so take the first match that resolves to a declared rowtime
+        # (r18 review finding #1)
+        rt = None
+        for fm in _FROM_RE.finditer(masked):
+            if fm.group(1) in self._rowtime:
+                rt = self._rowtime[fm.group(1)]
+                break
+        if rt is None:
             raise ValueError(
                 "LATEST_BY_OFFSET/EARLIEST_BY_OFFSET: the source has no "
                 "event-time column — declare WITH (TIMESTAMP='col'); "
                 "Kafka offset order has no batch analog, so the declared "
                 "event time is the engine's record order"
             )
-        rt = self._rowtime[src.group(1)]
 
         def sub(seg: str) -> str:
             return _LATEST_BY_OFFSET_RE.sub(
@@ -577,17 +638,28 @@ class KsqlContext:
                     )
             lrt, rrt = self._rowtime[left], self._rowtime[right]
             n, unit = m["n"], m["unit"].lower()
-            delay = (
-                f"{m['gn']} {m['gunit'].lower()}"
-                if m["gn"] is not None
-                else f"{n} {unit}"
-            )
+            if m["gn"] is not None:
+                delay = f"{m['gn']} {m['gunit'].lower()}"
+                delay_s = _duration_seconds(m["gn"], m["gunit"])
+            else:
+                delay = f"{n} {unit}"
+                delay_s = _duration_seconds(n, unit)
             for side in (left, right):
                 df = self._views.get(side)
-                if df is not None and df.isStreaming:
+                if (
+                    df is not None
+                    and df.isStreaming
+                    and delay_s > self._wm_seconds.get(side, -1.0)
+                ):
+                    # apply only a LONGER delay than the one already on
+                    # the view: watermark mutation is sticky (the view
+                    # keeps it for later statements — documented), and
+                    # monotone-increasing delays are always safe while a
+                    # shortening could evict an earlier join's rows
                     wm = df.withWatermark(self._rowtime[side], delay)
                     wm.createOrReplaceTempView(side)
                     self._views[side] = wm
+                    self._wm_seconds[side] = delay_s
             cond_end_m = _CLAUSE_AFTER_ON_RE.search(masked, m.end())
             cond_end = cond_end_m.start() if cond_end_m else len(select)
             # inside a subquery the condition also ends at the subquery's

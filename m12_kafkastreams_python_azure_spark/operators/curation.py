@@ -269,8 +269,11 @@ SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
 # ------------------------------------------------------------------ URL dedup
 
 #: query parameters that never change page content (RefinedWeb / Dolma
-#: strip these before URL-level dedup)
-URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid)="
+#: strip these before URL-level dedup). Case-insensitive and valueless
+#: forms both count ('?UTM_SOURCE=x', a bare '?fbclid') — r18 review
+#: finding #6: query-param NAMES are conventionally case-insensitive in
+#: tracking tooling even though RFC 3986 treats the query as opaque.
+URL_TRACKING_RE = r"^(?i:utm_[^=]*|fbclid|gclid)(=|$)"
 
 
 def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -411,7 +414,7 @@ canon AS (
     SELECT doc_id, hostpath,
            coalesce(array_to_string(list_sort(list_filter(
              string_split(query, '&'),
-             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')
+             p -> p <> '' AND NOT regexp_matches(p, '^(?i:utm_[^=]*|fbclid|gclid)(=|$)')
            )), '&'), '') AS q
     FROM split1
   )
@@ -2033,8 +2036,16 @@ def c4_line_filter(
     )
     # occurrence match with word boundaries (never substring-inside-a-
     # word: "badword1x" stays clean, "badword1." trips) — one rlike over
-    # the lowered page text, still a narrow per-row predicate
-    badword_re = r"\b(" + "|".join(re.escape(b) for b in badwords) + r")\b"
+    # the lowered page text, still a narrow per-row predicate. An EMPTY
+    # blocklist must disable the rule: '\b()\b' would match every page
+    # (r18 review finding #2).
+    badword_hit = (
+        F.lower(F.col("text")).rlike(
+            r"\b(" + "|".join(re.escape(b) for b in badwords) + r")\b"
+        )
+        if badwords
+        else F.lit(False)
+    )
     lined = docs.select(
         "doc_id", "text", F.split(F.col("text"), "\n").alias("_lines")
     )
@@ -2046,7 +2057,7 @@ def c4_line_filter(
             (F.size("_kept") >= min_kept_lines)
             & ~F.lower(F.col("text")).contains("lorem ipsum")
             & ~F.col("text").contains("{")
-            & ~F.lower(F.col("text")).rlike(badword_re)
+            & ~badword_hit
         )
         .select(
             "doc_id",

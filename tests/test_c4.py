@@ -119,3 +119,13 @@ def test_c4_streams_stateless(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM c4_stream").collect()}
     want = {tuple(r) for r in CU.c4_line_filter(_docs(spark, rows)).collect()}
     assert got == want and {t[0] for t in got} == {1}
+
+
+def test_empty_badwords_disables_the_blocklist_rule(spark):
+    """badwords=() must disable the rule, not build '\\b()\\b' (which
+    matches every page and drops the corpus — r18 review finding #2)."""
+    three_good = "\n".join([GOOD, GOOD, GOOD])
+    kept = CU.c4_line_filter(
+        _docs(spark, [(1, three_good)]), badwords=()
+    ).collect()
+    assert [r.doc_id for r in kept] == [1]

@@ -354,3 +354,23 @@ def test_url_canonicalize_streams_stateless(spark, tmp_path):
         (2, "https://shop.example/item/7"),
         (3, "https://shop.example/item/8"),
     }
+
+
+def test_url_tracking_params_case_insensitive_and_valueless(spark):
+    """'?UTM_SOURCE=x' and a bare '?fbclid' are tracking params too —
+    both must strip so the spellings dedup together (r18 review
+    finding #6)."""
+    rows = [
+        (1, "https://x.example/p?utm_source=a"),
+        (2, "https://x.example/p?UTM_SOURCE=a"),
+        (3, "https://x.example/p?fbclid"),
+        (4, "https://x.example/p?Gclid=z&q=1"),
+    ]
+    got = {
+        r.doc_id: r.canonical_url
+        for r in CU.url_canonicalize(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == "https://x.example/p"
+    assert got[4] == "https://x.example/p?q=1"

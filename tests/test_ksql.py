@@ -1004,3 +1004,98 @@ def test_by_offset_without_event_time_is_clear_error(ksql_ctx):
             "SELECT stay_category, LATEST_BY_OFFSET(hotel_id) "
             "FROM expedia_stream GROUP BY stay_category;"
         )
+
+
+# --------------------------------------- r18 review-finding regressions
+
+def test_by_offset_ignores_function_internal_from(join_ctx):
+    """EXTRACT(YEAR FROM ts) must not hijack source resolution: the
+    rowtime comes from the first FROM that names a declared view."""
+    join_ctx.execute(
+        "CREATE STREAM hotel_cl2 (hotel_id BIGINT, tier VARCHAR, "
+        "updated_at TIMESTAMP) WITH (KAFKA_TOPIC='hotel_changelog', "
+        "VALUE_FORMAT='JSON', TIMESTAMP='updated_at');"
+    )
+    rows = join_ctx.execute(
+        "SELECT hotel_id, EXTRACT(YEAR FROM updated_at) AS y, "
+        "LATEST_BY_OFFSET(tier) AS t "
+        "FROM hotel_cl2 GROUP BY hotel_id, EXTRACT(YEAR FROM updated_at);"
+    ).collect()
+    assert len(rows) == 25 * 1 or len(rows) >= 25  # one row per key/year
+    assert all(r.t.endswith("_v2") or r.t.endswith("_v1") or r.t.endswith("_v0") for r in rows)
+
+
+def test_by_offset_over_join_is_clear_error(within_ctx):
+    with pytest.raises(ValueError, match="JOIN is not translated"):
+        within_ctx.execute(
+            "SELECT c.user_id, LATEST_BY_OFFSET(v.vts) FROM clicks_s c "
+            "JOIN views_s v WITHIN 10 MINUTES ON c.user_id = v.user_id "
+            "GROUP BY c.user_id;"
+        )
+
+
+def test_column_named_within_passes_through(spark):
+    """A bare identifier 'within' is not a windowed-join clause — the
+    residual guard must not reject it (pre-r18 behavior preserved)."""
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "w_topic", spark.createDataFrame([(1,)], "user_id long")
+    )
+    ctx.execute(
+        "CREATE STREAM w_s (user_id BIGINT) "
+        "WITH (KAFKA_TOPIC='w_topic', VALUE_FORMAT='JSON');"
+    )
+    rows = ctx.execute(
+        "SELECT user_id AS within FROM w_s;"
+    ).collect()
+    assert [r["within"] for r in rows] == [1]
+
+
+def test_partition_by_expression_is_clear_dialect_error(events_ctx):
+    with pytest.raises(ValueError, match="bare column name"):
+        events_ctx.execute(
+            "CREATE STREAM ev_exp AS SELECT event_id, etype FROM ev "
+            "PARTITION BY UCASE(etype);"
+        )
+
+
+def test_csas_with_over_partition_by_still_passes_through(events_ctx):
+    """ANSI window functions inside a CSAS use OVER (PARTITION BY ...) —
+    that is NOT ksql's re-keying clause and must keep working."""
+    out = events_ctx.execute(
+        "CREATE STREAM ev_ranked AS SELECT event_id, etype, "
+        "row_number() OVER (PARTITION BY etype ORDER BY ts) AS rn "
+        "FROM ev;"
+    )
+    assert out.count() == 600
+
+
+def test_within_watermark_never_shortens(spark, tmp_path):
+    """Two windowed joins over the same streaming side: the second,
+    shorter GRACE PERIOD must not overwrite the first join's longer
+    watermark delay (r18 review finding #3)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS cts"
+    )
+    ctx = KsqlContext(spark)
+    ctx.register_topic("clicks_topic", src)
+    ctx.register_topic("views_topic", src.selectExpr(
+        "user_id", "cts AS vts"
+    ))
+    ctx.execute(CREATE_CLICKS)
+    ctx.execute(CREATE_VIEWS)
+    # first: 10-minute band (watermark 600 s); second: 5-minute band
+    # with 1-minute grace (would be 60 s — must NOT shrink the 600)
+    ctx._rewrite_select(
+        "SELECT * FROM clicks_s c JOIN views_s v WITHIN 10 MINUTES "
+        "ON c.user_id = v.user_id"
+    )
+    assert ctx._wm_seconds["clicks_s"] == 600.0
+    ctx._rewrite_select(
+        "SELECT * FROM clicks_s c JOIN views_s v WITHIN 5 MINUTES "
+        "GRACE PERIOD 1 MINUTES ON c.user_id = v.user_id"
+    )
+    assert ctx._wm_seconds["clicks_s"] == 600.0  # unchanged, not 60

@@ -79,9 +79,27 @@ ALLOWED: dict[tuple[str, str], str] = {
 }
 
 
+def _window_aliases(tree: ast.Module) -> set[str]:
+    """Every local name the pyspark Window class is importable under in
+    this module — plain, aliased, or via the window submodule — so an
+    'import ... as W' spelling cannot evade the guard (r18 review
+    finding #9)."""
+    names = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module in (
+            "pyspark.sql",
+            "pyspark.sql.window",
+        ):
+            for a in node.names:
+                if a.name == "Window":
+                    names.add(a.asname or a.name)
+    return names
+
+
 def _unpartitioned_window_sites() -> set[tuple[str, str]]:
     """(relpath, enclosing function) for every ``Window.orderBy(...)`` or
-    ``Window.partitionBy()`` (zero-arg) call in the package."""
+    ``Window.partitionBy()`` (zero-arg) call in the package, under any
+    import alias of Window."""
     sites: set[tuple[str, str]] = set()
     for root, _dirs, files in os.walk(PKG):
         for fname in files:
@@ -90,6 +108,7 @@ def _unpartitioned_window_sites() -> set[tuple[str, str]]:
             path = os.path.join(root, fname)
             rel = os.path.relpath(path, PKG)
             tree = ast.parse(open(path).read())
+            aliases = _window_aliases(tree) or {"Window"}
             # map line -> innermost enclosing function
             funcs: list[tuple[int, int, str]] = []
             for node in ast.walk(tree):
@@ -104,8 +123,12 @@ def _unpartitioned_window_sites() -> set[tuple[str, str]]:
                 f = node.func
                 if not (
                     isinstance(f, ast.Attribute)
-                    and isinstance(f.value, ast.Name)
-                    and f.value.id == "Window"
+                    and (
+                        (isinstance(f.value, ast.Name)
+                         and f.value.id in aliases)
+                        or (isinstance(f.value, ast.Attribute)
+                            and f.value.attr == "Window")
+                    )
                 ):
                     continue
                 unpartitioned = f.attr == "orderBy" or (
