@@ -297,10 +297,12 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     u = F.col(url_col)
     rest = F.regexp_replace(u, r"^[a-zA-Z]+://", "")
     rest = F.regexp_replace(rest, r"#.*$", "")
+    # split at the FIRST '?' only (ADVICE r18 #3): a second literal '?'
+    # inside the query string is part of the query, not a delimiter —
+    # split_part(rest, '?', 2) silently dropped everything past it, so
+    # two URLs differing only after the second '?' collapsed together.
     hostpath = F.split_part(rest, F.lit("?"), F.lit(1))
-    query = F.when(
-        rest.contains("?"), F.split_part(rest, F.lit("?"), F.lit(2))
-    ).otherwise(F.lit(""))
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
     host = F.regexp_replace(
         F.lower(F.split_part(hostpath, F.lit("/"), F.lit(1))), r"^www\.", ""
     )
@@ -347,7 +349,10 @@ def docs_with_urls(docs: DataFrame) -> DataFrame:
     verbatim in the oracle. Every canonicalization rule is exercised:
     scheme flips on doc_id%2, ``www.`` on %3, trailing slash on %5,
     tracking params (+ out-of-order keepers) on %7, plain out-of-order
-    keepers on %11, uppercase host on %17, fragment on %13; the page key
+    keepers on %11, a second literal '?' INSIDE the query on %19 (the
+    ADVICE r18 #3 case: only the first '?' delimits; the rest of the
+    query — including its embedded '?' — must survive canonicalization),
+    uppercase host on %17, fragment on %13; the page key
     is (doc_id%5 host, doc_id%3 path) — a deliberately tiny page-key
     space so canonical groups COLLIDE and mix raw spellings at every SF
     (97*41 was first tried and produced zero collisions at sf0.01)."""
@@ -360,6 +365,7 @@ def docs_with_urls(docs: DataFrame) -> DataFrame:
     query = (
         F.when(d % 7 == 0, F.lit("?utm_source=feed&b=2&a=1"))
         .when(d % 11 == 0, F.lit("?b=2&a=1"))
+        .when(d % 19 == 0, F.lit("?a=1?x=2&b=3"))
         .otherwise(F.lit(""))
     )
     frag = F.when(d % 13 == 0, F.lit("#section-3")).otherwise(F.lit(""))
@@ -387,7 +393,8 @@ WITH u AS (
          '/page/' || CAST(doc_id % 3 AS VARCHAR) ||
          (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
          (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&b=2&a=1'
-               WHEN doc_id % 11 = 0 THEN '?b=2&a=1' ELSE '' END) ||
+               WHEN doc_id % 11 = 0 THEN '?b=2&a=1'
+               WHEN doc_id % 19 = 0 THEN '?a=1?x=2&b=3' ELSE '' END) ||
          (CASE WHEN doc_id % 13 = 0 THEN '#section-3' ELSE '' END) AS url
   FROM documents
 ),
@@ -400,8 +407,7 @@ parts AS (
 split1 AS (
   SELECT doc_id,
          split_part(rest, '?', 1) AS hostpath,
-         CASE WHEN contains(rest, '?') THEN split_part(rest, '?', 2)
-              ELSE '' END AS query
+         regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query
   FROM parts
 ),
 canon AS (

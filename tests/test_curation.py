@@ -269,6 +269,11 @@ def test_url_canonicalize_rules(spark):
          "https://example.com/a"),                                  # all dropped
         ("https://example.com", "https://example.com"),             # no path
         ("https://wwwx.example.com/a", "https://wwwx.example.com/a"),  # not www.
+        # ADVICE r18 #3: only the FIRST '?' delimits the query — a second
+        # literal '?' is query content and must survive in full
+        ("https://example.com/a?b=1?c=2", "https://example.com/a?b=1?c=2"),
+        ("https://example.com/a?b=2?x&a=1",
+         "https://example.com/a?a=1&b=2?x"),
     ]
     df = spark.createDataFrame(
         [(i, raw) for i, (raw, _) in enumerate(cases)],
@@ -374,3 +379,22 @@ def test_url_tracking_params_case_insensitive_and_valueless(spark):
     }
     assert got[1] == got[2] == got[3] == "https://x.example/p"
     assert got[4] == "https://x.example/p?q=1"
+
+
+def test_url_second_question_mark_does_not_collapse(spark):
+    """Two URLs differing only PAST a second literal '?' are different
+    pages and must not dedup together (ADVICE r18 #3: the old
+    split_part(rest, '?', 2) truncated both to 'b=1' and collapsed
+    them)."""
+    rows = [
+        (1, "https://x.example/p?b=1?c=2"),
+        (2, "https://x.example/p?b=1?c=3"),
+    ]
+    out = CU.url_dedup(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    ).collect()
+    assert len(out) == 2
+    assert {r.canonical_url for r in out} == {
+        "https://x.example/p?b=1?c=2",
+        "https://x.example/p?b=1?c=3",
+    }
