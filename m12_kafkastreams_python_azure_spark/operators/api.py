@@ -115,7 +115,10 @@ def embedding_near_dup_lsh(
 
     Shuffle profile mirrors the MinHash pipeline: band rows carry only
     (id, band, bucket) — vectors never ride the band shuffle; candidate
-    pairs are broadcast back onto the (narrow) vector table for the verify.
+    pairs join back onto the vector table for the verify, with the
+    candidate-side broadcast COUNT-GATED (<= dedup._BROADCAST_CAND_MAX_ROWS
+    rows broadcast; larger candidate sets fall to a shuffled join —
+    VERDICT r18 #3, same discipline as the containment verify).
     """
     if collapse_exact:
         mapping, reps = _dedup.collapse_exact_groups(df, [vec_col], id_col)
@@ -211,8 +214,20 @@ def embedding_near_dup_lsh(
     # Verify joins: stream the (narrow, id-only) candidate pairs and join
     # the vector table onto them — NEVER broadcast pairs carrying vectors
     # (at 1M candidates x dim 64 that is a multi-hundred-MB broadcast).
-    # No hint on purpose: AQE broadcasts the vector side while it is small
-    # and falls back to a shuffled join when the corpus outgrows that.
+    # The candidate-side broadcast is COUNT-GATED (VERDICT r18 #3,
+    # mirroring dedup._containment_verify_on_reps): on a duplication-
+    # pathological corpus the candidate set is NOT small, and an
+    # unconditional hint would push an unbounded table at the driver.
+    # The persist barrier pays for the count once and the verify joins
+    # read the cached pairs instead of re-running the band shuffle.
+    cands = cands.persist()
+    _dedup.register_parallel_cache(cands)
+    n_cand = cands.count()
+    cand_side = (
+        F.broadcast(cands)
+        if n_cand <= _dedup._BROADCAST_CAND_MAX_ROWS
+        else cands
+    )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     # Filter on the UNROUNDED cosine (exactly like the exact twin and its
@@ -220,7 +235,7 @@ def embedding_near_dup_lsh(
     # boundary pairs (e.g. 0.3999996 -> 0.4) the exact path excludes,
     # breaking the "LSH output is a subset of exact output" contract.
     return (
-        cands.join(a, "id_a")
+        cand_side.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
             "sim_raw",

@@ -393,3 +393,37 @@ def test_soft_dedup_screen_plan_shape(spark, sf_dir):
     # shuffle budget: 5 unique exchanges (ref gram agg, doc gram agg,
     # join distribution, final doc mean)
     assert 1 <= _uniq_nodes(tree, r"\bExchange") <= 5, tree
+
+
+def test_embedding_lsh_verify_broadcast_is_count_gated(spark, sf_dir, monkeypatch):
+    """VERDICT r18 #3: the sign-LSH verify join broadcasts the (narrow,
+    id-only) candidate-pair side only when its COUNTED size clears
+    dedup._BROADCAST_CAND_MAX_ROWS; above the gate the hint is withheld
+    and the verify falls to a shuffled join (AQE may still re-broadcast
+    off observed sizes at runtime, but never past the driver's limits).
+    autoBroadcastJoinThreshold is disabled during the probe so the
+    observed strategy is the GATE's decision, not a stats-based one."""
+    from m12_kafkastreams_python_azure_spark.operators import api, dedup
+    from m12_kafkastreams_python_azure_spark.plans.checks import explain_str
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # collapse_exact=False isolates the verify pipeline (the collapse
+        # wrapper adds its own mapping/expansion joins around it)
+        below = explain_str(
+            api.embedding_near_dup_lsh(emb, collapse_exact=False)
+        )
+        assert "BroadcastHashJoin" in below, below
+        monkeypatch.setattr(dedup, "_BROADCAST_CAND_MAX_ROWS", 0)
+        above = explain_str(
+            api.embedding_near_dup_lsh(emb, collapse_exact=False)
+        )
+        assert "BroadcastHashJoin" not in above, above
+        assert any(
+            op in above for op in ("SortMergeJoin", "ShuffledHashJoin")
+        ), above
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
