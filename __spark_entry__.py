@@ -12,46 +12,36 @@ DRIVER WINDOW (important, do not regress): the driver's CORRECTNESS
 artifact records exactly the FIRST 50 dict entries of ``queries()`` —
 queries appended beyond position 50 never get a driver-checked row.
 The first 50 entries below are therefore curated, not chronological.
-Round-18 rotation (VERDICT r17 #1): the 5 reference-surface queries
-stay first (every round). Then the ONE round-18 newcomer: url_dedup —
-URL-level dedup with RefinedWeb/Dolma canonicalization (VERDICT r17
-#7: scheme/host/www/fragment/tracking-param/param-order/trailing-slash
-normalization as a narrow per-row pass, then ONE hash groupBy on the
-canonical URL). Then the TWO entries whose code or ledger key changed
-this round (hygiene rule): c4_line_filter (blocklist pages now match
-by word-boundary OCCURRENCE over the lowered page text, oracle
-mirrored — ADVICE r17 #5) and embedding_near_dup_exact (the quadratic
-oracle twin RENAMED from embedding_near_dup and demoted out of the
-bench headline, VERDICT r17 #2 — the fresh ledger name needs a fresh
-row; the front-door LSH spelling keeps the headline slot). Then ALL
-FORTY remaining r14-row queries — the stalest ledger cohort, named
-query-by-query in the r17 rotation queue, fully retired this rotation
-(clears the r14 ledger debt). The last TWO slots take the head of the
-r15 cohort in ledger order (excerpt_screen, soft_dedup_weights).
-5+1+2+40+2 = 50.
-Displaced to 51+ this round: everything with a hash-green r15/r16/r17
-row and code untouched this round (including the whole r17 window
-apart from the reference surface).
-ROTATION QUEUE for round 19 (stalest first): the FOUR never-rowed r18
-TPC-H newcomers (shipping_priority_q3, local_supplier_volume_q5,
-customer_distribution_q13, large_volume_customer_q18 — sweep-verified
-at all four tiers in r18 but never driver-rowed), then the FORTY-TWO
-remaining r15-row queries (unimax_allocation, hybrid_rrf_retrieval,
-vocab_kl_drift, retrieval_eval, weighted_budget_select,
-soft_dedup_screen, hybrid_rrf_multi, token_budget_select,
-tumbling_hourly, union_all_activity, user_event_profile,
-window_frames, word_count, zscore_events, asof_latest_order,
-asof_next_order, cte_sql, dataset_split, edit_distance_pairs,
-histogram_bins, hopping_hourly, map_functions, purchase_funnel,
-quality_report, stratified_sample, tfidf_top_terms, value_band_join,
-zorder_key, array_set_ops, arrow_byte_stats, benford_digits,
-bitwise_aggregates, cheapest_supplier, corr_battery,
-median_aggregates, orderkey_islands, string_functions2,
-word_positions, audio_fingerprints, semantic_decontaminate,
-quality_percentile_filter, dedup_keep_best — 42 after this round's
-two r15 promotions — plus any never-rowed r19 newcomer and any
-operator whose code changes in r19), then the r16 cohort, then the
-r17/r18 cohorts.
+Round-19 rotation (VERDICT r18 #1, verbatim): the 5 reference-surface
+queries stay first (every round). Then the SIX entries that have never
+had a driver CORRECTNESS row — the four r18 TPC-H newcomers
+(shipping_priority_q3, local_supplier_volume_q5,
+customer_distribution_q13, large_volume_customer_q18; added after the
+r18 window was sealed, judge re-run PASS) and the two rows-only bench
+surfaces (bpe_train, hard_negative_mining_ivf; VERDICT r18 #1
+explicitly rotates them in for sane-spark_rows rows, overriding the
+earlier bpe-train-stays-last pin for this round — at the driver's
+sf0.01 the 16-merge loop is a few seconds). Then the TWO round-19
+newcomers: ksql_topk / ksql_histogram (the last commonly-hit ksqlDB
+aggregate spellings, VERDICT r18 #4 — TOPK via the salted two-phase
+pre-prune, HISTOGRAM via the (keys, value)-counts two-level map
+aggregate). Then the THREE entries whose code changed this round
+(hygiene rule): url_dedup (canonicalization now splits the query at
+the FIRST '?' only — ADVICE r18 #3, fixture plants the %19
+second-'?' case), c4_line_filter (badwords_path production-blocklist
+parameter, VERDICT r18 #8) and embedding_near_dup_lsh (count-gated
+verify broadcast, VERDICT r18 #3 — rows-only by design). Then the
+head of the r15 cohort in ledger order, THIRTY-FOUR entries
+(unimax_allocation .. corr_battery). 5+6+2+3+34 = 50.
+Displaced to 51+ this round: the whole r18 window apart from the
+reference surface (its r14-cohort rows are hash-green and fresh) and
+everything already outside.
+ROTATION QUEUE for round 20 (stalest first): the EIGHT remaining
+r15-row queries (median_aggregates, orderkey_islands,
+string_functions2, word_positions, audio_fingerprints,
+semantic_decontaminate, quality_percentile_filter, dedup_keep_best),
+then the r16 cohort, then r17/r18, then any never-rowed r20 newcomer
+and any operator whose code changes in r20.
 ``tests/test_entry_window.py`` asserts the window composition so a
 future append can't silently fall outside it.
 """
@@ -97,6 +87,7 @@ from m12_kafkastreams_python_azure_spark.operators import retrieval as R
 from m12_kafkastreams_python_azure_spark.operators import vectorops as V
 from m12_kafkastreams_python_azure_spark.operators import similarity as S
 from m12_kafkastreams_python_azure_spark.operators import textops as T
+from m12_kafkastreams_python_azure_spark import ksql as KQ
 from m12_kafkastreams_python_azure_spark.session import tune_for_session
 from m12_kafkastreams_python_azure_spark.sources import layout as L
 
@@ -116,23 +107,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_filter": A.q_null_filter,
         "stay_enrich": A.q_stay_enrich,
         "hotels_count": A.q_hotels_count,
-        # round-18 newcomer (never rowed): URL-level dedup with
-        # RefinedWeb/Dolma canonicalization (VERDICT r17 #7) — narrow
-        # canonicalize pass + ONE hash groupBy, plan-pinned
-        "url_dedup": CU.q_url_dedup,
+        # the six never-driver-rowed entries (VERDICT r18 #1): the four
+        # r18 TPC-H closers, then the two rows-only bench surfaces
+        # (explicitly rotated in this round for sane-spark_rows rows)
+        "shipping_priority_q3": A14.q_shipping_priority_q3,
+        "local_supplier_volume_q5": A14.q_local_supplier_volume_q5,
+        "customer_distribution_q13": A14.q_customer_distribution_q13,
+        "large_volume_customer_q18": A14.q_large_volume_customer_q18,
+        "bpe_train": T.q_bpe_train,
+        "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
+        # round-19 newcomers: the ksql TOPK / HISTOGRAM aggregate
+        # spellings (VERDICT r18 #4), canonicalized to sorted strings
+        # for the driver hash
+        "ksql_topk": KQ.q_ksql_topk,
+        "ksql_histogram": KQ.q_ksql_histogram,
         # plan-affecting code changes THIS round re-enter the window
-        # (hygiene rule): c4_line_filter — blocklist pages now match by
-        # word-boundary occurrence, oracle mirrored (ADVICE r17 #5)
+        # (hygiene rule): url_dedup (first-'?' query split, ADVICE r18
+        # #3), c4_line_filter (badwords_path, VERDICT r18 #8),
+        # embedding_near_dup_lsh (count-gated verify broadcast, VERDICT
+        # r18 #3 — rows-only by design)
+        "url_dedup": CU.q_url_dedup,
         "c4_line_filter": CU.q_c4_line_filter,
-        # renamed THIS round (VERDICT r17 #2 headline demotion): the
-        # quadratic oracle-twin lost the embedding_near_dup name (and its
-        # bench headline slot) to make the all-pairs plan's ground-truth
-        # role explicit — fresh ledger name needs a fresh row
+        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
+        # the head of the r15 cohort (ledger order), thirty-four entries
+        "unimax_allocation": CU.q_unimax_allocation,
+        "hybrid_rrf_retrieval": R.q_hybrid_rrf_retrieval,
+        "vocab_kl_drift": AU.q_vocab_kl_drift,
+        "retrieval_eval": R.q_retrieval_eval,
+        "weighted_budget_select": CU.q_weighted_budget_select,
+        "soft_dedup_screen": D.q_soft_dedup_screen,
+        "hybrid_rrf_multi": R.q_hybrid_rrf_multi,
+        "token_budget_select": CU.q_token_budget_select,
+        "tumbling_hourly": A5.q_tumbling_hourly,
+        "union_all_activity": A5.q_union_all_activity,
+        "user_event_profile": A7.q_user_event_profile,
+        "window_frames": A9.q_window_frames,
+        "word_count": A7.q_word_count,
+        "zscore_events": A6.q_zscore_events,
+        "asof_latest_order": J.q_asof_latest_order,
+        "asof_next_order": J.q_asof_next_order,
+        "cte_sql": A10.q_cte_sql,
+        "dataset_split": A10.q_dataset_split,
+        "edit_distance_pairs": A11.q_edit_distance_pairs,
+        "histogram_bins": A13.q_histogram_bins,
+        "hopping_hourly": A10.q_hopping_hourly,
+        "map_functions": A11.q_map_functions,
+        "purchase_funnel": A11.q_purchase_funnel,
+        "quality_report": Q.q_quality_report,
+        "stratified_sample": A11.q_stratified_sample,
+        "tfidf_top_terms": A10.q_tfidf_top_terms,
+        "value_band_join": J.q_value_band_join,
+        "zorder_key": L.q_zorder_key,
+        "array_set_ops": A9.q_array_set_ops,
+        "arrow_byte_stats": A9.q_arrow_byte_stats,
+        "benford_digits": A13.q_benford_digits,
+        "bitwise_aggregates": A9.q_bitwise_aggregates,
+        "cheapest_supplier": A9.q_cheapest_supplier,
+        "corr_battery": A13.q_corr_battery,
+        # ---- entries 51+: outside the driver window this round ----
+        # every displaced entry has a hash-green r18-or-earlier row
+        # with code untouched this round; the eight remaining r15-row
+        # queries (module docstring) head the r20 queue. The LSH/IVF/
+        # PQ approximation spellings stay rows-only by design, bounded
+        # by their oracle-checked exact twins.
         "embedding_near_dup_exact": S.q_embedding_near_dup_exact,
-        # ALL FORTY remaining r14-row queries — the stalest ledger
-        # cohort, fully retired this rotation (VERDICT r17 #1; named
-        # query-by-query in the r17 rotation queue) — clears the r14
-        # ledger debt
         "market_share_q8": A14.q_market_share_q8,
         "returned_items_q10": A14.q_returned_items_q10,
         "top_supplier_q15": A14.q_top_supplier_q15,
@@ -173,25 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_count_q4": A6.q_priority_count_q4,
         "regexp_battery": A5.q_regexp_battery,
         "shipmode_priority_q12": A6.q_shipmode_priority_q12,
-        # the head of the r15 cohort (ledger order) fills the last slots
         "excerpt_screen": D.q_excerpt_screen,
         "soft_dedup_weights": D.q_soft_dedup_weights,
-        # ---- entries 51+: outside the driver window this round ----
-        # round-18 TPC-H closers (q3/q5/q13/q18 — the last shapes the
-        # fixture schema can express, analytics14 module note): arrived
-        # after the 50-slot window was sealed around the full r14-cohort
-        # retirement (VERDICT r17 #1's done-criterion), so they are
-        # sweep-verified at all four tiers this round and HEAD the r19
-        # rotation queue as never-rowed newcomers
-        "shipping_priority_q3": A14.q_shipping_priority_q3,
-        "local_supplier_volume_q5": A14.q_local_supplier_volume_q5,
-        "customer_distribution_q13": A14.q_customer_distribution_q13,
-        "large_volume_customer_q18": A14.q_large_volume_customer_q18,
-        # every displaced entry has a hash-green r15/r16/r17 row with
-        # code untouched this round (the r15 remainder queues next — see
-        # the module docstring); the LSH/IVF/PQ approximation spellings
-        # stay rows-only by design, bounded by their oracle-checked
-        # exact twins
         "containment_screened": D.q_containment_screened,
         "subsumption_prune": D.q_subsumption_prune,
         "winnow_pairs": T.q_winnow_pairs,
@@ -277,40 +298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": CU.q_temperature_sample,
         "cdc_chunk_dedup": CU.q_cdc_chunk_dedup,
         "quality_calibration": C.q_quality_calibration,
-        "unimax_allocation": CU.q_unimax_allocation,
-        "hybrid_rrf_retrieval": R.q_hybrid_rrf_retrieval,
-        "vocab_kl_drift": AU.q_vocab_kl_drift,
-        "retrieval_eval": R.q_retrieval_eval,
-        "weighted_budget_select": CU.q_weighted_budget_select,
-        "soft_dedup_screen": D.q_soft_dedup_screen,
-        "hybrid_rrf_multi": R.q_hybrid_rrf_multi,
-        "token_budget_select": CU.q_token_budget_select,
-        "tumbling_hourly": A5.q_tumbling_hourly,
-        "union_all_activity": A5.q_union_all_activity,
-        "user_event_profile": A7.q_user_event_profile,
-        "window_frames": A9.q_window_frames,
-        "word_count": A7.q_word_count,
-        "zscore_events": A6.q_zscore_events,
-        "asof_latest_order": J.q_asof_latest_order,
-        "asof_next_order": J.q_asof_next_order,
-        "cte_sql": A10.q_cte_sql,
-        "dataset_split": A10.q_dataset_split,
-        "edit_distance_pairs": A11.q_edit_distance_pairs,
-        "histogram_bins": A13.q_histogram_bins,
-        "hopping_hourly": A10.q_hopping_hourly,
-        "map_functions": A11.q_map_functions,
-        "purchase_funnel": A11.q_purchase_funnel,
-        "quality_report": Q.q_quality_report,
-        "stratified_sample": A11.q_stratified_sample,
-        "tfidf_top_terms": A10.q_tfidf_top_terms,
-        "value_band_join": J.q_value_band_join,
-        "zorder_key": L.q_zorder_key,
-        "array_set_ops": A9.q_array_set_ops,
-        "arrow_byte_stats": A9.q_arrow_byte_stats,
-        "benford_digits": A13.q_benford_digits,
-        "bitwise_aggregates": A9.q_bitwise_aggregates,
-        "cheapest_supplier": A9.q_cheapest_supplier,
-        "corr_battery": A13.q_corr_battery,
         "median_aggregates": A9.q_median_aggregates,
         "orderkey_islands": A12.q_orderkey_islands,
         "string_functions2": A9.q_string_functions2,
@@ -326,11 +313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": D.q_minhash_near_dup,
         "ann_lsh": S.q_ann_lsh,
         "ann_ivf": IV.q_ann_ivf,
-        "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
-        "hard_negative_mining_ivf": MN.q_hard_negative_mining_ivf,
-        # bench-only driver-loop surface — must stay LAST (pinned by
-        # test_entry_window.test_bpe_train_is_outside_the_window)
-        "bpe_train": T.q_bpe_train,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -433,6 +415,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": CU.ORACLE_CHUNK_DOCUMENTS,
         "domain_cap": CU.ORACLE_DOMAIN_CAP,
         "url_dedup": CU.ORACLE_URL_DEDUP,
+        "ksql_topk": KQ.ORACLE_KSQL_TOPK,
+        "ksql_histogram": KQ.ORACLE_KSQL_HISTOGRAM,
         "semantic_dedup": CU.ORACLE_SEMANTIC_DEDUP,
         "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
         "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,

@@ -433,6 +433,7 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "regime": BENCH_REGIME,
         "queries": timings,
         "sf": sf_val,
         "streaming_events_per_sec": streaming_eps,

@@ -74,18 +74,37 @@ deployment uses is also translated (widening drop-in compatibility):
   taken from each side's ``WITH (TIMESTAMP='col')`` declaration. This
   is EXACTLY the time-range-condition form Spark's stream-stream join
   requires. When a join side is a STREAMING registration, the rewrite
-  also applies ``withWatermark`` to it (ADVICE r17 #3 — previously the
-  docstring claimed bounded state the module never established): the
-  watermark delay is the GRACE PERIOD when declared, else the window
-  size itself (ksqlDB's grace bounds out-of-order acceptance the same
-  way), so streaming state really is watermark-bounded per key and
-  streaming LEFT JOIN WITHIN works in append mode. GRACE PERIOD is a
+  derives a JOIN-LOCAL watermarked view (``__ksql_wm_N``) from it and
+  reads that in the FROM clause, aliased back to the original name when
+  the statement declared no alias (ADVICE r18 #2 — watermark policy is
+  per STATEMENT: the original view never mutates, so a later plain
+  windowed aggregate over the same stream inherits no earlier join's
+  lateness bound): the watermark delay is the GRACE PERIOD when
+  declared, else the window size itself (ksqlDB's grace bounds
+  out-of-order acceptance the same way), so streaming state really is
+  watermark-bounded per key and streaming LEFT JOIN WITHIN works in
+  append mode. GRACE PERIOD is a
   late-data acceptance bound only — in batch evaluation (no late data)
   it never changes results. A statement may contain SEVERAL windowed
   joins — the rewrite loops until none remain (ADVICE r17 #4) and
   raises a dialect error if an unparseable WITHIN survives. Scale
   shape: an equi-join on the key with a residual band predicate —
   shuffle by key, never a cartesian.
+- ``TOPK(col, k)`` -> the k largest non-null values per group as a
+  descending array (``slice(sort_array(collect_list(col), false), 1,
+  k)``), valid in any grouped context including windowed CTAS and
+  streaming aggregations. For the canonical batch form (single TOPK,
+  bare keys, no other aggregate) the source is PRE-PRUNED with a salted
+  two-phase per-group top-k — phase 1 ranks within (keys,
+  spark_partition_id()) — so the aggregate's state is bounded by
+  k x partitions per group and no corpus-wide window runs (VERDICT
+  r18 #4; the ``hash_sample_per_group`` shape).
+- ``HISTOGRAM(col)`` -> a value->count map per group, via a two-level
+  aggregation (count per (keys, value), then ``map_from_entries`` over
+  the sorted entries). Canonical grouped form over a batch source only;
+  a streaming source gets a clear dialect error pointing at the
+  (key, value)-counts changelog decomposition. NULL values are not
+  counted (map keys cannot be NULL — ksqlDB skips them too).
 - Table-table joins: ``SELECT ... FROM t1 JOIN t2 ON t1.k = t2.k``
   over two (source or CTAS) tables evaluates over each table's CURRENT
   state — ksqlDB's table-table join semantics re-expressed as a pull
@@ -186,6 +205,38 @@ _LATEST_BY_OFFSET_RE = re.compile(
 _BY_OFFSET_RESIDUAL_RE = re.compile(
     r"\b(?:LATEST|EARLIEST)_BY_OFFSET\b", re.IGNORECASE
 )
+# grouped top-k / histogram aggregates (ksqlDB built-in UDAFs)
+_TOPK_RE = re.compile(
+    r"\bTOPK\s*\(\s*(?P<col>\w+)\s*,\s*(?P<k>\d+)\s*\)", re.IGNORECASE
+)
+_TOPK_RESIDUAL_RE = re.compile(r"\bTOPK\s*\(", re.IGNORECASE)
+_HISTOGRAM_RESIDUAL_RE = re.compile(r"\bHISTOGRAM\s*\(", re.IGNORECASE)
+_HISTOGRAM_ITEM_RE = re.compile(
+    r"HISTOGRAM\s*\(\s*(?P<col>\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?",
+    re.IGNORECASE,
+)
+# the canonical grouped-aggregate statement shape: one source view, an
+# optional WHERE, a GROUP BY — the form the TOPK pre-prune and the
+# HISTOGRAM restructuring can splice safely
+_CANON_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+(?P<src>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"\s+GROUP\s+BY\s+(?P<keys>.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_BARE_KEYS_RE = re.compile(r"^\s*\w+(\s*,\s*\w+)*\s*$")
+# aggregate calls whose value would change if rows were pre-pruned —
+# their presence disables the TOPK two-phase optimization (the pure
+# expression form stays correct)
+_OTHER_AGG_RE = re.compile(
+    r"\b(count|sum|avg|min|max|collect_list|collect_set|array_agg|"
+    r"max_by|min_by|first|last|any_value|approx_count_distinct|"
+    r"approx_percentile|stddev|stddev_pop|stddev_samp|variance|var_pop|"
+    r"var_samp|percentile|percentile_approx|median|mode|skewness|"
+    r"kurtosis|corr|covar_pop|covar_samp|bool_and|bool_or|every|"
+    r"count_if|histogram|topk)\s*\(",
+    re.IGNORECASE,
+)
 _UCASE_RE = re.compile(r"\bUCASE\s*\(", re.IGNORECASE)
 _LCASE_RE = re.compile(r"\bLCASE\s*\(", re.IGNORECASE)
 _WINDOW_RE = re.compile(
@@ -220,6 +271,15 @@ def _duration_seconds(n: str, unit: str) -> float:
     return float(n) * _UNIT_SECONDS.get(u, 86400.0)
 
 
+def _mask(sql: str) -> str:
+    """Length-preserving literal mask: every single-quoted literal's body
+    becomes 'xxx…', so regex spans found on the mask index straight into
+    the original string."""
+    return _LITERAL_RE.sub(
+        lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", sql
+    )
+
+
 def _map_outside_literals(sql: str, fn) -> str:
     """Apply ``fn`` to every segment of ``sql`` OUTSIDE single-quoted
     string literals, leaving the literals byte-identical — so a statement
@@ -250,14 +310,15 @@ class KsqlContext:
         self._topics: dict[str, DataFrame] = {}
         # event-time column per stream/view name (ksql WITH (TIMESTAMP=...))
         self._rowtime: dict[str, str] = {}
-        # DataFrame behind each registered view (needed to re-register a
-        # streaming side with a watermark at WITHIN-join rewrite time)
+        # DataFrame behind each registered view (needed to derive a
+        # watermarked join-local view at WITHIN-join rewrite time)
         self._views: dict[str, DataFrame] = {}
-        # watermark delay (seconds) already applied per streaming view —
-        # a later, SHORTER delay must never overwrite a longer one (it
-        # would let an earlier join's in-window rows be evicted;
-        # r18 review finding #3)
-        self._wm_seconds: dict[str, float] = {}
+        # join-local watermark view counter (ADVICE r18 #2): each WITHIN
+        # join registers its streaming sides under fresh __ksql_wm_N
+        # names so watermark policy is PER STATEMENT — the original view
+        # never mutates, and a later statement over the same stream
+        # inherits no earlier join's lateness bound
+        self._wm_n = 0
         # running materializations of streaming source tables, by name
         self._queries: dict[str, object] = {}
 
@@ -529,7 +590,8 @@ class KsqlContext:
             select.rstrip().rstrip(";"), rewrite
         )
         select = self._rewrite_by_offset(select)
-        return self._rewrite_within(self._rewrite_window(select))
+        select = self._rewrite_within(self._rewrite_window(select))
+        return self._rewrite_topk(self._rewrite_histogram(select))
 
     def _rewrite_by_offset(self, select: str) -> str:
         """``LATEST_BY_OFFSET(col)`` / ``EARLIEST_BY_OFFSET(col)`` ->
@@ -554,15 +616,34 @@ class KsqlContext:
                 "ambiguous across sides — compact each side first "
                 "(source table / CSAS), then join"
             )
+        if re.search(r"\bFROM\s+\w+(?:\s+\w+)?\s*,", masked, re.IGNORECASE):
+            # comma-style join (FROM a, b) has no JOIN keyword but is just
+            # as ambiguous (ADVICE r18 #1) — refuse it too
+            raise ValueError(
+                "LATEST_BY_OFFSET/EARLIEST_BY_OFFSET over a comma-style "
+                "join (FROM a, b) is not translated: the aggregate's "
+                "record order would be ambiguous across sides — compact "
+                "each side first (source table / CSAS), then join"
+            )
         # resolve the source among ALL 'FROM <ident>' matches: a FROM
         # inside a function call (EXTRACT(YEAR FROM ts)) names no view,
-        # so take the first match that resolves to a declared rowtime
-        # (r18 review finding #1)
-        rt = None
+        # so take the match that resolves to a declared rowtime
+        # (r18 review finding #1). If SEVERAL distinct sources resolve
+        # (e.g. subqueries over two different streams), binding to the
+        # first would silently pick a side — refuse (ADVICE r18 #1).
+        rt_sources = []
         for fm in _FROM_RE.finditer(masked):
-            if fm.group(1) in self._rowtime:
-                rt = self._rowtime[fm.group(1)]
-                break
+            src_name = fm.group(1)
+            if src_name in self._rowtime and src_name not in rt_sources:
+                rt_sources.append(src_name)
+        if len(rt_sources) > 1:
+            raise ValueError(
+                "LATEST_BY_OFFSET/EARLIEST_BY_OFFSET: more than one FROM "
+                f"source with a declared event time ({rt_sources}) — the "
+                "aggregate's record order is ambiguous; aggregate each "
+                "source in its own statement"
+            )
+        rt = self._rowtime[rt_sources[0]] if rt_sources else None
         if rt is None:
             raise ValueError(
                 "LATEST_BY_OFFSET/EARLIEST_BY_OFFSET: the source has no "
@@ -593,6 +674,199 @@ class KsqlContext:
             )
         return out
 
+    def _rewrite_topk(self, select: str) -> str:
+        """``TOPK(col, k)`` (ksqlDB's grouped top-k UDAF) -> the k largest
+        non-null values per group, descending, duplicates kept — as
+        ``slice(sort_array(collect_list(col), false), 1, k)``. Correct in
+        ANY grouped context (windowed CTAS, joins, mixed aggregates,
+        streaming aggregations).
+
+        Scale shape (VERDICT r18 #4): for the canonical batch form —
+        single TOPK, one registered source, bare GROUP BY keys, no other
+        aggregate — the source is PRE-PRUNED with the salted two-phase
+        top-k (the ``hash_sample_per_group`` shape): phase 1 ranks within
+        (keys, spark_partition_id) and keeps <= k rows, so the final
+        aggregate's per-group state is bounded by k x input-partitions
+        instead of the group's full row count, and no corpus-wide window
+        ever runs (phase 1's partition key includes the physical
+        partition id — skewed groups spread over as many tasks as they
+        have input partitions). Any globally-top-k row is top-k within
+        its own partition, so the prune is lossless for the multiset of
+        emitted values. Where the pre-prune cannot apply (streaming
+        source — no window functions; other aggregates — pruning would
+        corrupt them; expression keys), the pure aggregate expression
+        runs unpruned: still sort-free in the plan sense (a per-group
+        array sort at emit, no Sort/Window node, partial aggregation
+        map-side)."""
+        masked = _mask(select)
+        calls = list(_TOPK_RE.finditer(masked))
+        if not calls:
+            if _TOPK_RESIDUAL_RE.search(masked):
+                raise ValueError(
+                    "TOPK: only the TOPK(column, k-literal) form is "
+                    "translated — project the expression first: " + select
+                )
+            return select
+        if len(calls) == 1:
+            pruned = self._topk_preprune(select, masked, calls[0])
+            if pruned is not None:
+                select = pruned
+                masked = _mask(select)
+                calls = list(_TOPK_RE.finditer(masked))
+        for m in reversed(calls):
+            expr = (
+                f"slice(sort_array(collect_list({m['col']}), false), "
+                f"1, {m['k']})"
+            )
+            select = select[: m.start()] + expr + select[m.end():]
+        if _TOPK_RESIDUAL_RE.search(_mask(select)):
+            raise ValueError(
+                "TOPK: an unparseable spelling remains (only "
+                "TOPK(column, k-literal) is translated): " + select
+            )
+        return select
+
+    def _topk_preprune(
+        self, select: str, masked: str, call: re.Match
+    ) -> str | None:
+        """The two-phase pre-prune rewrite for the canonical TOPK shape;
+        returns None when any safety condition fails (caller falls back
+        to the pure expression form)."""
+        cm = _CANON_AGG_RE.match(masked)
+        if not cm:
+            return None
+        src = cm["src"]
+        df = self._views.get(src)
+        if df is None or df.isStreaming:
+            # unregistered source: don't guess; streaming source: window
+            # functions are unsupported on streams (the plain expression
+            # IS the streaming-safe form)
+            return None
+        keys = cm.group("keys")
+        if not _BARE_KEYS_RE.match(keys):
+            return None
+        rest = masked[: call.start()] + masked[call.end():]
+        if _OTHER_AGG_RE.search(rest):
+            return None
+        proj = select[cm.start("proj"): cm.end("proj")]
+        where = (
+            select[cm.start("where"): cm.end("where")]
+            if cm["where"] is not None
+            else None
+        )
+        keys = keys.strip()
+        inner = f"SELECT *, spark_partition_id() AS __ksql_pid FROM {src}"
+        if where:
+            inner += f" WHERE {where}"
+        prune = (
+            f"(SELECT * FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {keys}, __ksql_pid ORDER BY {call['col']} DESC) "
+            f"AS __ksql_rn FROM ({inner})) WHERE __ksql_rn <= {call['k']})"
+        )
+        return f"SELECT {proj} FROM {prune} GROUP BY {keys}"
+
+    def _rewrite_histogram(self, select: str) -> str:
+        """``HISTOGRAM(col)`` (ksqlDB's value->count map UDAF) -> a
+        TWO-LEVEL aggregation: count per (keys, value) first — a plain
+        partial-aggregated hash shuffle whose reducer state is ONE count
+        per (group, value), the same state shape ksqlDB's own RocksDB
+        map decomposes into — then assemble the map per group with
+        ``map_from_entries`` over the (value, count) entries, sorted by
+        value for deterministic iteration. NULL values are not counted
+        (a map key cannot be NULL — ksqlDB skips them too).
+
+        Translated only for the canonical grouped form ``SELECT <keys>,
+        HISTOGRAM(col) [AS alias] FROM <view> [WHERE ...] GROUP BY
+        <keys>`` (alias defaults to ``hist``), and only over a BATCH
+        source: the nested aggregation is unsupported in a streaming
+        query — materialize the (key, value) counts stream (the
+        changelog state) and assemble the map with a pull query instead
+        (tests/test_ksql.py demonstrates that decomposition). Anything
+        else raises a dialect error rather than leaking HISTOGRAM to
+        Spark's parser."""
+        masked = _mask(select)
+        if not _HISTOGRAM_RESIDUAL_RE.search(masked):
+            return select
+        err = (
+            "HISTOGRAM is translated only for the plain grouped form "
+            "'SELECT <keys>, HISTOGRAM(col) [AS alias] FROM <view> "
+            "[WHERE ...] GROUP BY <keys>': "
+        )
+        cm = _CANON_AGG_RE.match(masked)
+        if not cm or not _BARE_KEYS_RE.match(cm.group("keys")):
+            raise ValueError(err + select)
+        keys = [k.strip() for k in cm.group("keys").split(",")]
+        keyset = {k.lower() for k in keys}
+        proj = select[cm.start("proj"): cm.end("proj")]
+        mproj = masked[cm.start("proj"): cm.end("proj")]
+        # split the projection on top-level commas (mask-guided depth)
+        items: list[str] = []
+        depth, start = 0, 0
+        for i, ch in enumerate(mproj):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(proj[start:i])
+                start = i + 1
+        items.append(proj[start:])
+        out_items: list[str | None] = []
+        hist: tuple[str, str] | None = None
+        for item in items:
+            it = item.strip()
+            hm = _HISTOGRAM_ITEM_RE.fullmatch(it)
+            if hm:
+                if hist is not None:
+                    raise ValueError(
+                        "HISTOGRAM: one call per statement — materialize "
+                        "each histogram in its own table: " + select
+                    )
+                hist = (hm["col"], hm["alias"] or "hist")
+                out_items.append(None)
+                continue
+            km = re.fullmatch(r"(\w+)(\s+AS\s+\w+)?", it, re.IGNORECASE)
+            if km and km.group(1).lower() in keyset:
+                out_items.append(it)
+                continue
+            raise ValueError(err + select)
+        if hist is None:
+            raise ValueError(err + select)
+        src = cm["src"]
+        df = self._views.get(src)
+        if df is not None and df.isStreaming:
+            raise ValueError(
+                "HISTOGRAM over a STREAMING source is not supported (a "
+                "nested streaming aggregation): materialize the "
+                "(key, value) counts stream first — the changelog state "
+                "ksqlDB itself keeps — then assemble the map with a pull "
+                "query"
+            )
+        col, alias = hist
+        where = (
+            select[cm.start("where"): cm.end("where")]
+            if cm["where"] is not None
+            else None
+        )
+        inner_where = (
+            f"WHERE ({where}) AND {col} IS NOT NULL"
+            if where
+            else f"WHERE {col} IS NOT NULL"
+        )
+        klist = ", ".join(keys)
+        inner = (
+            f"(SELECT {klist}, {col} AS __ksql_hv, count(*) AS __ksql_hc "
+            f"FROM {src} {inner_where} GROUP BY {klist}, {col})"
+        )
+        map_expr = (
+            "map_from_entries(sort_array(collect_list("
+            f"struct(__ksql_hv, __ksql_hc)))) AS {alias}"
+        )
+        sel_list = ", ".join(
+            map_expr if it is None else it for it in out_items
+        )
+        return f"SELECT {sel_list} FROM {inner} GROUP BY {klist}"
+
     def _rewrite_within(self, select: str) -> str:
         """``JOIN ... WITHIN n UNIT [GRACE PERIOD g UNIT] ON cond`` ->
         ``JOIN ... ON (cond) AND <symmetric event-time band>`` — the
@@ -601,10 +875,13 @@ class KsqlContext:
         event time (WITH (TIMESTAMP='col')). Loops until every windowed
         join is rewritten (ADVICE r17 #4 — a statement may hold several)
         and raises on an unparseable residual WITHIN. Streaming sides get
-        ``withWatermark`` applied and re-registered (ADVICE r17 #3): delay
-        = GRACE PERIOD when declared, else the window size — so streaming
-        join state is genuinely watermark-bounded and LEFT JOIN WITHIN
-        works in append mode. GRACE PERIOD only bounds late-data
+        ``withWatermark`` applied on a JOIN-LOCAL ``__ksql_wm_N`` view
+        the FROM clause is rewritten to read (ADVICE r18 #2 — the
+        original view stays untouched, so the delay applies to this
+        statement only): delay = GRACE PERIOD when declared, else the
+        window size — so streaming join state is genuinely
+        watermark-bounded and LEFT JOIN WITHIN works in append mode.
+        GRACE PERIOD only bounds late-data
         acceptance; batch results never depend on it. Limitation: a
         CHAINED windowed join (``... JOIN s3 WITHIN m UNIT ON ...`` after
         a first windowed join in the same FROM) is rejected with the
@@ -640,26 +917,24 @@ class KsqlContext:
             n, unit = m["n"], m["unit"].lower()
             if m["gn"] is not None:
                 delay = f"{m['gn']} {m['gunit'].lower()}"
-                delay_s = _duration_seconds(m["gn"], m["gunit"])
             else:
                 delay = f"{n} {unit}"
-                delay_s = _duration_seconds(n, unit)
+            # JOIN-LOCAL watermark views (ADVICE r18 #2): each streaming
+            # side gets a fresh __ksql_wm_N registration carrying THIS
+            # join's delay, and the FROM clause is rewritten to read it
+            # (aliased back to the original name when the statement used
+            # none, so qualified references keep resolving). The original
+            # view is never touched — watermark policy is per statement,
+            # not sticky across the stream's later uses.
+            wm_names: dict[str, str] = {}
             for side in (left, right):
                 df = self._views.get(side)
-                if (
-                    df is not None
-                    and df.isStreaming
-                    and delay_s > self._wm_seconds.get(side, -1.0)
-                ):
-                    # apply only a LONGER delay than the one already on
-                    # the view: watermark mutation is sticky (the view
-                    # keeps it for later statements — documented), and
-                    # monotone-increasing delays are always safe while a
-                    # shortening could evict an earlier join's rows
+                if df is not None and df.isStreaming and side not in wm_names:
+                    self._wm_n += 1
+                    wmname = f"__ksql_wm_{self._wm_n}"
                     wm = df.withWatermark(self._rowtime[side], delay)
-                    wm.createOrReplaceTempView(side)
-                    self._views[side] = wm
-                    self._wm_seconds[side] = delay_s
+                    wm.createOrReplaceTempView(wmname)
+                    wm_names[side] = wmname
             cond_end_m = _CLAUSE_AFTER_ON_RE.search(masked, m.end())
             cond_end = cond_end_m.start() if cond_end_m else len(select)
             # inside a subquery the condition also ends at the subquery's
@@ -679,12 +954,22 @@ class KsqlContext:
                 f"{la}.{lrt} <= {ra}.{rrt} + INTERVAL {n} {unit}"
             )
             jtype = (m["jtype"] or "").strip()
+
+            def _side_ref(name: str, alias_tok: str | None) -> list[str]:
+                wmn = wm_names.get(name)
+                if wmn is None:
+                    return [name] + ([alias_tok] if alias_tok else [])
+                # a renamed (watermarked) side ALWAYS carries an alias —
+                # the original name when the statement declared none — so
+                # every qualified reference in the statement still binds
+                return [wmn, alias_tok or name]
+
             head = " ".join(
-                ["FROM", left]
-                + ([m["la"]] if m["la"] else [])
+                ["FROM"]
+                + _side_ref(left, m["la"])
                 + ([jtype] if jtype else [])
-                + ["JOIN", right]
-                + ([m["ra"]] if m["ra"] else [])
+                + ["JOIN"]
+                + _side_ref(right, m["ra"])
                 + ["ON"]
             ) + " "
             select = (
@@ -777,3 +1062,100 @@ class KsqlContext:
         # path lives in streaming.pipeline). Same dialect rewrites as CTAS
         # (COUNT_DISTINCT, UCASE/LCASE, WINDOW ...) apply to push queries.
         return self.spark.sql(self._rewrite_select(sql))
+
+
+# --------------------------------------------------------- driver queries
+# ksql-dialect aggregate surface over the driver testdata (VERDICT r18
+# #4): each runs the REAL dialect statements through KsqlContext, then
+# canonicalizes the array/map result to a sorted string so the driver's
+# column-sorted value hash is engine-order-independent (the vocab_encode
+# precedent).
+
+
+def q_ksql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPK(value, 5) per event_type through the dialect (the two-phase
+    pre-pruned plan — see ``_rewrite_topk``); array canonicalized to a
+    comma-joined descending string."""
+    from pyspark.sql import functions as F
+
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    ctx = KsqlContext(spark)
+    ctx.register_topic("ksql_events_topic", load_table(spark, sf_dir, "events"))
+    ctx.execute(
+        "CREATE STREAM ksql_ev_tk (event_id BIGINT, ts TIMESTAMP, "
+        "event_type VARCHAR, value DOUBLE) WITH "
+        "(KAFKA_TOPIC='ksql_events_topic', VALUE_FORMAT='JSON', "
+        "TIMESTAMP='ts');"
+    )
+    out = ctx.execute(
+        "CREATE TABLE ksql_top_values AS SELECT event_type, "
+        "TOPK(value, 5) AS top_vals FROM ksql_ev_tk GROUP BY event_type;"
+    )
+    return out.select(
+        "event_type",
+        F.array_join(
+            F.transform("top_vals", lambda x: x.cast("string")), ","
+        ).alias("top_vals"),
+    )
+
+
+ORACLE_KSQL_TOPK = """
+SELECT event_type,
+       array_to_string(list_transform(
+         list_slice(
+           list_sort(list(value) FILTER (WHERE value IS NOT NULL), 'DESC'),
+           1, 5),
+         x -> CAST(x AS VARCHAR)), ',') AS top_vals
+FROM events GROUP BY event_type
+"""
+
+
+def q_ksql_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM(event_type) per user bucket through the dialect (CSAS
+    derives the bucket, then the two-level map aggregate — see
+    ``_rewrite_histogram``); map canonicalized to a key-sorted
+    'k:v' string."""
+    from pyspark.sql import functions as F
+
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    ctx = KsqlContext(spark)
+    ctx.register_topic("ksql_events_topic2", load_table(spark, sf_dir, "events"))
+    ctx.execute(
+        "CREATE STREAM ksql_ev_h (event_id BIGINT, user_id BIGINT, "
+        "event_type VARCHAR) WITH (KAFKA_TOPIC='ksql_events_topic2', "
+        "VALUE_FORMAT='JSON');"
+    )
+    ctx.execute(
+        "CREATE STREAM ksql_ev_hb AS SELECT event_id, event_type, "
+        "user_id % 10 AS user_bucket FROM ksql_ev_h;"
+    )
+    out = ctx.execute(
+        "CREATE TABLE ksql_type_hist AS SELECT user_bucket, "
+        "HISTOGRAM(event_type) AS hist FROM ksql_ev_hb GROUP BY "
+        "user_bucket;"
+    )
+    return out.select(
+        "user_bucket",
+        F.array_join(
+            F.transform(
+                F.map_entries("hist"),
+                lambda e: F.concat(
+                    e["key"], F.lit(":"), e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("hist"),
+    )
+
+
+ORACLE_KSQL_HISTOGRAM = """
+WITH c AS (
+  SELECT user_id % 10 AS user_bucket, event_type AS v, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT user_bucket,
+       string_agg(v || ':' || CAST(n AS VARCHAR), ',' ORDER BY v) AS hist
+FROM c GROUP BY user_bucket
+"""

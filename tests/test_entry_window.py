@@ -23,85 +23,94 @@ REFERENCE_SURFACE = [
     "hotels_count",
 ]
 
-# Round-18 newcomer (never rowed): URL-level dedup with RefinedWeb/Dolma
-# canonicalization (VERDICT r17 #7).
-NEVER_ROWED_R18_WAVE = [
+# The six entries that had never had a driver CORRECTNESS row at the end
+# of round 18 (VERDICT r18 #1, verbatim): the four r18 TPC-H closers
+# (added after the r18 window was sealed; judge re-run PASS) and the two
+# rows-only bench surfaces, explicitly rotated in for sane-spark_rows
+# rows — the VERDICT overrides the earlier bpe-train-stays-last pin for
+# this round.
+NEVER_ROWED = [
+    "shipping_priority_q3",
+    "local_supplier_volume_q5",
+    "customer_distribution_q13",
+    "large_volume_customer_q18",
+    "bpe_train",
+    "hard_negative_mining_ivf",
+]
+
+# Round-19 newcomers: the ksql TOPK / HISTOGRAM aggregate spellings
+# (VERDICT r18 #4), canonicalized to sorted strings for the driver hash.
+R19_NEWCOMERS = [
+    "ksql_topk",
+    "ksql_histogram",
+]
+
+# Code changes in round 19 re-enter the window (the window-hygiene
+# rule): url_dedup's canonicalization now splits the query at the FIRST
+# '?' only (ADVICE r18 #3), c4_line_filter gained the badwords_path
+# production-blocklist parameter (VERDICT r18 #8), and
+# embedding_near_dup_lsh count-gates its verify broadcast (VERDICT r18
+# #3 — rows-only by design, bounded by the oracle-checked exact twin).
+CODE_CHANGED_R19 = [
     "url_dedup",
-]
-
-# Code or ledger-key changes in round 18 re-enter the window (the
-# window-hygiene rule): c4_line_filter's blocklist rule moved to
-# word-boundary occurrence matching (ADVICE r17 #5, oracle mirrored);
-# embedding_near_dup_exact is the quadratic oracle twin RENAMED from
-# embedding_near_dup and demoted out of the bench headline (VERDICT
-# r17 #2) — the fresh ledger name needs a fresh row.
-CODE_CHANGED_R18 = [
     "c4_line_filter",
-    "embedding_near_dup_exact",
+    "embedding_near_dup_lsh",
 ]
 
-# ALL forty remaining r14-row queries — the stalest ledger cohort,
-# fully retired this rotation (VERDICT r17 #1; named query-by-query in
-# the r17 rotation queue).
-R14_ROTATED_IN_R18 = [
-    "market_share_q8",
-    "returned_items_q10",
-    "top_supplier_q15",
-    "small_qty_revenue_q17",
-    "disjunctive_revenue_q19",
-    "forecast_revenue_q6",
-    "promo_revenue_q14",
-    "region_revenue_share",
-    "tokenizer_fertility",
-    "hash_sample",
-    "conditional_functions",
-    "customers_without_orders",
-    "purchase_and_click_users",
-    "rollup_returnflag",
-    "priority_orders_exists",
-    "orders_no_lineitems_anti",
-    "quantity_percentiles",
-    "date_parse_lenient",
-    "token_count",
-    "cube_events",
-    "array_functions",
-    "inactive_customers_except",
-    "json_extract",
-    "pivot_daily",
-    "datetime_functions",
-    "salted_user_counts",
-    "stats_battery",
-    "above_avg_orders",
-    "phash_near_dup",
-    "image_dhash",
-    "video_near_dup",
-    "audio_near_dup",
-    "big_orders_having",
-    "cast_battery",
-    "date_spine_daily",
-    "decimal_totals",
-    "grouping_sets",
-    "priority_count_q4",
-    "regexp_battery",
-    "shipmode_priority_q12",
+# The head of the r15 cohort (ledger order) fills the remaining 34
+# slots; the eight-entry remainder heads the r20 queue.
+R15_HEAD_IN_R19 = [
+    "unimax_allocation",
+    "hybrid_rrf_retrieval",
+    "vocab_kl_drift",
+    "retrieval_eval",
+    "weighted_budget_select",
+    "soft_dedup_screen",
+    "hybrid_rrf_multi",
+    "token_budget_select",
+    "tumbling_hourly",
+    "union_all_activity",
+    "user_event_profile",
+    "window_frames",
+    "word_count",
+    "zscore_events",
+    "asof_latest_order",
+    "asof_next_order",
+    "cte_sql",
+    "dataset_split",
+    "edit_distance_pairs",
+    "histogram_bins",
+    "hopping_hourly",
+    "map_functions",
+    "purchase_funnel",
+    "quality_report",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "value_band_join",
+    "zorder_key",
+    "array_set_ops",
+    "arrow_byte_stats",
+    "benford_digits",
+    "bitwise_aggregates",
+    "cheapest_supplier",
+    "corr_battery",
 ]
 
-# The head of the r15 cohort (ledger order) fills the remaining slots.
-R15_HEAD_IN_R18 = [
-    "excerpt_screen",
-    "soft_dedup_weights",
-]
-
-# Round 18's window has NO rows-only entry: every in-window query is
-# fully oracle-checked.
-ROWS_ONLY: set[str] = set()
+# Round 19's window carries exactly three rows-only entries — the two
+# VERDICT-rotated bench surfaces plus the code-changed LSH front door;
+# everything else in the window is fully oracle-checked.
+ROWS_ONLY: set[str] = {
+    "bpe_train",
+    "hard_negative_mining_ivf",
+    "embedding_near_dup_lsh",
+}
 
 
 def test_window_is_exactly_the_curated_set():
     window = list(entrymod.queries())[:WINDOW]
     expected = (
-        REFERENCE_SURFACE + NEVER_ROWED_R18_WAVE + CODE_CHANGED_R18
-        + R14_ROTATED_IN_R18 + R15_HEAD_IN_R18
+        REFERENCE_SURFACE + NEVER_ROWED + R19_NEWCOMERS
+        + CODE_CHANGED_R19 + R15_HEAD_IN_R19
     )
     assert len(expected) == WINDOW
     assert window == expected
@@ -128,24 +137,25 @@ def test_every_oracle_key_is_a_query():
     assert set(entrymod.oracle_sql()) <= set(queries)
 
 
-def test_bpe_train_is_outside_the_window():
-    """bpe_train is a bench-only surface: a 16-merge driver loop is too
-    heavy for the driver's per-round sweep and has no single-statement
-    SQL twin — it must never drift into the first 50."""
+def test_bpe_train_rotated_in_for_r19_only():
+    """bpe_train is normally a bench-only surface (a 16-merge driver
+    loop with no single-statement SQL twin), but VERDICT r18 #1
+    explicitly rotates it into the r19 window for a first sane-
+    spark_rows driver row. It sits in the never-rowed block; after this
+    round it returns to the tail."""
     names = list(entrymod.queries())
-    assert "bpe_train" in names
-    assert names.index("bpe_train") >= WINDOW
-    assert names[-1] == "bpe_train"
+    assert names.index("bpe_train") == 9
+    assert "bpe_train" not in entrymod.oracle_sql()
 
 
 def test_production_ivf_spellings_still_declared():
-    """knn_label_vote_ivf and hard_negative_mining_ivf must stay
-    queries() entries (bench surfaces, rows-only by design) even though
-    their correctness bounds ride in the ledger via knn_ivf_agreement
-    and the exact hard_negative_mining twin."""
+    """knn_label_vote_ivf stays a rows-only bench surface outside the
+    window; hard_negative_mining_ivf is identical in kind but sits
+    IN-window this round per VERDICT r18 #1 (never-rowed debt)."""
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     for prod in ("knn_label_vote_ivf", "hard_negative_mining_ivf"):
         assert prod in names
-        assert names.index(prod) >= WINDOW
         assert prod not in oracles
+    assert names.index("knn_label_vote_ivf") >= WINDOW
+    assert names.index("hard_negative_mining_ivf") == 10

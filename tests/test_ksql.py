@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from m12_kafkastreams_python_azure_spark.ksql import KsqlContext
@@ -1070,13 +1072,12 @@ def test_csas_with_over_partition_by_still_passes_through(events_ctx):
     assert out.count() == 600
 
 
-def test_within_watermark_never_shortens(spark, tmp_path):
-    """Two windowed joins over the same streaming side: the second,
-    shorter GRACE PERIOD must not overwrite the first join's longer
-    watermark delay (r18 review finding #3)."""
-    import datetime as dt
-
-    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+def test_within_watermark_is_per_statement(spark, tmp_path):
+    """ADVICE r18 #2: a WITHIN join's watermark lives on a JOIN-LOCAL
+    __ksql_wm_N view — the original stream view never mutates, so a later
+    statement over the same stream (a second join with a different
+    GRACE, or a plain aggregate) inherits no earlier join's lateness
+    bound."""
     src = spark.readStream.format("rate").load().selectExpr(
         "value AS user_id", "timestamp AS cts"
     )
@@ -1087,15 +1088,322 @@ def test_within_watermark_never_shortens(spark, tmp_path):
     ))
     ctx.execute(CREATE_CLICKS)
     ctx.execute(CREATE_VIEWS)
-    # first: 10-minute band (watermark 600 s); second: 5-minute band
-    # with 1-minute grace (would be 60 s — must NOT shrink the 600)
-    ctx._rewrite_select(
+    views_before = dict(ctx._views)
+    sql1 = ctx._rewrite_select(
         "SELECT * FROM clicks_s c JOIN views_s v WITHIN 10 MINUTES "
         "ON c.user_id = v.user_id"
     )
-    assert ctx._wm_seconds["clicks_s"] == 600.0
-    ctx._rewrite_select(
+    sql2 = ctx._rewrite_select(
         "SELECT * FROM clicks_s c JOIN views_s v WITHIN 5 MINUTES "
         "GRACE PERIOD 1 MINUTES ON c.user_id = v.user_id"
     )
-    assert ctx._wm_seconds["clicks_s"] == 600.0  # unchanged, not 60
+    # the FROM clause reads join-local watermark views, not the originals
+    assert "__ksql_wm_" in sql1 and "__ksql_wm_" in sql2
+    assert re.search(r"\bFROM\s+clicks_s\b", sql1) is None
+    # the registered views are untouched (same objects, no watermark)
+    assert ctx._views == views_before
+    assert "EventTimeWatermark" not in ctx._views["clicks_s"]._jdf \
+        .queryExecution().analyzed().toString()
+    # each statement's local view carries ITS OWN delay: 10 min for the
+    # first join, 1 min (the GRACE) for the second — independent, not
+    # monotone-merged
+    plans = {
+        name: spark.table(name)._jdf.queryExecution().analyzed().toString()
+        for name in re.findall(r"__ksql_wm_\d+", sql1 + " " + sql2)
+    }
+    wm1 = [plans[n] for n in re.findall(r"__ksql_wm_\d+", sql1)]
+    wm2 = [plans[n] for n in re.findall(r"__ksql_wm_\d+", sql2)]
+    assert all("10 minutes" in p for p in wm1), wm1
+    assert all("1 minutes" in p for p in wm2), wm2
+
+
+def test_plain_aggregate_after_within_join_sees_unwatermarked_view(
+    spark,
+):
+    """The concrete regression ADVICE r18 #2 names: after a WITHIN join,
+    a plain query over the same stream must evaluate over the ORIGINAL
+    (un-watermarked) view — in batch, all rows stay visible."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    clicks, views = _click_rows()
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "clicks_topic",
+        spark.createDataFrame(clicks, "user_id long, cts timestamp"),
+    )
+    ctx.register_topic(
+        "views_topic",
+        spark.createDataFrame(views, "user_id long, vts timestamp"),
+    )
+    ctx.execute(CREATE_CLICKS)
+    ctx.execute(CREATE_VIEWS)
+    ctx.execute(WITHIN_QUERY).collect()
+    n = ctx.execute("SELECT COUNT(*) AS n FROM clicks_s;").collect()[0].n
+    assert n == len(clicks)
+
+
+# ------------------------------------------- TOPK / HISTOGRAM (r19, VERDICT #4)
+
+
+def test_topk_matches_duckdb(events_ctx):
+    """TOPK(value, k) per group vs an independent DuckDB list_slice/
+    list_sort twin — descending, duplicates kept, nulls skipped."""
+    import duckdb
+
+    events_ctx.execute(
+        "CREATE TABLE tk AS SELECT etype, TOPK(value, 4) AS tv "
+        "FROM ev GROUP BY etype;"
+    )
+    got = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.execute("SELECT * FROM tk;").collect()
+    }
+    pdf = events_ctx.execute("SELECT * FROM ev").toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = {
+        row[0]: list(row[1])
+        for row in con.execute(
+            "SELECT etype, list_slice(list_sort(list(value) FILTER "
+            "(WHERE value IS NOT NULL), 'DESC'), 1, 4) FROM ev GROUP BY etype"
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) == 3 and all(len(v) == 4 for v in got.values())
+
+
+def test_topk_canonical_form_gets_two_phase_preprune(events_ctx):
+    """The canonical batch TOPK statement pre-prunes with the salted
+    (keys, spark_partition_id) two-phase shape — no corpus-wide window;
+    the pruned and unpruned spellings agree row-for-row."""
+    sql = events_ctx._rewrite_select(
+        "SELECT etype, TOPK(value, 3) AS tv FROM ev GROUP BY etype"
+    )
+    assert "__ksql_pid" in sql and "__ksql_rn" in sql
+    assert "PARTITION BY etype, __ksql_pid" in sql
+    pruned = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.spark.sql(sql).collect()
+    }
+    unpruned = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.spark.sql(
+            "SELECT etype, slice(sort_array(collect_list(value), false), "
+            "1, 3) AS tv FROM ev GROUP BY etype"
+        ).collect()
+    }
+    assert pruned == unpruned
+
+
+def test_topk_with_other_aggregate_skips_preprune_but_stays_correct(
+    events_ctx,
+):
+    """COUNT(*) beside TOPK: pre-pruning would corrupt the count, so the
+    pure expression form runs — and both results stay exact."""
+    import duckdb
+
+    sql = events_ctx._rewrite_select(
+        "SELECT etype, COUNT(*) AS n, TOPK(value, 2) AS tv "
+        "FROM ev GROUP BY etype"
+    )
+    assert "__ksql_pid" not in sql
+    got = {
+        r["etype"]: (r["n"], list(r["tv"]))
+        for r in events_ctx.spark.sql(sql).collect()
+    }
+    pdf = events_ctx.execute("SELECT * FROM ev").toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = {
+        row[0]: (row[1], list(row[2]))
+        for row in con.execute(
+            "SELECT etype, count(*), list_slice(list_sort(list(value) "
+            "FILTER (WHERE value IS NOT NULL), 'DESC'), 1, 2) "
+            "FROM ev GROUP BY etype"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_topk_streaming_matches_batch(events_ctx, spark, tmp_path):
+    """TOPK over a genuinely STREAMING registration (no pre-prune —
+    window functions are unsupported on streams; the plain aggregate
+    expression runs) must reproduce the batch rows."""
+    import json as _json
+
+    want = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.execute(
+            "SELECT etype, TOPK(value, 4) AS tv FROM ev GROUP BY etype;"
+        ).collect()
+    }
+    rows = events_ctx.execute("SELECT * FROM ev").collect()
+    d = tmp_path / "ev"
+    d.mkdir()
+    for part in range(2):
+        with open(d / f"p{part}.json", "w") as fh:
+            for r in rows[part::2]:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.isoformat(sep=" "),
+                            "etype": r.etype,
+                            "value": r.value,
+                        }
+                    )
+                    + "\n"
+                )
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "sev_topic",
+        spark.readStream.schema(
+            "event_id long, ts timestamp, etype int, value double"
+        ).json(str(d)),
+    )
+    ctx.execute(
+        "CREATE STREAM sev (event_id BIGINT, ts TIMESTAMP, etype INTEGER, "
+        "value DOUBLE) WITH (KAFKA_TOPIC='sev_topic', VALUE_FORMAT='JSON', "
+        "TIMESTAMP='ts');"
+    )
+    sql = ctx._rewrite_select(
+        "SELECT etype, TOPK(value, 4) AS tv FROM sev GROUP BY etype"
+    )
+    assert "__ksql_pid" not in sql  # streaming: no pre-prune
+    out = spark.sql(sql)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tk_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["etype"]: list(r["tv"])
+        for r in spark.sql("SELECT * FROM tk_stream").collect()
+    }
+    assert got == want
+
+
+def test_topk_non_literal_form_is_clear_error(events_ctx):
+    with pytest.raises(ValueError, match="TOPK"):
+        events_ctx.execute(
+            "SELECT etype, TOPK(value + 1, 3) FROM ev GROUP BY etype;"
+        )
+
+
+def test_histogram_matches_duckdb(events_ctx):
+    """HISTOGRAM(col) per group vs an independent DuckDB (key, value)
+    count twin — exact counts, NULL values skipped."""
+    import duckdb
+
+    events_ctx.execute(
+        "CREATE TABLE eh AS SELECT etype, HISTOGRAM(value) AS h "
+        "FROM ev WHERE value < 5 GROUP BY etype;"
+    )
+    got = {
+        r["etype"]: dict(r["h"])
+        for r in events_ctx.execute("SELECT * FROM eh;").collect()
+    }
+    pdf = events_ctx.execute("SELECT * FROM ev").toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want: dict = {}
+    for et, v, n in con.execute(
+        "SELECT etype, value, count(*) FROM ev WHERE value < 5 AND value "
+        "IS NOT NULL GROUP BY 1, 2"
+    ).fetchall():
+        want.setdefault(et, {})[v] = n
+    assert got == want
+    # per-type totals must re-add to the filtered row count
+    assert sum(sum(h.values()) for h in got.values()) == con.execute(
+        "SELECT count(*) FROM ev WHERE value < 5 AND value IS NOT NULL"
+    ).fetchone()[0]
+
+
+def test_histogram_non_canonical_is_clear_error(events_ctx):
+    with pytest.raises(ValueError, match="plain grouped form"):
+        events_ctx.execute(
+            "SELECT etype, COUNT(*) AS n, HISTOGRAM(value) FROM ev "
+            "GROUP BY etype;"
+        )
+    with pytest.raises(ValueError, match="one call per statement"):
+        events_ctx.execute(
+            "SELECT etype, HISTOGRAM(value) AS a, HISTOGRAM(event_id) AS b "
+            "FROM ev GROUP BY etype;"
+        )
+
+
+def test_histogram_streaming_is_clear_error_and_decomposes(
+    spark, tmp_path
+):
+    """A streaming HISTOGRAM raises the decomposition hint; following it
+    — stream the (key, value) counts (the changelog state), then
+    assemble the map from the snapshot — reproduces the batch map."""
+    import json as _json
+
+    rows = [(i, f"t{i % 3}", i % 4) for i in range(40)]
+    d = tmp_path / "hv"
+    d.mkdir()
+    with open(d / "p0.json", "w") as fh:
+        for eid, et, b in rows:
+            fh.write(
+                _json.dumps({"event_id": eid, "etype": et, "bucket": b})
+                + "\n"
+            )
+    ctx = KsqlContext(spark)
+    stream = spark.readStream.schema(
+        "event_id long, etype string, bucket int"
+    ).json(str(d))
+    ctx.register_topic("hv_topic", stream)
+    ctx.execute(
+        "CREATE STREAM hv (event_id BIGINT, etype VARCHAR, bucket INTEGER) "
+        "WITH (KAFKA_TOPIC='hv_topic', VALUE_FORMAT='JSON');"
+    )
+    with pytest.raises(ValueError, match="STREAMING source"):
+        ctx.execute(
+            "SELECT bucket, HISTOGRAM(etype) FROM hv GROUP BY bucket;"
+        )
+    # the decomposition: counts changelog as a streaming CTAS...
+    counts = ctx.execute(
+        "CREATE TABLE hv_counts AS SELECT bucket, etype, COUNT(*) AS n "
+        "FROM hv GROUP BY bucket, etype;"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("hv_counts_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # ...then the map assembles from the snapshot (a pull query)
+    got = {
+        r["bucket"]: dict(r["h"])
+        for r in spark.sql(
+            "SELECT bucket, map_from_entries(sort_array(collect_list("
+            "struct(etype, n)))) AS h FROM hv_counts_sink GROUP BY bucket"
+        ).collect()
+    }
+    # batch truth over the same rows through the dialect itself
+    ctx2 = KsqlContext(spark)
+    ctx2.register_topic(
+        "hv_topic_b",
+        spark.createDataFrame(rows, "event_id long, etype string, bucket int"),
+    )
+    ctx2.execute(
+        "CREATE STREAM hvb (event_id BIGINT, etype VARCHAR, bucket INTEGER) "
+        "WITH (KAFKA_TOPIC='hv_topic_b', VALUE_FORMAT='JSON');"
+    )
+    want = {
+        r["bucket"]: dict(r["h"])
+        for r in ctx2.execute(
+            "SELECT bucket, HISTOGRAM(etype) AS h FROM hvb GROUP BY bucket;"
+        ).collect()
+    }
+    assert got == want and len(got) == 4
