@@ -37,6 +37,16 @@ from m12_kafkastreams_python_azure_spark.sources.readers import (  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Measurement-regime tag (VERDICT r18 #2), stamped into every bench
+#: artifact. "fit-outside-clock-v2" = streaming replay processors (and
+#: their fit-once bloom/model/rate artifacts) are PRE-BUILT before the
+#: timed region starts — the regime r18 restored after ADVICE r17 #1
+#: found r17 had construction inside the clock. Bump this string
+#: whenever the timed-region contract changes; the ratio tables refuse
+#: to compare across regimes (a machine-readable guard replacing the
+#: "compare streaming rows to r16/r18, not r17" ROADMAP note).
+BENCH_REGIME = "fit-outside-clock-v2"
+
 # Headline set: the flagship reference query + the scan/join/agg/window
 # breadth + the training-data-pipeline operators.
 HEADLINE = [
@@ -557,7 +567,15 @@ def main() -> None:
                                     "for the same tier, rows converged in "
                                     "BOTH runs only — cross-round claims "
                                     "read this table, never the noisy "
-                                    "totals (VERDICT r17 #6)",
+                                    "totals (VERDICT r17 #6); prev_round "
+                                    "is recorded and byte-identical "
+                                    "(self-copy) candidates are skipped "
+                                    "(ADVICE r18 #4)",
+        "regime": "every artifact stamps the measurement regime "
+                  f"({BENCH_REGIME!r}); vs_baseline and "
+                  "converged_ratios_vs_prev REFUSE to ratio across "
+                  "different regimes (VERDICT r18 #2 — the r17 "
+                  "streaming-comparison foot-gun, now machine-enforced)",
     }
     deltas = _baseline_deltas(timings, streaming_eps)
     if deltas:
@@ -627,7 +645,7 @@ def _compact_line(out: dict, budget: int = _LINE_BUDGET) -> str:
 
 
 def _converged_ratios_vs_prev(
-    timings: dict, runmeta: dict, sf_val
+    timings: dict, runmeta: dict, sf_val, here: str | None = None
 ) -> dict | None:
     """Per-query ratio table vs the PREVIOUS round's committed artifact
     for the same SF tier, restricted to rows converged in BOTH runs
@@ -639,14 +657,37 @@ def _converged_ratios_vs_prev(
     closed once ``CORRECTNESS_r{N}.json`` exists) — without the cap, a
     mid-round re-run would pick the CURRENT round's just-committed
     artifact and self-compare at ratio ~1.0 while claiming to be the
-    cross-round table (r18 review finding #7). Override with
-    $SPARK_GRAFT_PREV_BENCH."""
+    cross-round table (r18 review finding #7). Two further guards
+    (ADVICE r18 #4 / VERDICT r18 #2): a candidate whose per-query
+    timings are IDENTICAL to this run's is this run's own committed
+    copy (a post-close re-run) and is skipped for the next-lower round;
+    the compared round is recorded as ``prev_round`` so a ~1.0
+    self-compare against a same-HEAD artifact is detectable by
+    inspection; and a candidate stamped with a DIFFERENT measurement
+    regime refuses the whole table rather than ratio across regimes.
+    Override the artifact with $SPARK_GRAFT_PREV_BENCH (same regime
+    refusal applies — an explicit path does not make cross-regime
+    numbers comparable)."""
     import glob
     import re as _re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
-    if not prev_path:
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    cur_q3 = {k: round(v, 3) for k, v in timings.items()}
+
+    def _load(p):
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    prev = prev_path = prev_round = None
+    env_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
+    if env_path:
+        prev, prev_path = _load(env_path), env_path
+        m = _re.search(r"_r(\d+)\.json$", env_path)
+        prev_round = int(m.group(1)) if m else None
+    else:
         tag = {0.1: "sf01", 1.0: "sf1"}.get(sf_val)
         if tag is None:
             return None
@@ -661,14 +702,31 @@ def _converged_ratios_vs_prev(
             m = _re.search(r"_r(\d+)\.json$", p)
             if m and int(m.group(1)) <= cap:
                 cands.append((int(m.group(1)), p))
-        if not cands:
-            return None
-        prev_path = max(cands)[1]
-    try:
-        with open(prev_path) as fh:
-            prev = json.load(fh)
-    except (OSError, ValueError):
+        for rnd, p in sorted(cands, reverse=True):
+            cand = _load(p)
+            if cand is None:
+                continue
+            cq = cand.get("queries")
+            if isinstance(cq, dict) and cq == cur_q3:
+                # byte-identical per-query timings: this run's own
+                # committed artifact (post-close re-run) — not a
+                # cross-round comparison; fall to the next round down
+                continue
+            prev, prev_path, prev_round = cand, p, rnd
+            break
+    if prev is None:
         return None
+    prev_regime = prev.get("regime")
+    if prev_regime is not None and prev_regime != BENCH_REGIME:
+        return {
+            "prev_artifact": os.path.basename(prev_path),
+            "prev_round": prev_round,
+            "refused": (
+                f"regime mismatch: prev {prev_regime!r} != current "
+                f"{BENCH_REGIME!r} — cross-regime timings are not "
+                "comparable (VERDICT r18 #2)"
+            ),
+        }
     prev_q = prev.get("queries")
     if not isinstance(prev_q, dict):
         return None
@@ -690,20 +748,31 @@ def _converged_ratios_vs_prev(
 
     return {
         "prev_artifact": os.path.basename(prev_path),
+        "prev_round": prev_round,
         "n": len(ratios),
         "median": round(statistics.median(ratios.values()), 3),
         "ratios": ratios,
     }
 
 
-def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:
+def _baseline_deltas(
+    timings: dict, streaming_eps, path: str | None = None
+) -> dict | None:
     """Per-query ratios vs the committed baseline artifact
     (bench_baseline.json — the last driver-recorded run), so each bench
     line carries its own round-over-round diff: ratio > 1 is slower than
     baseline, < 1 faster. Queries absent from the baseline are listed
-    under 'new'."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "bench_baseline.json")
+    under 'new'.
+
+    Regime guard (VERDICT r18 #2): a baseline stamped with a DIFFERENT
+    measurement regime refuses the comparison outright. The committed
+    r05 baseline predates regime tags; its BATCH per-query timings are
+    regime-independent (the regime governs the streaming timed region
+    only), so an UNTAGGED baseline keeps its batch ratios but the
+    streaming ratio is withheld unless the regimes provably match."""
+    path = path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
     if not os.path.exists(path):
         return None
     try:
@@ -711,6 +780,16 @@ def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:
             base = json.load(fh)
     except (OSError, ValueError):
         return None
+    base_regime = base.get("regime")
+    if base_regime is not None and base_regime != BENCH_REGIME:
+        return {
+            "label": base.get("label", "baseline"),
+            "refused": (
+                f"regime mismatch: baseline {base_regime!r} != current "
+                f"{BENCH_REGIME!r} — cross-regime ratios are not "
+                "comparable (VERDICT r18 #2)"
+            ),
+        }
     bq = base.get("queries", {})
     ratios = {
         k: round(v / bq[k], 2)
@@ -728,7 +807,14 @@ def _baseline_deltas(timings: dict, streaming_eps) -> dict | None:
     }
     bs = base.get("streaming_events_per_sec")
     if bs and streaming_eps:
-        out["streaming_ratio"] = round(streaming_eps / bs, 3)
+        if base_regime == BENCH_REGIME:
+            out["streaming_ratio"] = round(streaming_eps / bs, 3)
+        else:
+            out["streaming_ratio_refused"] = (
+                "baseline carries no regime tag (predates "
+                f"{BENCH_REGIME!r}); streaming rows are regime-sensitive "
+                "(ADVICE r17 #1) — batch ratios above remain valid"
+            )
     return out
 
 
