@@ -28,7 +28,12 @@ deployment uses is also translated (widening drop-in compatibility):
   ``WITH (TIMESTAMP='col')`` property (ksql's extractor config). The
   ``WINDOWSTART`` / ``WINDOWEND`` pseudo-columns map to ``window.start`` /
   ``window.end`` (divergence: ksql returns epoch-millis BIGINTs, we return
-  proper timestamps).
+  proper timestamps). A ``GRACE PERIOD g UNIT`` inside the window
+  property list is accepted everywhere: batch evaluation never depends
+  on it (no late data), and over a STREAMING source it becomes a
+  statement-local ``withWatermark(rowtime, g)`` view (the ``__ksql_wm_N``
+  discipline) so window state is evicted g past the window close and
+  append-mode emission works — ksqlDB's out-of-order acceptance bound.
 - ``CREATE STREAM name AS SELECT ...`` (CSAS) -> derived stream: the
   result is registered as both a view and a topic, so downstream
   CREATE STREAM/TABLE statements can read it.
@@ -248,6 +253,12 @@ _GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\s+", re.IGNORECASE)
 _SIZE_RE = re.compile(r"\bSIZE\s+(\d+)\s+(\w+)", re.IGNORECASE)
 _ADVANCE_RE = re.compile(r"\bADVANCE\s+BY\s+(\d+)\s+(\w+)", re.IGNORECASE)
 _BARE_DURATION_RE = re.compile(r"^\s*(\d+)\s+(\w+)\s*$")
+# GRACE PERIOD inside a WINDOW (...) property list — the windowed-CTAS
+# grace spelling (ksqlDB: how long out-of-order rows are accepted into
+# a window after it closes)
+_WINDOW_GRACE_RE = re.compile(
+    r",?\s*GRACE\s+PERIOD\s+(?P<gn>\d+)\s+(?P<gunit>\w+)", re.IGNORECASE
+)
 
 
 #: single-quoted SQL string literal (with '' escapes) — dialect rewrites
@@ -991,6 +1002,17 @@ class KsqlContext:
             return select
         kind = m["kind"].upper()
         props = m["props"]
+        # GRACE PERIOD in the window property list (the windowed-CTAS
+        # grace spelling): parsed out of the props FIRST so the SIZE /
+        # bare-duration parsers below see a clean list. Batch evaluation
+        # never depends on it (no late data); a STREAMING source gets a
+        # statement-local watermarked view carrying the grace delay —
+        # the same __ksql_wm_N discipline as WITHIN joins — which bounds
+        # window state and makes append-mode emission possible, exactly
+        # ksqlDB's out-of-order acceptance bound.
+        gm = _WINDOW_GRACE_RE.search(props)
+        if gm:
+            props = _WINDOW_GRACE_RE.sub("", props).strip()
         src = _FROM_RE.search(masked)
         if not src or src.group(1) not in self._rowtime:
             raise ValueError(
@@ -1023,8 +1045,25 @@ class KsqlContext:
                 wexpr = f"window({rt}, {dur})"
             wname = "window"
         # splice the WINDOW clause out via the masked match span (the
-        # original and masked strings have identical indices)
+        # original and masked strings have identical indices). Splice
+        # order matters: the WINDOW clause sits AFTER the FROM ident, so
+        # remove it first and the FROM span below stays valid.
         select = select[: m.start()] + " " + select[m.end():]
+        if gm:
+            df = self._views.get(src.group(1))
+            if df is not None and df.isStreaming:
+                self._wm_n += 1
+                wmname = f"__ksql_wm_{self._wm_n}"
+                delay = f"{gm['gn']} {gm['gunit'].lower()}"
+                df.withWatermark(rt, delay).createOrReplaceTempView(wmname)
+                # read the watermarked view, aliased back to the source
+                # name so every qualified reference still binds; the
+                # original view never mutates (per-statement policy)
+                select = (
+                    select[: src.start(1)]
+                    + f"{wmname} {src.group(1)}"
+                    + select[src.end(1):]
+                )
 
         def subs(seg: str) -> str:
             seg = re.sub(r"\bWINDOWSTART\b", f"{wname}.start", seg,

@@ -1407,3 +1407,139 @@ def test_histogram_streaming_is_clear_error_and_decomposes(
         ).collect()
     }
     assert got == want and len(got) == 4
+
+
+# ------------------------------- windowed-CTAS GRACE PERIOD (r19, ROADMAP #4)
+
+
+def test_windowed_ctas_grace_period_batch_parity(events_ctx):
+    """GRACE PERIOD in the window property list parses for all three
+    window kinds and never changes batch results (no late data)."""
+    events_ctx.execute(
+        "CREATE TABLE per_hour_g AS SELECT etype, WINDOWSTART AS ws, "
+        "COUNT(*) AS n FROM ev "
+        "WINDOW TUMBLING (SIZE 1 HOURS, GRACE PERIOD 10 MINUTES) "
+        "GROUP BY etype;"
+    )
+    events_ctx.execute(
+        "CREATE TABLE per_hour_ng AS SELECT etype, WINDOWSTART AS ws, "
+        "COUNT(*) AS n FROM ev WINDOW TUMBLING (SIZE 1 HOURS) "
+        "GROUP BY etype;"
+    )
+    g = {
+        (r.etype, r.ws): r.n
+        for r in events_ctx.execute("SELECT * FROM per_hour_g;").collect()
+    }
+    ng = {
+        (r.etype, r.ws): r.n
+        for r in events_ctx.execute("SELECT * FROM per_hour_ng;").collect()
+    }
+    assert g == ng and len(g) >= 24
+    # session spelling parses with grace too
+    out = events_ctx.execute(
+        "SELECT etype, WINDOWSTART AS ws, COUNT(*) AS n FROM ev "
+        "WINDOW SESSION (60 SECONDS, GRACE PERIOD 30 SECONDS) "
+        "GROUP BY etype;"
+    )
+    assert out.count() > 0
+
+
+def test_windowed_ctas_grace_period_streaming_watermark(spark, tmp_path):
+    """Over a STREAMING source the windowed-CTAS grace becomes a
+    statement-local watermark: the plan carries EventTimeWatermark with
+    the grace delay, the original view stays unwatermarked, append-mode
+    start succeeds (impossible without a watermark), and update-mode
+    results equal batch."""
+    import datetime as dt
+    import json as _json
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), i % 3) for i in range(40)
+    ]
+    d = tmp_path / "gev"
+    d.mkdir()
+    with open(d / "p0.json", "w") as fh:
+        for eid, ts, et in rows:
+            fh.write(
+                _json.dumps(
+                    {"event_id": eid, "ts": ts.isoformat(sep=" "), "etype": et}
+                )
+                + "\n"
+            )
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "gev_topic",
+        spark.readStream.schema("event_id long, ts timestamp, etype int").json(
+            str(d)
+        ),
+    )
+    ctx.execute(
+        "CREATE STREAM gev (event_id BIGINT, ts TIMESTAMP, etype INTEGER) "
+        "WITH (KAFKA_TOPIC='gev_topic', VALUE_FORMAT='JSON', "
+        "TIMESTAMP='ts');"
+    )
+    views_before = dict(ctx._views)
+    out = ctx.execute(
+        "CREATE TABLE ghourly AS SELECT etype, WINDOWSTART AS ws, "
+        "COUNT(*) AS n FROM gev "
+        "WINDOW TUMBLING (SIZE 1 HOURS, GRACE PERIOD 5 MINUTES) "
+        "GROUP BY etype;"
+    )
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan and "5 minutes" in plan
+    # the SOURCE view is untouched (the CTAS adds its own result view)
+    assert ctx._views["gev"] is views_before["gev"]
+    # append-mode start works (requires the watermark) ...
+    qa = (
+        out.writeStream.format("memory")
+        .queryName("ghourly_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cka"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination(120)
+    # ... and update-mode results equal the batch evaluation
+    qu = (
+        out.writeStream.format("memory")
+        .queryName("ghourly_update")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cku"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qu.awaitTermination(120)
+    got = {
+        (r.etype, r.ws): r.n
+        for r in spark.sql(
+            "SELECT etype, ws, max(n) AS n FROM ghourly_update "
+            "GROUP BY etype, ws"
+        ).collect()
+    }
+    ctx2 = KsqlContext(spark)
+    ctx2.register_topic(
+        "gev_topic_b",
+        spark.createDataFrame(rows, "event_id long, ts timestamp, etype int"),
+    )
+    ctx2.execute(
+        "CREATE STREAM gevb (event_id BIGINT, ts TIMESTAMP, etype INTEGER) "
+        "WITH (KAFKA_TOPIC='gev_topic_b', VALUE_FORMAT='JSON', "
+        "TIMESTAMP='ts');"
+    )
+    want = {
+        (r.etype, r.ws): r.n
+        for r in ctx2.execute(
+            "SELECT etype, WINDOWSTART AS ws, COUNT(*) AS n FROM gevb "
+            "WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY etype;"
+        ).collect()
+    }
+    assert got == want
+    # append emitted exactly the windows the final watermark passed —
+    # a subset of (or equal to) the full window set, never extras
+    appended = {
+        (r.etype, r.ws)
+        for r in spark.sql("SELECT * FROM ghourly_append").collect()
+    }
+    assert appended <= set(want)
