@@ -21,8 +21,8 @@ r18 window was sealed, judge re-run PASS) and the two rows-only bench
 surfaces (bpe_train, hard_negative_mining_ivf; VERDICT r18 #1
 explicitly rotates them in for sane-spark_rows rows, overriding the
 earlier bpe-train-stays-last pin for this round — at the driver's
-sf0.01 the 16-merge loop is a few seconds). Then the TWO round-19
-newcomers: ksql_topk / ksql_histogram (the last commonly-hit ksqlDB
+sf0.01 the 16-merge loop is a few seconds). Then the THREE round-19
+newcomers: ksql_topk / ksql_histogram / ksql_topk_distinct (the last commonly-hit ksqlDB
 aggregate spellings, VERDICT r18 #4 — TOPK via the salted two-phase
 pre-prune, HISTOGRAM via the (keys, value)-counts two-level map
 aggregate). Then the THREE entries whose code changed this round
@@ -31,13 +31,13 @@ the FIRST '?' only — ADVICE r18 #3, fixture plants the %19
 second-'?' case), c4_line_filter (badwords_path production-blocklist
 parameter, VERDICT r18 #8) and embedding_near_dup_lsh (count-gated
 verify broadcast, VERDICT r18 #3 — rows-only by design). Then the
-head of the r15 cohort in ledger order, THIRTY-FOUR entries
-(unimax_allocation .. corr_battery). 5+6+2+3+34 = 50.
+head of the r15 cohort in ledger order, THIRTY-THREE entries
+(unimax_allocation .. cheapest_supplier). 5+6+3+3+33 = 50.
 Displaced to 51+ this round: the whole r18 window apart from the
 reference surface (its r14-cohort rows are hash-green and fresh) and
 everything already outside.
-ROTATION QUEUE for round 20 (stalest first): the EIGHT remaining
-r15-row queries (median_aggregates, orderkey_islands,
+ROTATION QUEUE for round 20 (stalest first): the NINE remaining
+r15-row queries (corr_battery, median_aggregates, orderkey_islands,
 string_functions2, word_positions, audio_fingerprints,
 semantic_decontaminate, quality_percentile_filter, dedup_keep_best),
 then the r16 cohort, then r17/r18, then any never-rowed r20 newcomer
@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the driver hash
         "ksql_topk": KQ.q_ksql_topk,
         "ksql_histogram": KQ.q_ksql_histogram,
+        "ksql_topk_distinct": KQ.q_ksql_topk_distinct,
         # plan-affecting code changes THIS round re-enter the window
         # (hygiene rule): url_dedup (first-'?' query split, ADVICE r18
         # #3), c4_line_filter (badwords_path, VERDICT r18 #8),
@@ -163,13 +164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": A13.q_benford_digits,
         "bitwise_aggregates": A9.q_bitwise_aggregates,
         "cheapest_supplier": A9.q_cheapest_supplier,
-        "corr_battery": A13.q_corr_battery,
         # ---- entries 51+: outside the driver window this round ----
         # every displaced entry has a hash-green r18-or-earlier row
         # with code untouched this round; the eight remaining r15-row
         # queries (module docstring) head the r20 queue. The LSH/IVF/
         # PQ approximation spellings stay rows-only by design, bounded
         # by their oracle-checked exact twins.
+        "corr_battery": A13.q_corr_battery,
         "embedding_near_dup_exact": S.q_embedding_near_dup_exact,
         "market_share_q8": A14.q_market_share_q8,
         "returned_items_q10": A14.q_returned_items_q10,
@@ -417,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": CU.ORACLE_URL_DEDUP,
         "ksql_topk": KQ.ORACLE_KSQL_TOPK,
         "ksql_histogram": KQ.ORACLE_KSQL_HISTOGRAM,
+        "ksql_topk_distinct": KQ.ORACLE_KSQL_TOPK_DISTINCT,
         "semantic_dedup": CU.ORACLE_SEMANTIC_DEDUP,
         "quantile_sketch_bound": SK.ORACLE_QUANTILE_SKETCH_BOUND,
         "heavy_hitters": SK.ORACLE_HEAVY_HITTERS,

@@ -95,8 +95,9 @@ deployment uses is also translated (widening drop-in compatibility):
   raises a dialect error if an unparseable WITHIN survives. Scale
   shape: an equi-join on the key with a residual band predicate —
   shuffle by key, never a cartesian.
-- ``TOPK(col, k)`` -> the k largest non-null values per group as a
-  descending array (``slice(sort_array(collect_list(col), false), 1,
+- ``TOPK(col, k)`` / ``TOPKDISTINCT(col, k)`` -> the k largest
+  non-null values (resp. DISTINCT values) per group as a descending
+  array (``slice(sort_array(collect_list|collect_set(col), false), 1,
   k)``), valid in any grouped context including windowed CTAS and
   streaming aggregations. For the canonical batch form (single TOPK,
   bare keys, no other aggregate) the source is PRE-PRUNED with a salted
@@ -214,7 +215,11 @@ _BY_OFFSET_RESIDUAL_RE = re.compile(
 _TOPK_RE = re.compile(
     r"\bTOPK\s*\(\s*(?P<col>\w+)\s*,\s*(?P<k>\d+)\s*\)", re.IGNORECASE
 )
-_TOPK_RESIDUAL_RE = re.compile(r"\bTOPK\s*\(", re.IGNORECASE)
+_TOPKDISTINCT_RE = re.compile(
+    r"\bTOPKDISTINCT\s*\(\s*(?P<col>\w+)\s*,\s*(?P<k>\d+)\s*\)",
+    re.IGNORECASE,
+)
+_TOPK_RESIDUAL_RE = re.compile(r"\bTOPK(?:DISTINCT)?\s*\(", re.IGNORECASE)
 _HISTOGRAM_RESIDUAL_RE = re.compile(r"\bHISTOGRAM\s*\(", re.IGNORECASE)
 _HISTOGRAM_ITEM_RE = re.compile(
     r"HISTOGRAM\s*\(\s*(?P<col>\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?",
@@ -239,7 +244,7 @@ _OTHER_AGG_RE = re.compile(
     r"approx_percentile|stddev|stddev_pop|stddev_samp|variance|var_pop|"
     r"var_samp|percentile|percentile_approx|median|mode|skewness|"
     r"kurtosis|corr|covar_pop|covar_samp|bool_and|bool_or|every|"
-    r"count_if|histogram|topk)\s*\(",
+    r"count_if|histogram|topkdistinct|topk)\s*\(",
     re.IGNORECASE,
 )
 _UCASE_RE = re.compile(r"\bUCASE\s*\(", re.IGNORECASE)
@@ -710,39 +715,56 @@ class KsqlContext:
         array sort at emit, no Sort/Window node, partial aggregation
         map-side)."""
         masked = _mask(select)
-        calls = list(_TOPK_RE.finditer(masked))
+        # TOPKDISTINCT before TOPK: the former's name contains the
+        # latter's, so collect its spans first and the TOPK scan below
+        # cannot double-claim them (distinct spans by construction —
+        # \bTOPK\( never matches inside TOPKDISTINCT()
+        calls = [
+            ("distinct", m) for m in _TOPKDISTINCT_RE.finditer(masked)
+        ] + [("all", m) for m in _TOPK_RE.finditer(masked)]
         if not calls:
             if _TOPK_RESIDUAL_RE.search(masked):
                 raise ValueError(
-                    "TOPK: only the TOPK(column, k-literal) form is "
-                    "translated — project the expression first: " + select
+                    "TOPK/TOPKDISTINCT: only the (column, k-literal) form "
+                    "is translated — project the expression first: "
+                    + select
                 )
             return select
         if len(calls) == 1:
-            pruned = self._topk_preprune(select, masked, calls[0])
+            kind, m = calls[0]
+            pruned = self._topk_preprune(select, masked, m, kind)
             if pruned is not None:
                 select = pruned
                 masked = _mask(select)
-                calls = list(_TOPK_RE.finditer(masked))
-        for m in reversed(calls):
+                calls = [
+                    ("distinct", mm)
+                    for mm in _TOPKDISTINCT_RE.finditer(masked)
+                ] + [("all", mm) for mm in _TOPK_RE.finditer(masked)]
+        for kind, m in sorted(calls, key=lambda c: -c[1].start()):
+            agg = "collect_set" if kind == "distinct" else "collect_list"
             expr = (
-                f"slice(sort_array(collect_list({m['col']}), false), "
+                f"slice(sort_array({agg}({m['col']}), false), "
                 f"1, {m['k']})"
             )
             select = select[: m.start()] + expr + select[m.end():]
         if _TOPK_RESIDUAL_RE.search(_mask(select)):
             raise ValueError(
-                "TOPK: an unparseable spelling remains (only "
-                "TOPK(column, k-literal) is translated): " + select
+                "TOPK/TOPKDISTINCT: an unparseable spelling remains (only "
+                "the (column, k-literal) form is translated): " + select
             )
         return select
 
     def _topk_preprune(
-        self, select: str, masked: str, call: re.Match
+        self, select: str, masked: str, call: re.Match, kind: str = "all"
     ) -> str | None:
-        """The two-phase pre-prune rewrite for the canonical TOPK shape;
-        returns None when any safety condition fails (caller falls back
-        to the pure expression form)."""
+        """The two-phase pre-prune rewrite for the canonical TOPK /
+        TOPKDISTINCT shape; returns None when any safety condition fails
+        (caller falls back to the pure expression form). TOPK prunes
+        with row_number (any globally-top-k ROW is top-k in its own
+        partition); TOPKDISTINCT must prune with dense_rank — a
+        partition can hold k duplicate rows of one value ABOVE a rarer
+        value that still belongs to the global top-k DISTINCT set, and
+        row_number would evict it."""
         cm = _CANON_AGG_RE.match(masked)
         if not cm:
             return None
@@ -769,8 +791,9 @@ class KsqlContext:
         inner = f"SELECT *, spark_partition_id() AS __ksql_pid FROM {src}"
         if where:
             inner += f" WHERE {where}"
+        rank_fn = "dense_rank" if kind == "distinct" else "row_number"
         prune = (
-            f"(SELECT * FROM (SELECT *, row_number() OVER "
+            f"(SELECT * FROM (SELECT *, {rank_fn}() OVER "
             f"(PARTITION BY {keys}, __ksql_pid ORDER BY {call['col']} DESC) "
             f"AS __ksql_rn FROM ({inner})) WHERE __ksql_rn <= {call['k']})"
         )
@@ -1197,4 +1220,44 @@ WITH c AS (
 SELECT user_bucket,
        string_agg(v || ':' || CAST(n AS VARCHAR), ',' ORDER BY v) AS hist
 FROM c GROUP BY user_bucket
+"""
+
+def q_ksql_topk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPKDISTINCT(value, 5) per event_type through the dialect (the
+    dense_rank two-phase pre-prune — see ``_topk_preprune``); array
+    canonicalized to a comma-joined descending string."""
+    from pyspark.sql import functions as F
+
+    from m12_kafkastreams_python_azure_spark.sources.readers import load_table
+
+    ctx = KsqlContext(spark)
+    ctx.register_topic("ksql_events_topic3", load_table(spark, sf_dir, "events"))
+    ctx.execute(
+        "CREATE STREAM ksql_ev_tkd (event_id BIGINT, ts TIMESTAMP, "
+        "event_type VARCHAR, value DOUBLE) WITH "
+        "(KAFKA_TOPIC='ksql_events_topic3', VALUE_FORMAT='JSON', "
+        "TIMESTAMP='ts');"
+    )
+    out = ctx.execute(
+        "CREATE TABLE ksql_topd_values AS SELECT event_type, "
+        "TOPKDISTINCT(value, 5) AS top_vals FROM ksql_ev_tkd "
+        "GROUP BY event_type;"
+    )
+    return out.select(
+        "event_type",
+        F.array_join(
+            F.transform("top_vals", lambda x: x.cast("string")), ","
+        ).alias("top_vals"),
+    )
+
+
+ORACLE_KSQL_TOPK_DISTINCT = """
+SELECT event_type,
+       array_to_string(list_transform(
+         list_slice(
+           list_sort(list(DISTINCT value) FILTER (WHERE value IS NOT NULL),
+                     'DESC'),
+           1, 5),
+         x -> CAST(x AS VARCHAR)), ',') AS top_vals
+FROM events GROUP BY event_type
 """

@@ -43,6 +43,7 @@ NEVER_ROWED = [
 R19_NEWCOMERS = [
     "ksql_topk",
     "ksql_histogram",
+    "ksql_topk_distinct",
 ]
 
 # Code changes in round 19 re-enter the window (the window-hygiene
@@ -57,8 +58,9 @@ CODE_CHANGED_R19 = [
     "embedding_near_dup_lsh",
 ]
 
-# The head of the r15 cohort (ledger order) fills the remaining 34
-# slots; the eight-entry remainder heads the r20 queue.
+# The head of the r15 cohort (ledger order) fills the remaining 33
+# slots; the nine-entry remainder (corr_battery first) heads the r20
+# queue.
 R15_HEAD_IN_R19 = [
     "unimax_allocation",
     "hybrid_rrf_retrieval",
@@ -93,7 +95,6 @@ R15_HEAD_IN_R19 = [
     "benford_digits",
     "bitwise_aggregates",
     "cheapest_supplier",
-    "corr_battery",
 ]
 
 # Round 19's window carries exactly three rows-only entries — the two

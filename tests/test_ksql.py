@@ -1543,3 +1543,55 @@ def test_windowed_ctas_grace_period_streaming_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ghourly_append").collect()
     }
     assert appended <= set(want)
+
+
+def test_topkdistinct_matches_duckdb(events_ctx):
+    """TOPKDISTINCT(value, k): the k largest DISTINCT values per group,
+    descending — vs DuckDB list(DISTINCT)."""
+    import duckdb
+
+    got = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.execute(
+            "SELECT etype, TOPKDISTINCT(value, 4) AS tv FROM ev "
+            "GROUP BY etype;"
+        ).collect()
+    }
+    pdf = events_ctx.execute("SELECT * FROM ev").toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = {
+        row[0]: list(row[1])
+        for row in con.execute(
+            "SELECT etype, list_slice(list_sort(list(DISTINCT value) "
+            "FILTER (WHERE value IS NOT NULL), 'DESC'), 1, 4) "
+            "FROM ev GROUP BY etype"
+        ).fetchall()
+    }
+    assert got == want
+    # values are 0..6 doubles: the distinct top-4 sets are strictly
+    # decreasing and duplicate-free (unlike TOPK's multiset)
+    assert all(sorted(set(v), reverse=True) == v for v in got.values())
+
+
+def test_topkdistinct_preprune_uses_dense_rank(events_ctx):
+    """The distinct pre-prune must rank with dense_rank: a partition
+    holding k duplicate rows of one value above a rarer value would
+    evict it under row_number. Pruned == unpruned, pinned on a corpus
+    where every partition is duplicate-heavy (values cycle 0..6)."""
+    sql = events_ctx._rewrite_select(
+        "SELECT etype, TOPKDISTINCT(value, 3) AS tv FROM ev GROUP BY etype"
+    )
+    assert "dense_rank()" in sql and "__ksql_pid" in sql
+    pruned = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.spark.sql(sql).collect()
+    }
+    unpruned = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.spark.sql(
+            "SELECT etype, slice(sort_array(collect_set(value), false), "
+            "1, 3) AS tv FROM ev GROUP BY etype"
+        ).collect()
+    }
+    assert pruned == unpruned
