@@ -1595,3 +1595,36 @@ def test_topkdistinct_preprune_uses_dense_rank(events_ctx):
         ).collect()
     }
     assert pruned == unpruned
+
+
+def test_topk_histogram_inside_string_literals_untouched(events_ctx):
+    """Dialect rewrites are span-guided on the literal mask: 'TOPK(x, 3)'
+    or 'HISTOGRAM(y)' INSIDE a string literal is data, not syntax."""
+    rows = events_ctx.execute(
+        "SELECT etype, 'TOPK(value, 3)' AS lit, TOPK(value, 2) AS tv "
+        "FROM ev GROUP BY etype;"
+    ).collect()
+    assert all(r.lit == "TOPK(value, 3)" for r in rows)
+    assert all(len(r.tv) == 2 for r in rows)
+    rows2 = events_ctx.execute(
+        "SELECT etype, 'HISTOGRAM(value)' AS lit FROM ev GROUP BY etype;"
+    ).collect()
+    assert all(r.lit == "HISTOGRAM(value)" for r in rows2)
+
+
+def test_topk_lowercase_and_alias_forms(events_ctx):
+    """Case-insensitive spellings and AS aliases translate like the
+    canonical uppercase form."""
+    got = {
+        r["etype"]: list(r["low"])
+        for r in events_ctx.execute(
+            "select etype, topk(value, 3) as low from ev group by etype;"
+        ).collect()
+    }
+    want = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.execute(
+            "SELECT etype, TOPK(value, 3) AS tv FROM ev GROUP BY etype;"
+        ).collect()
+    }
+    assert got == want
