@@ -75,6 +75,7 @@ def test_real_headline_names_fit_budget_with_streaming_fields():
         "metric": "headline_queries_total_runtime",
         "value": 88.888,
         "unit": "sec",
+        "regime": bench.BENCH_REGIME,
         "queries": {name: 1.234 for name in bench.HEADLINE},
         "sf": 1.0,
         "streaming_events_per_sec": 1634989.4,
