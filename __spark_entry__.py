@@ -130,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": CU.q_url_dedup,
         "c4_line_filter": CU.q_c4_line_filter,
         "embedding_near_dup_lsh": API.q_embedding_near_dup_lsh,
-        # the head of the r15 cohort (ledger order), thirty-four entries
+        # the head of the r15 cohort (ledger order), thirty-three entries
         "unimax_allocation": CU.q_unimax_allocation,
         "hybrid_rrf_retrieval": R.q_hybrid_rrf_retrieval,
         "vocab_kl_drift": AU.q_vocab_kl_drift,
@@ -166,7 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier": A9.q_cheapest_supplier,
         # ---- entries 51+: outside the driver window this round ----
         # every displaced entry has a hash-green r18-or-earlier row
-        # with code untouched this round; the eight remaining r15-row
+        # with code untouched this round; the nine remaining r15-row
         # queries (module docstring) head the r20 queue. The LSH/IVF/
         # PQ approximation spellings stay rows-only by design, bounded
         # by their oracle-checked exact twins.

@@ -84,7 +84,9 @@ deployment uses is also translated (widening drop-in compatibility):
   the statement declared no alias (ADVICE r18 #2 — watermark policy is
   per STATEMENT: the original view never mutates, so a later plain
   windowed aggregate over the same stream inherits no earlier join's
-  lateness bound): the watermark delay is the GRACE PERIOD when
+  lateness bound; registrations are memoized per (side, delay) so a
+  long-lived context does not leak one temp view per statement —
+  ADVICE r19 #3): the watermark delay is the GRACE PERIOD when
   declared, else the window size itself (ksqlDB's grace bounds
   out-of-order acceptance the same way), so streaming state really is
   watermark-bounded per key and streaming LEFT JOIN WITHIN works in
@@ -234,7 +236,14 @@ _CANON_AGG_RE = re.compile(
     r"\s+GROUP\s+BY\s+(?P<keys>.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_BARE_KEYS_RE = re.compile(r"^\s*\w+(\s*,\s*\w+)*\s*$")
+# identifiers ONLY — \w+ also matched all-digit tokens, so 'GROUP BY 1'
+# (an ordinal Spark's groupByOrdinal resolves to a column) passed the
+# TOPK pre-prune gate while the generated 'PARTITION BY 1, __ksql_pid'
+# treated the 1 as a CONSTANT (ordinals are not resolved in window
+# specs), pruning top-k per spark-partition GLOBALLY instead of per
+# group (ADVICE r19 #1). Ordinal keys now fall back to the unpruned —
+# correct — expression form.
+_BARE_KEYS_RE = re.compile(r"^\s*[A-Za-z_]\w*(\s*,\s*[A-Za-z_]\w*)*\s*$")
 # aggregate calls whose value would change if rows were pre-pruned —
 # their presence disables the TOPK two-phase optimization (the pure
 # expression form stays correct)
@@ -335,8 +344,32 @@ class KsqlContext:
         # never mutates, and a later statement over the same stream
         # inherits no earlier join's lateness bound
         self._wm_n = 0
+        # (side, rowtime, delay) -> (wm view name, source DataFrame):
+        # repeated statements with the same watermark policy REUSE one
+        # __ksql_wm_N registration instead of leaking a catalog temp
+        # view (and its captured DataFrame) per statement (ADVICE r19
+        # #3). The cached source DataFrame is compared by identity so a
+        # re-registered view (new DataFrame under the same name) gets a
+        # fresh watermark view, never a stale one.
+        self._wm_cache: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
         # running materializations of streaming source tables, by name
         self._queries: dict[str, object] = {}
+
+    def _watermarked_view(self, side: str, delay: str) -> str:
+        """Memoized statement-local watermark view over ``side``'s
+        registered DataFrame (per-statement watermark policy — the
+        original view never mutates)."""
+        df = self._views[side]
+        rt = self._rowtime[side]
+        key = (side, rt, delay)
+        hit = self._wm_cache.get(key)
+        if hit is not None and hit[1] is df:
+            return hit[0]
+        self._wm_n += 1
+        wmname = f"__ksql_wm_{self._wm_n}"
+        df.withWatermark(rt, delay).createOrReplaceTempView(wmname)
+        self._wm_cache[key] = (wmname, df)
+        return wmname
 
     # -- topic registry (the "broker") ------------------------------------
     def register_topic(self, topic: str, df: DataFrame) -> None:
@@ -741,6 +774,14 @@ class KsqlContext:
                     for mm in _TOPKDISTINCT_RE.finditer(masked)
                 ] + [("all", mm) for mm in _TOPK_RE.finditer(masked)]
         for kind, m in sorted(calls, key=lambda c: -c[1].start()):
+            if int(m["k"]) < 1:
+                # ksqlDB rejects k < 1; a silent slice(..., 1, 0) would
+                # return an empty array and hide the caller's mistake
+                # (ADVICE r19 #2)
+                raise ValueError(
+                    "TOPK/TOPKDISTINCT: k must be >= 1, got "
+                    f"{m['k']} in: " + select
+                )
             agg = "collect_set" if kind == "distinct" else "collect_list"
             expr = (
                 f"slice(sort_array({agg}({m['col']}), false), "
@@ -964,11 +1005,7 @@ class KsqlContext:
             for side in (left, right):
                 df = self._views.get(side)
                 if df is not None and df.isStreaming and side not in wm_names:
-                    self._wm_n += 1
-                    wmname = f"__ksql_wm_{self._wm_n}"
-                    wm = df.withWatermark(self._rowtime[side], delay)
-                    wm.createOrReplaceTempView(wmname)
-                    wm_names[side] = wmname
+                    wm_names[side] = self._watermarked_view(side, delay)
             cond_end_m = _CLAUSE_AFTER_ON_RE.search(masked, m.end())
             cond_end = cond_end_m.start() if cond_end_m else len(select)
             # inside a subquery the condition also ends at the subquery's
@@ -1075,10 +1112,8 @@ class KsqlContext:
         if gm:
             df = self._views.get(src.group(1))
             if df is not None and df.isStreaming:
-                self._wm_n += 1
-                wmname = f"__ksql_wm_{self._wm_n}"
                 delay = f"{gm['gn']} {gm['gunit'].lower()}"
-                df.withWatermark(rt, delay).createOrReplaceTempView(wmname)
+                wmname = self._watermarked_view(src.group(1), delay)
                 # read the watermarked view, aliased back to the source
                 # name so every qualified reference still binds; the
                 # original view never mutates (per-statement policy)

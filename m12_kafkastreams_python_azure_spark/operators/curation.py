@@ -303,11 +303,17 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     # two URLs differing only after the second '?' collapsed together.
     hostpath = F.split_part(rest, F.lit("?"), F.lit(1))
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    # ^(www\.)+ / /+$ (not ^www\. / /$): strip EVERY leading www. and
+    # EVERY trailing slash in one anchored match, so canon is IDEMPOTENT
+    # — canon(canon(u)) == canon(u) for all u (round-19 self-review:
+    # the single-strip spelling left 'www.www.x.com/p//' one pass short
+    # of 'x.com/p', so the two raw spellings never collapsed into one
+    # url_dedup group; property-tested in tests/test_idempotence.py)
     host = F.regexp_replace(
-        F.lower(F.split_part(hostpath, F.lit("/"), F.lit(1))), r"^www\.", ""
+        F.lower(F.split_part(hostpath, F.lit("/"), F.lit(1))), r"^(www\.)+", ""
     )
     path = F.regexp_replace(
-        F.regexp_extract(hostpath, r"^[^/]*(/.*)?$", 1), r"/$", ""
+        F.regexp_extract(hostpath, r"^[^/]*(/.*)?$", 1), r"/+$", ""
     )
     params = F.filter(
         F.split(query, "&"),
@@ -347,7 +353,9 @@ def docs_with_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy-URL fixture over documents (the corpus has no
     URL column; same pattern as ``docs_with_planted_lines``), mirrored
     verbatim in the oracle. Every canonicalization rule is exercised:
-    scheme flips on doc_id%2, ``www.`` on %3, trailing slash on %5,
+    scheme flips on doc_id%2, ``www.`` on %3 (DOUBLE ``www.www.`` on
+    %23 — the r20 idempotence case), trailing slash on %5 (DOUBLE
+    trailing slash on %25),
     tracking params (+ out-of-order keepers) on %7, plain out-of-order
     keepers on %11, a second literal '?' INSIDE the query on %19 (the
     ADVICE r18 #3 case: only the first '?' delimits; the rest of the
@@ -359,9 +367,22 @@ def docs_with_urls(docs: DataFrame) -> DataFrame:
     d = F.col("doc_id")
     host = F.concat(F.lit("site"), (d % 5).cast("string"), F.lit(".example"))
     host = F.when(d % 17 == 0, F.upper(host)).otherwise(host)
-    host = F.when(d % 3 == 0, F.concat(F.lit("www."), host)).otherwise(host)
+    # %23 plants the DOUBLE-www spelling (round-20 idempotence fix: it
+    # must collapse with the bare-host and single-www spellings of the
+    # same page key — the driver row value-checks the collapse for real)
+    host = (
+        F.when(d % 23 == 0, F.concat(F.lit("www.www."), host))
+        .when(d % 3 == 0, F.concat(F.lit("www."), host))
+        .otherwise(host)
+    )
     path = F.concat(F.lit("/page/"), (d % 3).cast("string"))
-    path = F.when(d % 5 == 0, F.concat(path, F.lit("/"))).otherwise(path)
+    # %25 (a strict subset of the %5 single-slash band) plants the
+    # DOUBLE trailing slash — '/+$' must strip both
+    path = (
+        F.when(d % 25 == 0, F.concat(path, F.lit("//")))
+        .when(d % 5 == 0, F.concat(path, F.lit("/")))
+        .otherwise(path)
+    )
     query = (
         F.when(d % 7 == 0, F.lit("?utm_source=feed&b=2&a=1"))
         .when(d % 11 == 0, F.lit("?b=2&a=1"))
@@ -386,12 +407,14 @@ ORACLE_URL_DEDUP = """
 WITH u AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
-         (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+         (CASE WHEN doc_id % 23 = 0 THEN 'www.www.'
+               WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
          (CASE WHEN doc_id % 17 = 0
                THEN upper('site' || CAST(doc_id % 5 AS VARCHAR) || '.example')
                ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' END) ||
          '/page/' || CAST(doc_id % 3 AS VARCHAR) ||
-         (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 25 = 0 THEN '//'
+               WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
          (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&b=2&a=1'
                WHEN doc_id % 11 = 0 THEN '?b=2&a=1'
                WHEN doc_id % 19 = 0 THEN '?a=1?x=2&b=3' ELSE '' END) ||
@@ -413,8 +436,8 @@ split1 AS (
 canon AS (
   SELECT doc_id,
          'https://' ||
-         regexp_replace(lower(split_part(hostpath, '/', 1)), '^www\\.', '') ||
-         regexp_replace(regexp_extract(hostpath, '^[^/]*(/.*)?$', 1), '/$', '') ||
+         regexp_replace(lower(split_part(hostpath, '/', 1)), '^(www\\.)+', '') ||
+         regexp_replace(regexp_extract(hostpath, '^[^/]*(/.*)?$', 1), '/+$', '') ||
          (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url
   FROM (
     SELECT doc_id, hostpath,

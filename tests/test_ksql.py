@@ -623,6 +623,54 @@ def test_within_join_runs_stream_stream(within_ctx, spark, tmp_path):
     assert got == want and len(got) == 20
 
 
+def test_within_join_wm_views_memoized_not_leaked(spark, tmp_path):
+    """ADVICE r19 #3: repeated WITHIN statements with the same watermark
+    policy must reuse one __ksql_wm_N registration per side, not leak a
+    fresh catalog temp view (plus its captured DataFrame) per statement."""
+    import json as _json
+
+    clicks, views = _click_rows()
+    for name, rows, col in (
+        ("clicks", clicks, "cts"),
+        ("views", views, "vts"),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "p0.json", "w") as fh:
+            for r in rows:
+                fh.write(
+                    _json.dumps(
+                        {"user_id": r[0], col: r[1].isoformat(sep=" ")}
+                    )
+                    + "\n"
+                )
+    ctx = KsqlContext(spark)
+    ctx.register_topic(
+        "clicks_topic",
+        spark.readStream.schema("user_id long, cts timestamp").json(
+            str(tmp_path / "clicks")
+        ),
+    )
+    ctx.register_topic(
+        "views_topic",
+        spark.readStream.schema("user_id long, vts timestamp").json(
+            str(tmp_path / "views")
+        ),
+    )
+    ctx.execute(CREATE_CLICKS)
+    ctx.execute(CREATE_VIEWS)
+    for _ in range(3):
+        assert ctx.execute(WITHIN_QUERY).isStreaming
+    # two streaming sides, one delay -> exactly two registrations total
+    assert ctx._wm_n == 2 and len(ctx._wm_cache) == 2
+    # a DIFFERENT delay is a different watermark policy -> fresh views
+    ctx.execute(
+        "SELECT c.user_id FROM clicks_s c JOIN views_s v "
+        "WITHIN 5 MINUTES ON c.user_id = v.user_id EMIT CHANGES;"
+    )
+    assert ctx._wm_n == 4 and len(ctx._wm_cache) == 4
+
+
 # -------------------------------------------------- round-18 additions
 
 def test_source_table_missing_primary_key_column_is_clear_error(join_ctx):
@@ -1294,6 +1342,43 @@ def test_topk_non_literal_form_is_clear_error(events_ctx):
         events_ctx.execute(
             "SELECT etype, TOPK(value + 1, 3) FROM ev GROUP BY etype;"
         )
+
+
+def test_topk_k_zero_is_clear_error(events_ctx):
+    """ksqlDB rejects k < 1; a silent slice(..., 1, 0) would hide the
+    caller's mistake behind an empty array (ADVICE r19 #2)."""
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        events_ctx.execute(
+            "SELECT etype, TOPK(value, 0) AS tv FROM ev GROUP BY etype;"
+        )
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        events_ctx.execute(
+            "SELECT etype, TOPKDISTINCT(value, 0) AS tv FROM ev "
+            "GROUP BY etype;"
+        )
+
+
+def test_topk_ordinal_group_by_skips_preprune_and_stays_correct(events_ctx):
+    """ADVICE r19 #1: 'GROUP BY 1' is an ordinal Spark's groupByOrdinal
+    resolves to a column, but a window spec treats the 1 as a CONSTANT —
+    so the pre-prune gate must refuse ordinals (identifier keys only)
+    and fall back to the correct unpruned aggregate expression."""
+    sql = events_ctx._rewrite_select(
+        "SELECT etype, TOPK(value, 3) AS tv FROM ev GROUP BY 1"
+    )
+    assert "__ksql_pid" not in sql and "__ksql_rn" not in sql
+    got = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.spark.sql(sql).collect()
+    }
+    want = {
+        r["etype"]: list(r["tv"])
+        for r in events_ctx.spark.sql(
+            "SELECT etype, slice(sort_array(collect_list(value), false), "
+            "1, 3) AS tv FROM ev GROUP BY etype"
+        ).collect()
+    }
+    assert got == want and len(got) == 3
 
 
 def test_histogram_matches_duckdb(events_ctx):
