@@ -215,6 +215,19 @@ EAGER_QUERIES = {
     "bpe_train",
     "containment_near_dup",
     "excerpt_screen",
+    # round 20: the near-dup operators gained construction-time
+    # materialization barriers (persist + count) that stop concurrently-
+    # launched consumer stages racing the cache-write and re-running the
+    # signature/collapse pass per subtree (OPTIMIZATION_r20.md). The
+    # barrier moves that work to construction, so construction must be
+    # inside the clock — r19 timed the same total work lazily via
+    # count(), so the rows stay cross-round comparable.
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup_lsh",
+    "phash_near_dup",
+    "video_near_dup",
+    "audio_near_dup",
     # winnow_pairs runs the collapse persist + count barrier at
     # construction (the containment discipline)
     "winnow_pairs",

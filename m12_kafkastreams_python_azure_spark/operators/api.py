@@ -91,6 +91,7 @@ def embedding_near_dup_lsh(
     bands: int = 8,
     max_bucket: int = 2000,
     collapse_exact: bool = True,
+    _fresh: bool = True,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs with exact-cosine verification.
 
@@ -121,10 +122,21 @@ def embedding_near_dup_lsh(
     VERDICT r18 #3, same discipline as the containment verify).
     """
     if collapse_exact:
-        mapping, reps = _dedup.collapse_exact_groups(df, [vec_col], id_col)
+        # release FIRST, then PIN the collapse window (the minhash rule,
+        # r20): the window — a full shuffle+sort of the vector table —
+        # previously re-executed in every downstream subtree (the rep
+        # pipeline, the validity filter, the self-sim projection and each
+        # of the three expansion branches; the r20 stage profile showed a
+        # 75 s-executor-time stage that was exactly this). Pinned, it runs
+        # once; the inner pipeline gets _fresh=False so its own release
+        # does not unpersist the pin.
+        _dedup.release_parallel_caches()
+        mapping, reps = _dedup.collapse_exact_groups(
+            df, [vec_col], id_col, pin=True
+        )
         rep_pairs = embedding_near_dup_lsh(
             reps, threshold, id_col, vec_col, dim, planes_per_band, bands,
-            max_bucket, collapse_exact=False,
+            max_bucket, collapse_exact=False, _fresh=False,
         )
         # parity with the uncollapsed path, which never emits NULL- or
         # zero-norm-vector pairs (NULL sign-bits generate no band rows; a
@@ -136,9 +148,10 @@ def embedding_near_dup_lsh(
         valid = reps.filter(
             F.coalesce(l2_norm(F.col(vec_col)) > 0, F.lit(False))
         ).select(F.col(id_col).alias("_rep_id"))
-        # persist AFTER the inner pipeline released + rebuilt the registry
-        mapping = mapping.join(valid, "_rep_id").persist()
-        _dedup.register_parallel_cache(mapping)
+        # no persist: mapping and valid are cheap projections over the
+        # pinned window cache — the three expansion branches re-read the
+        # cache, never re-run the window
+        mapping = mapping.join(valid, "_rep_id")
         self_sim = reps.select(
             F.col(id_col).alias("_rep_id"),
             # try_divide: reps now include zero-norm rows (their groups are
@@ -157,8 +170,10 @@ def embedding_near_dup_lsh(
             rep_pairs, mapping, "sim", self_sim, max_bucket
         )
     # free the previous invocation's cached intermediates (same bounded-
-    # cache discipline as the text-dedup helpers)
-    _dedup.release_parallel_caches()
+    # cache discipline as the text-dedup helpers); _fresh=False when the
+    # collapse path above already released and holds the pinned window
+    if _fresh:
+        _dedup.release_parallel_caches()
     base = (
         df.select(
             F.col(id_col).alias("id"),

@@ -270,7 +270,7 @@ def collapse_reps_only(docs: DataFrame) -> DataFrame:
 
 
 def collapse_exact_groups(
-    df: DataFrame, key_cols: list[str], id_col: str
+    df: DataFrame, key_cols: list[str], id_col: str, pin: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Group byte-identical rows (same ``key_cols`` content) and pick the
     min-id member as each group's REPRESENTATIVE.
@@ -295,13 +295,31 @@ def collapse_exact_groups(
     does not scale with content width, and correctness stays EXACT (the
     content is still part of the key).
 
-    NOTE: ``mapping`` is returned LAZY (not persisted) — callers that run
-    a cache-releasing pipeline (``_parallel_text``) between collapse and
-    expansion must persist it AFTER that pipeline materializes, or accept
-    the recompute."""
+    ``pin`` (round 20): persist + count-barrier the WINDOW OUTPUT before
+    deriving mapping/reps. The window is a full shuffle+sort of the input
+    and it feeds many independent join subtrees downstream (the three
+    expansion branches of ``expand_collapsed_pairs``, the rep pipeline,
+    validity filters, self-metric projections); Spark has no
+    cross-subtree CSE, so unpinned it re-executes once per subtree —
+    racing when AQE launches them together (the ``_parallel_text`` convoy)
+    and serially otherwise. Pinning makes every consumer a cache read and
+    the window a once-per-query cost. Callers that pin MUST own the cache
+    registry for the rest of the query: any nested pipeline that calls
+    ``release_parallel_caches()`` after this point (``_parallel_text``
+    with ``fresh=True``) would unpersist the pin mid-query — the LSH
+    front doors release FIRST and pass ``_fresh=False`` inward.
+
+    NOTE: without ``pin``, ``mapping`` is returned LAZY — callers that
+    run a cache-releasing pipeline between collapse and expansion must
+    persist it AFTER that pipeline materializes, or accept the
+    recompute."""
     digest = F.xxhash64(*[F.col(c) for c in key_cols])
     w = Window.partitionBy(digest, *key_cols)
     tagged = df.withColumn("_rep_id", F.min(F.col(id_col)).over(w))
+    if pin:
+        tagged = tagged.persist()
+        register_parallel_cache(tagged)
+        tagged.count()
     mapping = tagged.select(F.col(id_col).alias("_m_id"), "_rep_id")
     reps = tagged.filter(F.col(id_col) == F.col("_rep_id")).drop("_rep_id")
     return mapping, reps
@@ -363,7 +381,9 @@ def expand_collapsed_pairs(
     return cross.unionByName(within)
 
 
-def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _parallel_text(
+    df: DataFrame, text_col: str, id_col: str, fresh: bool = True
+) -> DataFrame:
     """(id, t) spread over all cores WITH a materialization barrier.
 
     A bare ``repartition(n)`` is NOT enough when the input is one small
@@ -377,7 +397,11 @@ def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # Bound cache growth: each new dedup invocation frees the previous
     # one's intermediates (callers needing tighter control can call
     # release_parallel_caches() right after their terminal action).
-    release_parallel_caches()
+    # ``fresh=False`` skips the release: the caller already released and
+    # holds a PINNED cache this query still needs (collapse_exact_groups
+    # pin=True) — releasing here would unpersist it mid-query.
+    if fresh:
+        release_parallel_caches()
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     out = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
@@ -395,12 +419,13 @@ def _parallel_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _parallel_shingles(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int,
+    fresh: bool = True,
 ) -> DataFrame:
     """Shingle sets computed in parallel (see ``_parallel_text``), cached
     for reuse by the signature pass and both verify-join sides."""
     out = (
-        _parallel_text(df, text_col, id_col)
+        _parallel_text(df, text_col, id_col, fresh=fresh)
         .select("id", shingles(F.col("t"), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .persist()
@@ -420,6 +445,7 @@ def minhash_near_dup_pairs(
     jaccard_threshold: float = 0.6,
     max_bucket: int = 1000,
     collapse_exact: bool = True,
+    _fresh: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -451,20 +477,24 @@ def minhash_near_dup_pairs(
         # the uncollapsed path's size(sh) > 0 filter never drops a doc —
         # identical NULL/short texts legitimately pair at Jaccard 1.0 in
         # BOTH paths (pinned in test_dedup_scale)
-        mapping, reps = collapse_exact_groups(df, [text_col], id_col)
+        # release FIRST, then PIN the collapse window (r20): the window —
+        # a full shuffle+sort of the raw text — previously re-executed in
+        # every downstream subtree (the rep pipeline and each of the three
+        # expansion branches, racing when launched together); pinned, it
+        # runs exactly once and every consumer is a cache read. The inner
+        # pipeline gets _fresh=False so its _parallel_text does not
+        # unpersist the pin.
+        release_parallel_caches()
+        mapping, reps = collapse_exact_groups(df, [text_col], id_col, pin=True)
         rep_pairs = minhash_near_dup_pairs(
             reps, text_col, id_col, shingle_n, num_hashes, bands,
-            jaccard_threshold, max_bucket, collapse_exact=False,
+            jaccard_threshold, max_bucket, collapse_exact=False, _fresh=False,
         )
-        # persist AFTER the inner pipeline (whose _parallel_text released
-        # the registry); mapping feeds three expansion branches
-        mapping = mapping.persist()
-        register_parallel_cache(mapping)
         return expand_collapsed_pairs(
             rep_pairs, mapping, "jaccard", F.lit(1.0), max_bucket
         )
     rows_per_band = num_hashes // bands
-    base = _parallel_shingles(df, text_col, id_col, shingle_n)
+    base = _parallel_shingles(df, text_col, id_col, shingle_n, fresh=_fresh)
     # Hash every shingle string exactly once; signatures derive from the
     # long array (a named column, so it is single-evaluation).
     sig = (
@@ -1800,6 +1830,7 @@ def simhash_near_dup_pairs(
     bands: int = 4,
     max_bucket: int = 1000,
     collapse_exact: bool = True,
+    _fresh: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit simhash into ``bands``
     16-bit slices; by pigeonhole, any pair within Hamming distance <
@@ -1810,10 +1841,14 @@ def simhash_near_dup_pairs(
     representative before banding and expand back afterwards at Hamming
     exactly 0 — see ``minhash_near_dup_pairs`` for the rationale."""
     if collapse_exact:
-        mapping, reps = collapse_exact_groups(df, [text_col], id_col)
+        # release + PIN the collapse window (the minhash rule, r20): one
+        # window execution serves the rep pipeline, the validity filter
+        # and all three expansion branches as cache reads
+        release_parallel_caches()
+        mapping, reps = collapse_exact_groups(df, [text_col], id_col, pin=True)
         rep_pairs = simhash_near_dup_pairs(
             reps, text_col, id_col, max_hamming, bands, max_bucket,
-            collapse_exact=False,
+            collapse_exact=False, _fresh=False,
         )
         # parity with the uncollapsed path, where a NULL simhash yields a
         # NULL hamming the verify filter drops: exclude those GROUPS from
@@ -1827,12 +1862,14 @@ def simhash_near_dup_pairs(
         valid = reps.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("_rep_id")
         )
-        mapping = mapping.join(valid, "_rep_id").persist()
-        register_parallel_cache(mapping)
+        # no persist needed: mapping and valid are cheap projections over
+        # the PINNED window cache — the three expansion branches re-read
+        # the cache, never re-run the window
+        mapping = mapping.join(valid, "_rep_id")
         return expand_collapsed_pairs(
             rep_pairs, mapping, "hamming", F.lit(0), max_bucket
         )
-    sigs = _parallel_text(df, text_col, id_col).select(
+    sigs = _parallel_text(df, text_col, id_col, fresh=_fresh).select(
         "id", simhash64(F.col("t")).alias("sim")
     )
     # collapse_identical=False: the text collapse above already removed
@@ -1874,7 +1911,17 @@ def banded_hamming_pairs(
     that already collapsed upstream (simhash's text collapse) pass
     False."""
     if collapse_identical:
-        mapping, reps = collapse_exact_groups(sigs, ["sim"], "id")
+        # PIN the collapse window output (r20): the expression tree under
+        # it is the caller's signature pass — for multimodal callers a
+        # mapInPandas decode+hash of every payload — plus the full
+        # shuffle+sort of the 16-byte signature rows. The validity filter,
+        # the banded rep path and the three expansion branches are
+        # separate join subtrees with no cross-subtree CSE, so unpinned
+        # the Python signature pass re-executed once per subtree (r20
+        # stage profile: phash_near_dup ran the dHash UDF 3x, ~40 s
+        # executor time each at sf0.1). One pin makes the UDF AND the
+        # window once-per-query; every consumer is a cache read.
+        mapping, reps = collapse_exact_groups(sigs, ["sim"], "id", pin=True)
         rep_pairs = banded_hamming_pairs(
             reps, max_hamming, bands, max_bucket, collapse_identical=False
         )
@@ -1885,8 +1932,9 @@ def banded_hamming_pairs(
         valid = reps.filter(F.col("sim").isNotNull()).select(
             F.col("id").alias("_rep_id")
         )
-        mapping = mapping.join(valid, "_rep_id").persist()
-        register_parallel_cache(mapping)
+        # no persist: mapping and valid are projections over the pinned
+        # window cache; the expansion branches re-read the cache only
+        mapping = mapping.join(valid, "_rep_id")
         return expand_collapsed_pairs(
             rep_pairs, mapping, "hamming", F.lit(0), max_bucket
         )

@@ -612,6 +612,10 @@ def video_near_dup(
     # payload re-executes once per subtree
     vf = frames.select("media_id", "frame_phash64").distinct().persist()
     register_parallel_cache(vf)
+    # materialization barrier (the _parallel_text convoy rule): the four
+    # subtrees launch concurrently and would otherwise race the
+    # cache-write, re-running the Python frame-sampling pass per subtree
+    vf.count()
     # ubiquitous-frame guard: vf is distinct, so count(*) == clip count
     rare = (
         vf.groupBy("frame_phash64")
@@ -857,6 +861,11 @@ def audio_near_dup(
 
     fp = audio_fingerprints(media).persist()
     register_parallel_cache(fp)
+    # materialization barrier (the _parallel_text convoy rule): the rarity
+    # aggregate and both join sides read this concurrently — unbarriered,
+    # each raced the cache-write and re-ran the Python fingerprint pass
+    # (r20 stage profile: four 12-21 s executor-time stages at sf0.1)
+    fp.count()
     rare = (
         fp.groupBy("fp64")
         .agg(F.countDistinct("media_id").alias("_nc"))
@@ -881,7 +890,15 @@ def audio_near_dup(
             "id_a", "id_b", (F.col("win_b") - F.col("win_a")).alias("offset")
         )
         .agg(F.count("*").alias("votes"))
+        # persisted + barriered: the argmax reads this twice (max per pair,
+        # then the tie-break join-back) — without the pin the whole
+        # fingerprint equi-join expansion re-runs for the second consumer.
+        # The histogram is bounded by the match set (pairs x offsets), far
+        # smaller than the join it summarizes.
+        .persist()
     )
+    register_parallel_cache(votes)
+    votes.count()
     best = votes.groupBy("id_a", "id_b").agg(F.max("votes").alias("votes"))
     return (
         votes.join(best, ["id_a", "id_b", "votes"])

@@ -32,14 +32,17 @@ EVDIR = "/tmp/spark-events-r20"
 
 
 def run(names: list[str]) -> None:
+    import shutil
+
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in os.listdir(EVDIR):
-        os.unlink(os.path.join(EVDIR, f))
     spark = get_spark(
         app_name="profile-r20",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVDIR}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,8 +70,20 @@ def run(names: list[str]) -> None:
             release_parallel_caches()
     spark.stop()
 
-    # ---- parse the event log ----
-    logf = [os.path.join(EVDIR, f) for f in os.listdir(EVDIR) if not f.startswith(".")]
+    # ---- parse the event log (plain file, or Spark 4 rolling dir) ----
+    logf = []
+    for f in os.listdir(EVDIR):
+        p = os.path.join(EVDIR, f)
+        if f.startswith("."):
+            continue
+        if os.path.isdir(p):
+            logf.extend(
+                os.path.join(p, g)
+                for g in os.listdir(p)
+                if g.startswith("events_")
+            )
+        else:
+            logf.append(p)
     assert len(logf) == 1, logf
     job_desc: dict[int, str] = {}
     job_stages: dict[int, list[int]] = {}
@@ -89,8 +104,18 @@ def run(names: list[str]) -> None:
                 sid = si["Stage ID"]
                 sub = si.get("Submission Time")
                 comp = si.get("Completion Time")
+                scopes = []
+                for rdd in si.get("RDD Info", []):
+                    sc = rdd.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name", "")
+                        except ValueError:
+                            nm = ""
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
                 stages[sid] = {
-                    "name": si["Stage Name"].split("\n")[0][:70],
+                    "name": " | ".join(scopes[:8]) or si["Stage Name"].split("\n")[0][:60],
                     "wall_ms": (comp - sub) if sub and comp else None,
                     "n_tasks": si["Number of Tasks"],
                 }
