@@ -18,17 +18,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# A 40+-query session accumulates broadcast/shuffle/codegen state; at the
-# default 8g heap the tail of the suite becomes GC-bound (observed: the
-# same query 3-8x slower inside the suite than standalone). Size the heap
-# to the machine — a quarter of physical RAM capped at 24g — so the bench
-# stays in steady state on a big box without OOMing a small one; override
+# A 40+-query session accumulates broadcast/shuffle/codegen state; the
+# r20-era formula sized the heap at a quarter of RAM capped at 24g to
+# keep the tail out of GC trouble. Measured this round (r21, local[32],
+# sf0.1): the BIG heap is itself the noise source — the same 9-query
+# window ran 66.5 s wall at 24g vs 35.1 s at 8g, and the heavy near-dup
+# block 356 s at 24g vs 263 s at 12g, with strictly better
+# run-convergence at the smaller heap (large Eden = long young-GC pauses
+# that land on random runs and defeat the 4% convergence gate). 12g is
+# the floor of that sweep with safety margin for the sf1 tier; override
 # via SPARK_DRIVER_MEM.
 try:
     _phys_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) >> 30
 except (ValueError, OSError):
     _phys_gb = 32
-os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(4, min(24, _phys_gb // 4))}g")
+os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(4, min(12, _phys_gb // 8))}g")
 
 from m12_kafkastreams_python_azure_spark.session import get_spark  # noqa: E402
 from m12_kafkastreams_python_azure_spark.sources.readers import (  # noqa: E402
@@ -36,6 +40,31 @@ from m12_kafkastreams_python_azure_spark.sources.readers import (  # noqa: E402
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Suite wall-clock budget (VERDICT r20 #1: the official 32-core r20 run
+#: exited rc 124 — TIMED OUT with no parseable line — because the
+#: worst-case harness multipliers compound under machine noise: up to 6
+#: convergence runs per query x 122 queries, a full-window hedge re-run,
+#: and min5/max10 streaming replays. An unparsed line costs ALL numbers,
+#: so bounding the worst case beats measuring a little more precisely).
+#: The budget degrades MEASUREMENT EXTRAS only — every query still runs
+#: its 3-run minimum and every section still executes; what gets dropped
+#: (extension runs past 3, the hedge re-run, streaming replays past the
+#: minimum) is recorded in the sidecar under ``budget``.
+BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
+
+#: monotonic suite start, set by main() (and by the streaming child from
+#: the parent's elapsed time); None = no budget accounting (library use).
+_SUITE_T0: float | None = None
+
+#: sidecar record of which extras the budget dropped.
+_BUDGET_DEGRADED: dict[str, object] = {}
+
+
+def _budget_spent_frac() -> float:
+    if _SUITE_T0 is None:
+        return 0.0
+    return (time.perf_counter() - _SUITE_T0) / BENCH_BUDGET_SEC
 
 #: Measurement-regime tag (VERDICT r18 #2), stamped into every bench
 #: artifact. "fit-outside-clock-v2" = streaming replay processors (and
@@ -250,6 +279,7 @@ def run_headline(spark, queries, names, sf_dir=None):
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     runmeta: dict[str, dict] = {}
+    wall0 = time.perf_counter()
     for name in names:
         best = float("inf")
         # Three runs minimum, report the best: the first run pays one-time
@@ -285,8 +315,27 @@ def run_headline(spark, queries, names, sf_dir=None):
                     if s[0] > 0 and (s[1] - s[0]) / s[0] <= 0.04:
                         converged = True
                         break
+                    # budget guard: extension runs (4..6) exist to chase
+                    # the noise floor; past 45% of the suite budget the
+                    # batch window must stop chasing and leave room for
+                    # the streaming sections — 3-run minimum always runs
+                    if _budget_spent_frac() > 0.45:
+                        _BUDGET_DEGRADED.setdefault(
+                            "extension_runs_stopped_at", []
+                        ).append(name)
+                        break
             timings[name] = round(best, 3)
             runmeta[name] = {"n_runs": len(runs), "converged": converged}
+            # stderr progress (never stdout — the one-line JSON contract):
+            # per-query wall attribution so a suite-level timeout is
+            # diagnosable from the captured tail (VERDICT r20 #1).
+            print(
+                f"[bench +{time.perf_counter() - wall0:7.1f}s] {name}: "
+                f"best={best:.3f}s runs={[round(r, 2) for r in runs]} "
+                f"converged={converged}",
+                file=sys.stderr,
+                flush=True,
+            )
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             # a transient run-2 failure (memory pressure etc.) must not
@@ -304,7 +353,7 @@ def run_headline(spark, queries, names, sf_dir=None):
     return timings, errors, runmeta
 
 
-def converged_best(run_fn, min_runs: int = 2, max_runs: int = 4):
+def converged_best(run_fn, min_runs: int = 2, max_runs: int = 4, tag: str = ""):
     """The converged-min discipline (VERDICT r14 #2) for the THROUGHPUT
     rows, matching run_headline's per-query rule: keep running until the
     two fastest elapsed times agree within 4% (evidence the noise floor
@@ -322,6 +371,15 @@ def converged_best(run_fn, min_runs: int = 2, max_runs: int = 4):
             s = sorted(runs)
             if s[0] > 0 and (s[1] - s[0]) / s[0] <= 0.04:
                 converged = True
+                break
+            # budget guard (VERDICT r20 #1): past 85% of the suite budget,
+            # stop chasing convergence on throughput rows — the minimum
+            # replays always run, and an unconverged row is flagged in its
+            # meta exactly as before
+            if _budget_spent_frac() > 0.85:
+                _BUDGET_DEGRADED.setdefault(
+                    "throughput_extension_stopped_at", []
+                ).append(tag or "unnamed")
                 break
     return min(runs), {"n_runs": len(runs), "converged": converged}
 
@@ -363,6 +421,8 @@ def pick_hedged_window(first, second):
 def main() -> None:
     import __spark_entry__ as entrymod
 
+    global _SUITE_T0
+    _SUITE_T0 = time.perf_counter()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -402,7 +462,29 @@ def main() -> None:
     # and the better run (fewer errors, then fewer unconverged rows, then
     # lower total) becomes the committed artifact. Both runs' summaries
     # are recorded in the sidecar either way.
-    if hedge_needed(runmeta):
+    if hedge_needed(runmeta) and _budget_spent_frac() > 0.30:
+        # budget guard (VERDICT r20 #1): the hedge DOUBLES the window, and
+        # a window noisy enough to trigger it usually also ran long — on
+        # the r20 sandbox that compound is exactly what pushed the official
+        # 32-core run past its timeout (rc 124, no line printed). If the
+        # first window already consumed >30% of the suite budget, skip the
+        # re-run and flag the artifact instead: a flagged-noisy line beats
+        # no line.
+        hedge = {
+            "triggered": False,
+            "skipped_for_budget": True,
+            "unconverged_first": _n_unconverged(runmeta),
+            "rows": len(runmeta),
+        }
+        _BUDGET_DEGRADED["hedge_skipped"] = True
+    elif hedge_needed(runmeta):
+        print(
+            f"[bench] window hedge TRIGGERED "
+            f"({_n_unconverged(runmeta)}/{len(runmeta)} unconverged) — "
+            "re-running the whole headline window once",
+            file=sys.stderr,
+            flush=True,
+        )
         second = run_headline(spark, queries, names)
         (timings, errors, runmeta), hedge = pick_hedged_window(
             (timings, errors, runmeta), second
@@ -414,7 +496,11 @@ def main() -> None:
             "rows": len(runmeta),
         }
 
+    def _mark(section: str) -> None:
+        print(f"[bench] section: {section}", file=sys.stderr, flush=True)
+
     throughput_meta: dict[str, dict] = {}
+    _mark("streaming (fresh JVM child)")
     try:
         streaming_eps, streaming_eps_untuned, m = _streaming_throughput_fresh_jvm(
             spark
@@ -424,6 +510,7 @@ def main() -> None:
         streaming_eps = streaming_eps_untuned = None
         errors["__streaming__"] = f"{type(e).__name__}: {e}"[:500]
 
+    _mark("keep_best stream")
     try:
         keep_best_dps, m = _keep_best_throughput(spark)
         throughput_meta.update(m)
@@ -431,12 +518,14 @@ def main() -> None:
         keep_best_dps = None
         errors["__keep_best_stream__"] = f"{type(e).__name__}: {e}"[:500]
 
+    _mark("curation streams")
     try:
         curation_dps, m = _curation_stream_throughput(spark)
         throughput_meta.update(m)
     except Exception as e:  # noqa: BLE001
         curation_dps = {}
         errors["__curation_streams__"] = f"{type(e).__name__}: {e}"[:500]
+    _mark("done; rendering line")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -503,6 +592,17 @@ def main() -> None:
     # The hedge record is unconditional so every artifact self-describes
     # whether the window was noisy and which run was committed.
     sidecar["window_hedge"] = hedge
+    # Budget record (VERDICT r20 #1): the suite wall budget and which
+    # measurement extras it dropped this run (empty dict = none — the
+    # budget never drops queries or sections, only extension runs, the
+    # hedge re-run, and streaming replays past the minimum).
+    sidecar["budget"] = {
+        "budget_sec": BENCH_BUDGET_SEC,
+        "spent_sec": round(time.perf_counter() - _SUITE_T0, 1)
+        if _SUITE_T0 is not None
+        else None,
+        "degraded": _BUDGET_DEGRADED,
+    }
     # The tuned/untuned PAIR keeps methodology-vs-engine attribution
     # honest: the headline streaming number runs with shuffle.partitions
     # sized to the agg's key cardinality (standard stateful-streaming
@@ -864,8 +964,16 @@ def _streaming_throughput_fresh_jvm(spark) -> tuple[float, float | None, dict]:
 
     cmd = [sys.executable, os.path.abspath(__file__), "--streaming-child"]
     try:
+        env = dict(os.environ)
+        if _SUITE_T0 is not None:
+            # the child shares the parent's suite budget: hand it the
+            # elapsed seconds so its converged_best guards see the same
+            # clock (VERDICT r20 #1)
+            env["SPARK_GRAFT_BENCH_ELAPSED"] = str(
+                round(time.perf_counter() - _SUITE_T0, 1)
+            )
         proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=1800, env=os.environ
+            cmd, capture_output=True, text=True, timeout=1800, env=env
         )
         for line in reversed(proc.stdout.splitlines()):
             if line.startswith(_STREAM_CHILD_MARKER):
@@ -890,6 +998,11 @@ def _streaming_child_main() -> None:
     """Child entry for the fresh-JVM streaming measurement: fresh
     session, the same ``_streaming_throughput`` replays, one
     marker-prefixed JSON line on stdout."""
+    global _SUITE_T0
+    elapsed = os.environ.get("SPARK_GRAFT_BENCH_ELAPSED")
+    if elapsed:
+        # inherit the parent's budget clock (see _streaming_throughput_fresh_jvm)
+        _SUITE_T0 = time.perf_counter() - float(elapsed)
     spark = get_spark(app_name="bench-stream-child")
     spark.sparkContext.setLogLevel("ERROR")
     eps, eps_untuned, meta = _streaming_throughput(spark)
@@ -1004,7 +1117,7 @@ def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
             i = next(counter)
             return _replay(str(i), f"{work}/ck{i}")
 
-        best, meta = converged_best(_next_tuned, min_runs=5, max_runs=10)
+        best, meta = converged_best(_next_tuned, min_runs=5, max_runs=10, tag="streaming_tuned")
 
         # EXACT two-phase COUNT_DISTINCT replay (VERDICT r18 #5): K4's
         # exact mode — dropDuplicates((group, key)) feeding the
@@ -1058,7 +1171,7 @@ def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
                 return _replay_exact(str(i), f"{work}/ckex{i}")
 
             best_exact, meta_e = converged_best(
-                _next_exact, min_runs=2, max_runs=8
+                _next_exact, min_runs=2, max_runs=8, tag="streaming_exact"
             )
             meta_e = dict(meta_e)
             meta_e["events_per_sec"] = round(n / best_exact, 1)
@@ -1087,7 +1200,7 @@ def _streaming_throughput(spark) -> tuple[float, float | None, dict]:
             return _replay(f"u{i}", f"{work}/cku{i}")
 
         best_untuned, meta_u = converged_best(
-            _next_untuned, min_runs=2, max_runs=8
+            _next_untuned, min_runs=2, max_runs=8, tag="streaming_untuned"
         )
         return (
             round(n / best, 1),
@@ -1145,7 +1258,9 @@ def _keep_best_throughput(spark) -> tuple[float, dict]:
 
         # max 8 (VERDICT r15 #4: the sf0.1 row exited unconverged at the
         # old cap of 4)
-        elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=8)
+        elapsed, meta = converged_best(
+            _full_replay, min_runs=2, max_runs=8, tag="keep_best"
+        )
         return round(n / elapsed, 1), {"keep_best_docs_per_sec": meta}
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1228,7 +1343,9 @@ def _curation_stream_throughput(spark) -> dict:
             # these are the cheap members, so the extra replays are
             # affordable exactly where needed and only run while the row
             # is still unconverged)
-            elapsed, meta = converged_best(_full_replay, min_runs=2, max_runs=10)
+            elapsed, meta = converged_best(
+                _full_replay, min_runs=2, max_runs=10, tag=metric
+            )
             if replays_per_sample > 1:
                 meta = dict(meta, replays_per_sample=replays_per_sample)
             out[metric] = round(n * replays_per_sample / elapsed, 1)

@@ -122,17 +122,20 @@ def embedding_near_dup_lsh(
     VERDICT r18 #3, same discipline as the containment verify).
     """
     if collapse_exact:
-        # release FIRST, then PIN the collapse window (the minhash rule,
-        # r20): the window — a full shuffle+sort of the vector table —
+        # release FIRST, then pin the collapse NARROW (the minhash rule,
+        # r21): the window — a full shuffle+sort of the vector table —
         # previously re-executed in every downstream subtree (the rep
         # pipeline, the validity filter, the self-sim projection and each
         # of the three expansion branches; the r20 stage profile showed a
-        # 75 s-executor-time stage that was exactly this). Pinned, it runs
-        # once; the inner pipeline gets _fresh=False so its own release
-        # does not unpersist the pin.
+        # 75 s-executor-time stage that was exactly this). The r20 cut
+        # pinned the FULL window output (vectors included) and measured
+        # 2x slower at same cores; pin="narrow" caches only the 16-byte
+        # (_m_id, _rep_id) mapping — one window execution — and rebuilds
+        # reps as a scan + broadcast semi-join. The inner pipeline gets
+        # _fresh=False so its own release does not unpersist the pin.
         _dedup.release_parallel_caches()
         mapping, reps = _dedup.collapse_exact_groups(
-            df, [vec_col], id_col, pin=True
+            df, [vec_col], id_col, pin="narrow"
         )
         rep_pairs = embedding_near_dup_lsh(
             reps, threshold, id_col, vec_col, dim, planes_per_band, bands,

@@ -270,7 +270,10 @@ def collapse_reps_only(docs: DataFrame) -> DataFrame:
 
 
 def collapse_exact_groups(
-    df: DataFrame, key_cols: list[str], id_col: str, pin: bool = False
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    pin: bool | str = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Group byte-identical rows (same ``key_cols`` content) and pick the
     min-id member as each group's REPRESENTATIVE.
@@ -295,19 +298,33 @@ def collapse_exact_groups(
     does not scale with content width, and correctness stays EXACT (the
     content is still part of the key).
 
-    ``pin`` (round 20): persist + count-barrier the WINDOW OUTPUT before
-    deriving mapping/reps. The window is a full shuffle+sort of the input
-    and it feeds many independent join subtrees downstream (the three
-    expansion branches of ``expand_collapsed_pairs``, the rep pipeline,
-    validity filters, self-metric projections); Spark has no
-    cross-subtree CSE, so unpinned it re-executes once per subtree —
-    racing when AQE launches them together (the ``_parallel_text`` convoy)
-    and serially otherwise. Pinning makes every consumer a cache read and
-    the window a once-per-query cost. Callers that pin MUST own the cache
-    registry for the rest of the query: any nested pipeline that calls
-    ``release_parallel_caches()`` after this point (``_parallel_text``
-    with ``fresh=True``) would unpersist the pin mid-query — the LSH
-    front doors release FIRST and pass ``_fresh=False`` inward.
+    ``pin`` modes — the window is a full shuffle+sort of the input and it
+    feeds many independent join subtrees downstream (the three expansion
+    branches of ``expand_collapsed_pairs``, the rep pipeline, validity
+    filters, self-metric projections); Spark has no cross-subtree CSE, so
+    unpinned it re-executes once per subtree — racing when AQE launches
+    them together (the ``_parallel_text`` convoy) and serially otherwise:
+
+    - ``pin="full"`` (r20): persist + count-barrier the WHOLE window
+      output (every input column + ``_rep_id``). ONLY for inputs already
+      narrow (the banded-Hamming signature tables: 16-byte rows) — on a
+      wide input this caches the raw text/vector payload per query, and
+      the r21 same-core bench measured it 2.8-4x SLOWER than no pin at
+      all on the text/vector collapses (heap churn + wide cache reads
+      dominate the saved window re-runs).
+    - ``pin="narrow"`` (r21): persist + count-barrier ONLY the
+      (_m_id, _rep_id) mapping — 16 bytes/row regardless of input width —
+      which materializes the window exactly once; ``reps`` is then
+      rebuilt as ``df`` semi-joined against the rep ids (a cheap
+      re-scan + a broadcast-sized join on the pinned mapping), so the
+      payload-width window output is never cached. Requires ``id_col``
+      values to be unique (every caller's ids are primary keys).
+
+    Callers that pin MUST own the cache registry for the rest of the
+    query: any nested pipeline that calls ``release_parallel_caches()``
+    after this point (``_parallel_text`` with ``fresh=True``) would
+    unpersist the pin mid-query — the LSH front doors release FIRST and
+    pass ``_fresh=False`` inward.
 
     NOTE: without ``pin``, ``mapping`` is returned LAZY — callers that
     run a cache-releasing pipeline between collapse and expansion must
@@ -316,7 +333,17 @@ def collapse_exact_groups(
     digest = F.xxhash64(*[F.col(c) for c in key_cols])
     w = Window.partitionBy(digest, *key_cols)
     tagged = df.withColumn("_rep_id", F.min(F.col(id_col)).over(w))
-    if pin:
+    if pin == "narrow":
+        mapping = tagged.select(F.col(id_col).alias("_m_id"), "_rep_id")
+        mapping = mapping.persist()
+        register_parallel_cache(mapping)
+        mapping.count()
+        rep_ids = mapping.filter(
+            F.col("_m_id") == F.col("_rep_id")
+        ).select(F.col("_m_id").alias(id_col))
+        reps = df.join(rep_ids, id_col, "left_semi")
+        return mapping, reps
+    if pin:  # True / "full"
         tagged = tagged.persist()
         register_parallel_cache(tagged)
         tagged.count()
@@ -477,15 +504,20 @@ def minhash_near_dup_pairs(
         # the uncollapsed path's size(sh) > 0 filter never drops a doc —
         # identical NULL/short texts legitimately pair at Jaccard 1.0 in
         # BOTH paths (pinned in test_dedup_scale)
-        # release FIRST, then PIN the collapse window (r20): the window —
+        # release FIRST, then pin the collapse NARROW (r21): the window —
         # a full shuffle+sort of the raw text — previously re-executed in
         # every downstream subtree (the rep pipeline and each of the three
-        # expansion branches, racing when launched together); pinned, it
-        # runs exactly once and every consumer is a cache read. The inner
+        # expansion branches, racing when launched together). The r20 cut
+        # pinned the FULL window output (raw text included) and measured
+        # 2.8x SLOWER at same cores than no pin; pin="narrow" caches only
+        # the 16-byte (_m_id, _rep_id) mapping — one window execution —
+        # and rebuilds reps as a scan + broadcast semi-join. The inner
         # pipeline gets _fresh=False so its _parallel_text does not
         # unpersist the pin.
         release_parallel_caches()
-        mapping, reps = collapse_exact_groups(df, [text_col], id_col, pin=True)
+        mapping, reps = collapse_exact_groups(
+            df, [text_col], id_col, pin="narrow"
+        )
         rep_pairs = minhash_near_dup_pairs(
             reps, text_col, id_col, shingle_n, num_hashes, bands,
             jaccard_threshold, max_bucket, collapse_exact=False, _fresh=False,
@@ -1841,11 +1873,14 @@ def simhash_near_dup_pairs(
     representative before banding and expand back afterwards at Hamming
     exactly 0 — see ``minhash_near_dup_pairs`` for the rationale."""
     if collapse_exact:
-        # release + PIN the collapse window (the minhash rule, r20): one
-        # window execution serves the rep pipeline, the validity filter
-        # and all three expansion branches as cache reads
+        # release + pin the collapse NARROW (the minhash rule, r21): one
+        # window execution materializes the 16-byte mapping cache; reps
+        # rebuild as a scan + broadcast semi-join (the r20 full-width pin
+        # measured 4x slower at same cores — raw text cached per query)
         release_parallel_caches()
-        mapping, reps = collapse_exact_groups(df, [text_col], id_col, pin=True)
+        mapping, reps = collapse_exact_groups(
+            df, [text_col], id_col, pin="narrow"
+        )
         rep_pairs = simhash_near_dup_pairs(
             reps, text_col, id_col, max_hamming, bands, max_bucket,
             collapse_exact=False, _fresh=False,
@@ -1911,16 +1946,24 @@ def banded_hamming_pairs(
     that already collapsed upstream (simhash's text collapse) pass
     False."""
     if collapse_identical:
-        # PIN the collapse window output (r20): the expression tree under
-        # it is the caller's signature pass — for multimodal callers a
-        # mapInPandas decode+hash of every payload — plus the full
-        # shuffle+sort of the 16-byte signature rows. The validity filter,
-        # the banded rep path and the three expansion branches are
-        # separate join subtrees with no cross-subtree CSE, so unpinned
-        # the Python signature pass re-executed once per subtree (r20
-        # stage profile: phash_near_dup ran the dHash UDF 3x, ~40 s
-        # executor time each at sf0.1). One pin makes the UDF AND the
-        # window once-per-query; every consumer is a cache read.
+        # release FIRST (ADVICE r20 #2 — match the documented front-door
+        # discipline; the only external collapse_identical caller, phash,
+        # registers nothing beforehand), then PIN the collapse window
+        # output (r20): the expression tree under it is the caller's
+        # signature pass — for multimodal callers a mapInPandas
+        # decode+hash of every payload — plus the full shuffle+sort of
+        # the 16-byte signature rows. The validity filter, the banded rep
+        # path and the three expansion branches are separate join
+        # subtrees with no cross-subtree CSE, so unpinned the Python
+        # signature pass re-executed once per subtree (r20 stage profile:
+        # phash_near_dup ran the dHash UDF 3x, ~40 s executor time each
+        # at sf0.1). One pin makes the UDF AND the window once-per-query;
+        # every consumer is a cache read. pin stays FULL here (unlike the
+        # text/vector collapses): the input is a (id, sim) signature
+        # table — 24-byte cached rows — and a narrow pin would re-run the
+        # Python signature pass to rebuild reps, the very cost the pin
+        # deletes (phash measured 3.8 s -> 2.8 s with the full pin, r21).
+        release_parallel_caches()
         mapping, reps = collapse_exact_groups(sigs, ["sim"], "id", pin=True)
         rep_pairs = banded_hamming_pairs(
             reps, max_hamming, bands, max_bucket, collapse_identical=False

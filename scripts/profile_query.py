@@ -1,4 +1,4 @@
-"""Per-stage wall/metric attribution for named queries (round-20 loop).
+"""Per-stage wall/metric attribution for named queries.
 
 Runs each query with the bench's methodology (warm-up + 2 timed runs,
 caches cleared between queries) in a session with the event log enabled,
@@ -8,7 +8,7 @@ then parses the log into a per-query, per-stage table:
   shuffle read/write bytes, input bytes, and the job description active
   when the stage ran.
 
-Usage: python scripts/profile_query_r20.py q1 [q2 ...]
+Usage: python scripts/profile_query.py q1 [q2 ...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 """
 
@@ -28,7 +28,7 @@ from m12_kafkastreams_python_azure_spark.sources.readers import (  # noqa: E402
     release_parallel_caches,
 )
 
-EVDIR = "/tmp/spark-events-r20"
+EVDIR = "/tmp/spark-events-profile"
 
 
 def run(names: list[str]) -> None:
@@ -37,7 +37,7 @@ def run(names: list[str]) -> None:
     shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
     spark = get_spark(
-        app_name="profile-r20",
+        app_name="profile-query",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVDIR}",
@@ -84,14 +84,21 @@ def run(names: list[str]) -> None:
             )
         else:
             logf.append(p)
-    assert len(logf) == 1, logf
+    assert logf, f"no event log files under {EVDIR}"
     job_desc: dict[int, str] = {}
     job_stages: dict[int, list[int]] = {}
     stages: dict[int, dict] = {}
     stage_tasks: dict[int, dict] = {}
-    with open(logf[0]) as fh:
-        for line in fh:
-            ev = json.loads(line)
+
+    def _events():
+        # aggregate over every collected log file (ADVICE r20 #4: a
+        # rolling event-log dir legitimately holds several events_ files)
+        for lp in sorted(logf):
+            with open(lp) as fh:
+                for line in fh:
+                    yield json.loads(line)
+
+    for ev in _events():
             t = ev.get("Event")
             if t == "SparkListenerJobStart":
                 jid = ev["Job ID"]
@@ -125,7 +132,7 @@ def run(names: list[str]) -> None:
                 agg = stage_tasks.setdefault(
                     sid,
                     {"run_ms": 0, "sh_read": 0, "sh_write": 0, "input": 0,
-                     "gc_ms": 0, "py_ms": 0},
+                     "gc_ms": 0},
                 )
                 agg["run_ms"] += m.get("Executor Run Time", 0)
                 agg["gc_ms"] += m.get("JVM GC Time", 0)
