@@ -756,6 +756,8 @@ def _exact_pairs_on_reps(
     (ADVICE r16) so ``subsumption_prune`` shares ONE collapse between
     pair detection and its keep-list base instead of collapsing twice —
     the same reuse discipline ``_screened_pairs_on_reps`` already has."""
+    from ..sources.readers import register_parallel_cache
+
     g = reps.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
     )
@@ -765,7 +767,19 @@ def _exact_pairs_on_reps(
         .filter(F.col("df") > max_df)
         .select("gram")
     )
-    rare = g.join(hot, "gram", "left_anti")
+    # Pin the df-filtered gram table (r21, guide §5): it feeds THREE
+    # subtrees (per-doc sizes, the bucket expansion, and — through hot —
+    # the anti-join build side), and Spark shares no subtrees across
+    # branches, so unpinned the corpus-wide shingle explode re-executed
+    # once per consumer and the hot aggregate re-shuffled with it (r21
+    # stage profile of containment_near_dup: three Generate stages each
+    # re-writing the identical 3.95 MB hot shuffle, ~95 executor-seconds
+    # of repeat work at sf0.1). One explode + one anti-join materialize
+    # into the cache; every consumer is a cache read. MEMORY_AND_DISK
+    # default: at 100 TB this spills rather than re-exploding the corpus
+    # per subtree — disk-read of (id, gram) rows beats re-tokenizing.
+    rare = register_parallel_cache(g.join(hot, "gram", "left_anti").persist())
+    rare.count()
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     # Candidate pairs via bucket-LOCAL expansion (the minhash cands
     # pattern), not a gram-keyed self-join: each gram's rows shuffle ONCE
@@ -1370,18 +1384,31 @@ def build_containment_ref(
     contract), so duplicates in a batch just produce duplicate verdicts
     for distinct ids — correct, and never a df-cap hazard because the
     guard is reference-side."""
+    from ..sources.readers import register_parallel_cache
+
     reps = collapse_reps_only(ref_docs.select("doc_id", "text"))
     g = reps.select(
         F.col("doc_id").alias("ref_id"),
         F.explode(shingles(F.col("text"), n)).alias("gram"),
     )
-    hot = (
+    hot = register_parallel_cache(
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_df)
         .select("gram")
+        .persist()
     )
-    rare = g.join(hot, "gram", "left_anti")
+    # Pin the reference artifacts (r21, guide §5): "build-once" was only
+    # true per CONSUMER SUBTREE before — the batch excerpt_screen spelling
+    # consumed (rare, sizes, hot) from four independent branches and
+    # re-ran the reference collapse + explode + hot aggregate per branch,
+    # and the streaming processor's three artifact writes did the same at
+    # construction. Pinned + count-barriered, the build executes once;
+    # sizes stays a lazy aggregate over the cached rows. hot is pinned
+    # separately (it is consumed by the NEW side's anti-join on its own);
+    # rare.count() doubles as its materialization barrier.
+    rare = register_parallel_cache(g.join(hot, "gram", "left_anti").persist())
+    rare.count()
     sizes = rare.groupBy("ref_id").agg(F.count(F.lit(1)).alias("n_ref_grams"))
     return rare, sizes, hot
 
@@ -1412,9 +1439,21 @@ def containment_against(
     is a micro-batch, never the corpus); one map-side-combined pair
     count; two broadcast size join-backs. Output: (doc_id, ref_id,
     shared_grams, containment_new, containment_ref, containment)."""
-    g_new = new_docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
-    ).join(hot, "gram", "left_anti")
+    from ..sources.readers import register_parallel_cache
+
+    # Pin the new side's df-filtered grams (r21): TWO consumers (per-doc
+    # sizes and the shared-gram join) re-ran the batch explode + hot
+    # anti-join otherwise. Registry-managed: the FIFO cap bounds growth
+    # across streaming micro-batches, and the bench releases between
+    # queries.
+    g_new = register_parallel_cache(
+        new_docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), n)).alias("gram")
+        )
+        .join(hot, "gram", "left_anti")
+        .persist()
+    )
+    g_new.count()
     new_sizes = g_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_new_grams")
     )
