@@ -326,6 +326,14 @@ def collapse_exact_groups(
     unpersist the pin mid-query — the LSH front doors release FIRST and
     pass ``_fresh=False`` inward.
 
+    BENCH COUPLING (ADVICE r20 #3): the pin's count() is an eager Spark
+    job at CONSTRUCTION time, so any bench.py HEADLINE entry that
+    transitively constructs a pinning operator must be listed in
+    ``bench.EAGER_QUERIES`` (timed from construction) or the collapse
+    work silently runs outside the clock. Every current front door
+    (minhash/simhash/embedding LSH, banded-Hamming multimodal callers,
+    containment/winnow/screened family) is listed.
+
     NOTE: without ``pin``, ``mapping`` is returned LAZY — callers that
     run a cache-releasing pipeline between collapse and expansion must
     persist it AFTER that pipeline materializes, or accept the

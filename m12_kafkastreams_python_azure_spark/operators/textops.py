@@ -784,10 +784,48 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("wcnt"))
         .persist()
     )
+    # The merge loop re-scans the (vocab-sized, tiny-rows) checkpoint 1-2
+    # times per merge: at the session's full shuffle-partition count that
+    # is 32 near-empty tasks per stage x 2 stages x n_merges of pure
+    # scheduling overhead (guide §2.6/§6 small-task tax). 8 partitions
+    # keeps the loop parallel where it matters (the pair explode+agg)
+    # while quartering per-merge task count — derived from parallelism,
+    # not a constant, so a bigger cluster still fans out.
+    n_loop_parts = max(
+        8, docs.sparkSession.sparkContext.defaultParallelism // 4
+    )
     vocab = wc.select(
         "word", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "wcnt"
-    ).localCheckpoint()
+    ).coalesce(n_loop_parts).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
+    spark = docs.sparkSession
+    # AQE OFF for the merge loop only (r21, guide §1.2-3 then config):
+    # the per-merge job is a fixed-shape vocab-sized agg + top-1 — AQE
+    # re-optimization splits it into TWO scheduled jobs per merge (the
+    # exchange materialization, then TakeOrdered), and with 16+ merges
+    # the loop is pure driver latency: profiled 42 jobs / 1.5 s of stage
+    # wall inside a 5.3 s query. Static planning makes each merge ONE
+    # job; nothing for AQE to adapt in a <100k-row loop body. Restored
+    # in finally — the setting never leaks to real queries.
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        merges, vocab = _bpe_merge_loop(
+            vocab, n_merges, checkpoint_every, merges
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    return merges, vocab.select("word", "sym")
+
+
+def _bpe_merge_loop(
+    vocab: DataFrame,
+    n_merges: int,
+    checkpoint_every: int,
+    merges: list[tuple[int, str, str, int]],
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The sequential merge loop body of ``bpe_train`` (split out so the
+    AQE toggle wraps exactly the loop)."""
     for step in range(1, n_merges + 1):
         with_syms = vocab.select(F.split("sym", " ").alias("syms"), "wcnt")
         pairs = with_syms.select(
@@ -829,8 +867,11 @@ def bpe_train(
             "wcnt",
         )
         if step % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
-    return merges, vocab.select("word", "sym")
+            # lazy: lineage truncates when the NEXT merge job materializes
+            # this — same bounded-plan guarantee, one fewer scheduled job
+            # per checkpoint
+            vocab = vocab.localCheckpoint(eager=False)
+    return merges, vocab
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,6 +1,6 @@
-"""Dump explain("formatted") for named queries to plans/r20/<q>_<tag>.txt.
+"""Dump explain("formatted") for named queries to plans/r21/<q>_<tag>.txt.
 
-Usage: python scripts/dump_plans_r20.py <tag> [query ...]
+Usage: python scripts/dump_plans_r21.py <tag> [query ...]
   tag: 'before' or 'after' (file suffix)
   queries: names from __spark_entry__.queries(); default = the round-20
   optimization watchlist (the slow tail of BENCH_r19).
@@ -59,7 +59,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r20",
+        "r21",
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -69,7 +69,7 @@ def main() -> None:
         release_parallel_caches,
     )
 
-    spark = get_spark(app_name="plans-r20")
+    spark = get_spark(app_name="plans-r21")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     for name in names:
