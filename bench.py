@@ -260,6 +260,12 @@ EAGER_QUERIES = {
     # winnow_pairs runs the collapse persist + count barrier at
     # construction (the containment discipline)
     "winnow_pairs",
+    # round 21: source_overlap pins its distinct (source, gram) table at
+    # construction (persist + count — the gram explode previously ran
+    # twice, single-task). Same accounting rule as the r20 additions:
+    # construction inside the clock covers the same total work r19 timed
+    # lazily via count().
+    "source_overlap",
     # the composed screen->verify front door and its consumer run the
     # collapse AND candidate persists (two count barriers) eagerly
     "containment_screened",

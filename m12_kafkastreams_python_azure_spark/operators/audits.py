@@ -49,13 +49,25 @@ def source_overlap(
     one source. Per-source totals are a |sources|-row aggregate,
     broadcast back. Output is at most |sources| choose 2 rows."""
     from m12_kafkastreams_python_azure_spark.operators.corpus import word_ngrams
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
 
-    gs = (
+    # Pinned (r21, guide §5): the distinct (source, gram) table feeds
+    # THREE subtrees (per-source totals + both self-join sides) and the
+    # r21 stage profile showed the corpus gram explode executing twice
+    # (2.8 s of the query's 3.2 s stage wall — single-task each, because
+    # the single-file scan gotcha keeps a bare explode on one core; the
+    # q_ entry now parallel_scans first). One explode materializes the
+    # cache; totals and both join sides are cache reads.
+    gs = register_parallel_cache(
         docs.select(
             "source", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
         )
         .distinct()
+        .persist()
     )
+    gs.count()
     totals = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = gs.select(F.col("source").alias("source_a"), "gram")
     b = gs.select(F.col("source").alias("source_b"), "gram")
@@ -84,7 +96,13 @@ def source_overlap(
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return source_overlap(load_table(spark, sf_dir, "documents"))
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        parallel_scan,
+    )
+
+    # parallel_scan: single-file testdata otherwise runs the 8-gram
+    # explode in one scan task (the verify-skill gotcha)
+    return source_overlap(parallel_scan(load_table(spark, sf_dir, "documents")))
 
 
 def _oracle_source_overlap(n: int = OVERLAP_NGRAM) -> str:

@@ -407,6 +407,17 @@ def _bpe_train(docs: DataFrame, iters: int):
         "word", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "wcnt"
     )
     merge_rows = []
+    # Each iteration's vocab is pinned below (r21, guide §5): vocab_i is
+    # consumed by BOTH top1_{i+1} (a broadcast build with its own subtree
+    # execution) and vocab_{i+1}, and without the pin the nesting doubles
+    # the pair-explode work per unrolled iteration (~2^iters subtree
+    # executions — tokenizer_fertility's r21 stage profile showed SEVEN
+    # Generate stages of 2-5.5 executor-seconds re-running this
+    # vocab-sized pass). The pins are lazy (no count barrier): the
+    # consumers run sequentially (broadcast build, then the next
+    # iteration), so there is no concurrent first-computation race, and
+    # the cached table is vocab-sized (|distinct words| rows), never
+    # corpus-sized.
     for step in range(1, iters + 1):
         with_syms = vocab.select(F.split("sym", " ").alias("syms"), "wcnt")
         pairs = with_syms.select(
@@ -462,6 +473,7 @@ def _bpe_train(docs: DataFrame, iters: int):
                 "wcnt",
             )
         )
+        vocab = register_parallel_cache(vocab.persist())
     return merge_rows, vocab.select("word", "sym")
 
 
