@@ -262,10 +262,12 @@ EAGER_QUERIES = {
     "winnow_pairs",
     # round 21: source_overlap pins its distinct (source, gram) table at
     # construction (persist + count — the gram explode previously ran
-    # twice, single-task). Same accounting rule as the r20 additions:
-    # construction inside the clock covers the same total work r19 timed
-    # lazily via count().
+    # twice, single-task), and cdc_chunk_dedup pins its chunking pass
+    # (one md5 per token n-gram, previously executed twice). Same
+    # accounting rule as the r20 additions: construction inside the
+    # clock covers the same total work r19 timed lazily via count().
     "source_overlap",
+    "cdc_chunk_dedup",
     # the composed screen->verify front door and its consumer run the
     # collapse AND candidate persists (two count barriers) eagerly
     "containment_screened",

@@ -400,7 +400,19 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
         F.explode(word_ngrams(F.col("text"), 2)).alias("gram"),
     ).withColumn("w1", F.split("gram", " ")[0])
     bigram_counts = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
-    hist_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    # History counts DERIVE from the bigram counts (r21, guide §2.3
+    # aggregate-before-shuffle): c_w1 = sum of c_bi over the grams whose
+    # first token is w1 — exactly count(bigrams with history w1), the
+    # identity the MLE denominator needs. The former spelling re-exploded
+    # the corpus a second time for a vocabulary-bounded table; this is a
+    # V²-row rollup instead of a corpus pass (ccnet_buckets' stage
+    # profile showed three 6-11 executor-second Generate stages — one
+    # per consumer of the explode).
+    hist_counts = (
+        bigram_counts.withColumn("w1", F.split("gram", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_bi").alias("c_w1"))
+    )
     scored = (
         bi.join(F.broadcast(bigram_counts), "gram")
         .join(F.broadcast(hist_counts), "w1")
@@ -422,11 +434,17 @@ def bigram_lm_model_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     construction (the dsir_model_tables discipline)."""
     bi = docs.select(
         F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
-    ).withColumn("w1", F.split("gram", " ")[0])
-    return (
-        bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi")),
-        bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1")),
     )
+    bigram_counts = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    # derived, not re-exploded (the bigram_lm_score identity): one corpus
+    # pass fits both tables
+    hist_counts = (
+        bigram_counts.withColumn("w1", F.split("gram", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_bi").alias("c_w1"))
+        .select("w1", "c_w1")
+    )
+    return bigram_counts, hist_counts
 
 
 def bigram_lm_score_with_model(

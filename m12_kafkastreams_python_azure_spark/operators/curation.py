@@ -1842,7 +1842,17 @@ def cdc_chunk_dedup(
     The cross-doc frequency is a chunk-keyed groupBy + countDistinct
     (map-side combined; never a collect_set window over the hottest
     chunk — the segment_dedup discipline), joined back on the chunk."""
-    ch = cdc_chunks(docs, window, divisor)
+    from m12_kafkastreams_python_azure_spark.sources.readers import (
+        register_parallel_cache,
+    )
+
+    # Pinned (r21, guide §5): the chunking pass hashes one md5 PER TOKEN
+    # n-gram, and its two consumers (the chunk-frequency aggregate and
+    # the join-back side) re-ran it end to end — the r21 stage profile
+    # showed the same Union+Project chunking stage twice, 43 + 21
+    # executor-seconds at sf0.1. One execution materializes the cache.
+    ch = register_parallel_cache(cdc_chunks(docs, window, divisor).persist())
+    ch.count()
     freq = (
         ch.groupBy("chunk")
         .agg(F.count_distinct("doc_id").alias("_nd"))
